@@ -1,0 +1,359 @@
+"""Vectorized geometry kernels over ``GeomBatch`` (numpy only, no shapely).
+
+These provide the engine equivalents of the DuckDB-spatial calls the
+reference makes:
+
+- ``ST_Within(geom, aoi)``          -> :func:`within_mask`
+  (reference: open_buildings/download_buildings.py:250)
+- ``ST_Intersects(country, geom)``  -> :func:`intersects_mask`
+  (reference: open_buildings/overture/add_columns.py:58-63)
+- ``ST_Centroid``                   -> :func:`centroids`
+  (reference: open_buildings/google/add_columns.py:50)
+- ``to_crs('EPSG:6933').area``      -> :func:`area_6933`
+  (reference: open_buildings/google/process.py:104-109,242-247)
+
+Boundary semantics (documented + pinned by tests): ``within`` requires every
+vertex inside-or-on the AOI boundary, no proper edge crossing, and at least
+one strictly-interior vertex — so footprints straddling or merely touching
+the AOI from outside are excluded, matching the reference's use of
+``ST_Within`` (not intersects) for AOI queries.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .wkt import GeomBatch
+
+_EPS = 1e-12
+
+
+def geom_coord_offsets(batch: GeomBatch) -> np.ndarray:
+    """(N+1,) coordinate offsets per geometry (rings are stored geom-contiguous)."""
+    n = batch.n_geoms
+    counts = np.zeros(n, dtype=np.int64)
+    ring_sizes = np.diff(batch.ring_offsets)
+    if len(ring_sizes):
+        np.add.at(counts, batch.ring_geom, ring_sizes)
+    return np.concatenate([[0], np.cumsum(counts)])
+
+
+def bboxes(batch: GeomBatch) -> np.ndarray:
+    """(N, 4) [minx, miny, maxx, maxy]; NaN rows for missing geometries."""
+    n = batch.n_geoms
+    out = np.full((n, 4), np.nan)
+    offs = geom_coord_offsets(batch)
+    has = np.diff(offs) > 0
+    idx = np.nonzero(has)[0]
+    if len(idx) == 0:
+        return out
+    starts = offs[:-1][idx]
+    x = batch.coords[:, 0]
+    y = batch.coords[:, 1]
+    out[idx, 0] = np.minimum.reduceat(x, starts)
+    out[idx, 1] = np.minimum.reduceat(y, starts)
+    out[idx, 2] = np.maximum.reduceat(x, starts)
+    out[idx, 3] = np.maximum.reduceat(y, starts)
+    # reduceat with a lone trailing segment handles ends correctly because
+    # segments are contiguous and cover exactly each geom's span only when
+    # starts are unique; guard the degenerate shared-start case:
+    if len(idx) > 1 and np.any(np.diff(starts) == 0):  # pragma: no cover
+        for g in idx:
+            seg = batch.coords[offs[g] : offs[g + 1]]
+            out[g] = [seg[:, 0].min(), seg[:, 1].min(), seg[:, 0].max(), seg[:, 1].max()]
+    return out
+
+
+def _ring_signed_area_centroid(coords: np.ndarray) -> tuple[float, float, float]:
+    x = coords[:, 0]
+    y = coords[:, 1]
+    x1 = np.roll(x, -1)
+    y1 = np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if abs(a) < _EPS:
+        return 0.0, x.mean(), y.mean()
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return a, cx, cy
+
+
+def centroids(batch: GeomBatch) -> np.ndarray:
+    """(N, 2) area-weighted centroid (holes subtracted); point geoms pass through."""
+    n = batch.n_geoms
+    out = np.full((n, 2), np.nan)
+    wsum = np.zeros(n)
+    acc = np.zeros((n, 2))
+    for r in range(batch.n_rings):
+        g = batch.ring_geom[r]
+        coords = batch.ring(r)
+        if len(coords) == 1:  # point
+            out[g] = coords[0]
+            continue
+        a, cx, cy = _ring_signed_area_centroid(coords[:-1] if np.array_equal(coords[0], coords[-1]) else coords)
+        w = abs(a) * (-1.0 if batch.ring_is_hole[r] else 1.0)
+        if w == 0.0:
+            w = _EPS
+        acc[g, 0] += w * cx
+        acc[g, 1] += w * cy
+        wsum[g] += w
+    nz = wsum != 0
+    out[nz] = acc[nz] / wsum[nz, None]
+    return out
+
+
+def bbox_midpoints(batch: GeomBatch) -> np.ndarray:
+    """(N,2) bbox centers — the reference's quadkey anchor
+    (midpoint(bbox.minx/maxx, miny/maxy), overture/add_columns.py:40-47)."""
+    b = bboxes(batch)
+    return np.column_stack([(b[:, 0] + b[:, 2]) / 2.0, (b[:, 1] + b[:, 3]) / 2.0])
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon (vectorized raycast) against ONE polygon (rings list).
+# ---------------------------------------------------------------------------
+
+
+def _pip_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
+    """Crossing-number parity + on-boundary flags for points vs one ring."""
+    x0 = ring[:-1, 0][None, :]
+    y0 = ring[:-1, 1][None, :]
+    x1 = ring[1:, 0][None, :]
+    y1 = ring[1:, 1][None, :]
+    pxc = px[:, None]
+    pyc = py[:, None]
+    cond = (y0 > pyc) != (y1 > pyc)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0 + (pyc - y0) * (x1 - x0) / (y1 - y0)
+    crossings = (cond & (pxc < xint)).sum(axis=1)
+    # boundary: point on segment
+    dx = x1 - x0
+    dy = y1 - y0
+    cross = (pxc - x0) * dy - (pyc - y0) * dx
+    dot = (pxc - x0) * dx + (pyc - y0) * dy
+    seglen2 = dx * dx + dy * dy
+    on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.sqrt(seglen2))) & (dot >= -_EPS) & (
+        dot <= seglen2 + _EPS
+    )
+    return (crossings % 2).astype(bool), on.any(axis=1)
+
+
+def points_in_polygon(
+    points: np.ndarray, rings: list[tuple[np.ndarray, bool]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(strictly_inside, on_boundary) of points vs one polygon-with-holes.
+
+    ``rings``: list of (closed ring coords (K,2), is_hole).
+    """
+    px = points[:, 0]
+    py = points[:, 1]
+    inside = np.zeros(len(points), dtype=bool)
+    boundary = np.zeros(len(points), dtype=bool)
+    first = True
+    for coords, is_hole in rings:
+        ring = coords
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[0]])
+        par, onb = _pip_ring(px, py, ring)
+        boundary |= onb
+        if is_hole:
+            inside &= ~par
+        else:
+            if first:
+                inside = par.copy()
+                first = False
+            else:
+                inside |= par
+    strict = inside & ~boundary
+    return strict, boundary
+
+
+def _segments_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Proper intersection test for segment arrays (broadcastable)."""
+
+    def orient(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    return ((d1 > _EPS) & (d2 < -_EPS) | (d1 < -_EPS) & (d2 > _EPS)) & (
+        (d3 > _EPS) & (d4 < -_EPS) | (d3 < -_EPS) & (d4 > _EPS)
+    )
+
+
+def _geom_edges(batch: GeomBatch):
+    """All edges of all rings as arrays (ex0, ey0, ex1, ey1, edge_geom)."""
+    e0, e1, eg = [], [], []
+    for r in range(batch.n_rings):
+        coords = batch.ring(r)
+        if len(coords) < 2:
+            continue
+        ring = coords
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[0]])
+        e0.append(ring[:-1])
+        e1.append(ring[1:])
+        eg.append(np.full(len(ring) - 1, batch.ring_geom[r], dtype=np.int64))
+    if not e0:
+        z = np.empty((0, 2))
+        return z, z, np.empty(0, dtype=np.int64)
+    return np.concatenate(e0), np.concatenate(e1), np.concatenate(eg)
+
+
+def within_mask(batch: GeomBatch, aoi_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:
+    """(N,) bool: geometry fully within the AOI polygon (ST_Within semantics,
+    reference download_buildings.py:250). See module docstring for boundary rules."""
+    n = batch.n_geoms
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    strict, onb = points_in_polygon(batch.coords, aoi_rings)
+    ok_vert = strict | onb
+
+    offs = geom_coord_offsets(batch)
+    counts = np.diff(offs)
+    out = np.zeros(n, dtype=bool)
+    has = counts > 0
+    idx = np.nonzero(has)[0]
+    if len(idx):
+        starts = offs[:-1][idx]
+        all_ok = np.logical_and.reduceat(ok_vert, starts)[: len(idx)] if len(starts) else np.array([], bool)
+        any_strict = np.logical_or.reduceat(strict, starts)[: len(idx)] if len(starts) else np.array([], bool)
+        out[idx] = all_ok & any_strict
+
+    # reject proper edge crossings with the AOI boundary
+    cand = np.nonzero(out)[0]
+    if len(cand):
+        ex0, ex1, eg = _geom_edges(batch)
+        keep = np.isin(eg, cand)
+        ex0, ex1, eg = ex0[keep], ex1[keep], eg[keep]
+        if len(eg):
+            for coords, _ in aoi_rings:
+                ring = coords
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[0]])
+                bx0 = ring[:-1, 0][None, :]
+                by0 = ring[:-1, 1][None, :]
+                bx1 = ring[1:, 0][None, :]
+                by1 = ring[1:, 1][None, :]
+                crosses = _segments_cross(
+                    ex0[:, 0][:, None], ex0[:, 1][:, None],
+                    ex1[:, 0][:, None], ex1[:, 1][:, None],
+                    bx0, by0, bx1, by1,
+                ).any(axis=1)
+                bad = np.unique(eg[crosses])
+                out[bad] = False
+    return out
+
+
+def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:
+    """(N,) bool: geometry intersects the polygon (ST_Intersects semantics,
+    reference overture/add_columns.py:62): shared point counts."""
+    n = batch.n_geoms
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    strict, onb = points_in_polygon(batch.coords, other_rings)
+    hit = strict | onb
+    offs = geom_coord_offsets(batch)
+    counts = np.diff(offs)
+    out = np.zeros(n, dtype=bool)
+    idx = np.nonzero(counts > 0)[0]
+    if len(idx):
+        starts = offs[:-1][idx]
+        out[idx] = np.logical_or.reduceat(hit, starts)[: len(idx)]
+
+    # other's vertices inside geometry (covers geom-contains-other)
+    other_pts = np.concatenate([r for r, _ in other_rings])
+    rest = np.nonzero(~out)[0]
+    for g in rest:
+        rings_g = [
+            (batch.ring(r), bool(batch.ring_is_hole[r]))
+            for r in range(batch.n_rings)
+            if batch.ring_geom[r] == g
+        ]
+        if not rings_g or len(rings_g[0][0]) < 3:
+            continue
+        s, b = points_in_polygon(other_pts, rings_g)
+        if (s | b).any():
+            out[g] = True
+
+    # proper edge crossings
+    rest = np.nonzero(~out)[0]
+    if len(rest):
+        ex0, ex1, eg = _geom_edges(batch)
+        keep = np.isin(eg, rest)
+        ex0, ex1, eg = ex0[keep], ex1[keep], eg[keep]
+        if len(eg):
+            for coords, _ in other_rings:
+                ring = coords
+                if not np.array_equal(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[0]])
+                crosses = _segments_cross(
+                    ex0[:, 0][:, None], ex0[:, 1][:, None],
+                    ex1[:, 0][:, None], ex1[:, 1][:, None],
+                    ring[:-1, 0][None, :], ring[:-1, 1][None, :],
+                    ring[1:, 0][None, :], ring[1:, 1][None, :],
+                ).any(axis=1)
+                out[np.unique(eg[crosses])] = True
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Equal-area area (EPSG:6933, ellipsoidal Lambert cylindrical equal-area).
+# Reference computes areas via gpd .to_crs('EPSG:6933').area
+# (open_buildings/google/process.py:104-109).
+# ---------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_E2 = 0.0066943799901413165
+_WGS84_E = math.sqrt(_WGS84_E2)
+_PHI_S = math.radians(30.0)
+_K0 = math.cos(_PHI_S) / math.sqrt(1.0 - _WGS84_E2 * math.sin(_PHI_S) ** 2)
+
+
+def _authalic_q(phi: np.ndarray) -> np.ndarray:
+    s = np.sin(phi)
+    return (1.0 - _WGS84_E2) * (
+        s / (1.0 - _WGS84_E2 * s * s)
+        - (1.0 / (2.0 * _WGS84_E)) * np.log((1.0 - _WGS84_E * s) / (1.0 + _WGS84_E * s))
+    )
+
+
+def project_6933(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = _WGS84_A * _K0 * np.radians(lon)
+    y = _WGS84_A * _authalic_q(np.radians(lat)) / (2.0 * _K0)
+    return x, y
+
+
+def area_6933(batch: GeomBatch) -> np.ndarray:
+    """(N,) polygon area in m^2 in the EPSG:6933 equal-area projection."""
+    px, py = project_6933(batch.coords[:, 0], batch.coords[:, 1])
+    out = np.zeros(batch.n_geoms)
+    for r in range(batch.n_rings):
+        lo, hi = batch.ring_offsets[r], batch.ring_offsets[r + 1]
+        if hi - lo < 3:
+            continue
+        x = px[lo:hi]
+        y = py[lo:hi]
+        a = abs((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) / 2.0
+        g = batch.ring_geom[r]
+        out[g] += -a if batch.ring_is_hole[r] else a
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distances (kNN metric): haversine meters on the WGS84 mean sphere.
+# ---------------------------------------------------------------------------
+
+_EARTH_R = 6371008.8
+
+
+def haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lon1, lat1, lon2, lat2))
+    dlon = lon2 - lon1
+    dlat = lat2 - lat1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * _EARTH_R * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))

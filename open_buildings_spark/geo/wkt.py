@@ -1,0 +1,314 @@
+"""WKT / WKB geometry codec (Point / Polygon / MultiPolygon), no shapely.
+
+The reference carries geometry as WKT text in the Google CSV path
+(open_buildings/google/process.py:213) and as WKB blobs in the Overture path
+(open_buildings/download_buildings.py:245,250; overture/add_columns.py:62).
+This module provides both encodings over a single flat batch representation
+(``GeomBatch``) designed for numpy-vectorized kernels.
+
+Batch layout (ragged arrays, one struct for N geometries):
+  coords       : (M, 2) float64, all vertices in row order
+  ring_offsets : (R+1,) int64, ring i spans coords[ring_offsets[i]:ring_offsets[i+1]]
+  ring_geom    : (R,) int32, owning geometry index of ring i
+  ring_is_hole : (R,) bool, True for interior rings
+  gtype        : (N,) int8, 1=Point 3=Polygon 6=MultiPolygon, -1=missing/invalid
+
+Parsing has a fully vectorized fast path for single-ring ``POLYGON ((...))``
+rows (the overwhelmingly common shape in building footprints) and a general
+recursive-descent fallback for multipolygons / holes.
+"""
+
+from __future__ import annotations
+
+import struct
+import warnings
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+GT_POINT = 1
+GT_POLYGON = 3
+GT_MULTIPOLYGON = 6
+GT_MISSING = -1
+
+
+@dataclass
+class GeomBatch:
+    coords: np.ndarray
+    ring_offsets: np.ndarray
+    ring_geom: np.ndarray
+    ring_is_hole: np.ndarray
+    gtype: np.ndarray
+
+    @property
+    def n_geoms(self) -> int:
+        return len(self.gtype)
+
+    @property
+    def n_rings(self) -> int:
+        return len(self.ring_geom)
+
+    def ring(self, i: int) -> np.ndarray:
+        return self.coords[self.ring_offsets[i] : self.ring_offsets[i + 1]]
+
+    def geom_rings(self, g: int) -> list[int]:
+        return np.nonzero(self.ring_geom == g)[0].tolist()
+
+
+def _floats(text: str) -> np.ndarray:
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        return np.fromstring(text.replace(",", " "), dtype=np.float64, sep=" ")
+
+
+def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) -> int:
+    """General parser for one WKT string; appends rings; returns gtype."""
+    s = wkt.strip()
+    up = s[:20].upper()
+    if up.startswith("POINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        xy = _floats(body).reshape(1, 2)
+        rings.append(xy)
+        ring_geom.append(g)
+        ring_hole.append(False)
+        return GT_POINT
+    if up.startswith("MULTIPOLYGON"):
+        gtype = GT_MULTIPOLYGON
+    elif up.startswith("POLYGON"):
+        gtype = GT_POLYGON
+    else:
+        raise ValueError(f"unsupported WKT: {s[:40]!r}")
+    body = s[s.index("(") + 1 : s.rindex(")")]
+    # Walk parenthesis groups: depth-1 groups within a polygon body are rings;
+    # for multipolygon, depth-1 groups are polygons whose depth-2 groups are rings.
+    depth = 0
+    start = 0
+    ring_idx_in_part = 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+            if (gtype == GT_POLYGON and depth == 1) or (
+                gtype == GT_MULTIPOLYGON and depth == 2
+            ):
+                start = i + 1
+            if gtype == GT_MULTIPOLYGON and depth == 1:
+                ring_idx_in_part = 0
+        elif ch == ")":
+            if (gtype == GT_POLYGON and depth == 1) or (
+                gtype == GT_MULTIPOLYGON and depth == 2
+            ):
+                xy = _floats(body[start:i])
+                rings.append(xy.reshape(-1, 2))
+                ring_geom.append(g)
+                ring_hole.append(ring_idx_in_part > 0)
+                ring_idx_in_part += 1
+            depth -= 1
+    return gtype
+
+
+def parse_wkt_batch(series: pd.Series) -> GeomBatch:
+    """Parse a Series of WKT strings into a GeomBatch.
+
+    Vectorized fast path for simple single-ring polygons; general fallback
+    otherwise. Null / empty strings become gtype=GT_MISSING with no rings.
+    """
+    n = len(series)
+    vals = series.to_numpy(dtype=object)
+    gtype = np.full(n, GT_MISSING, dtype=np.int8)
+
+    is_str = np.array([isinstance(v, str) and len(v) > 0 for v in vals], dtype=bool)
+    s = series.where(pd.Series(is_str, index=series.index), "")
+    simple_mask = s.str.match(r"^POLYGON \(\([^()]+\)\)$").to_numpy()
+
+    rings_per_geom: list = [None] * n  # each entry: list[(coords, is_hole)]
+
+    # fast path: one ring per geom, all parsed in one shot
+    simple_idx = np.nonzero(simple_mask)[0]
+    if len(simple_idx):
+        inner = s.iloc[simple_idx].str.slice(10, -2)
+        counts = (inner.str.count(",") + 1).to_numpy(dtype=np.int64)
+        blob = inner.str.cat(sep=",")
+        flat = _floats(blob).reshape(-1, 2)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        for k, gi in enumerate(simple_idx):
+            rings_per_geom[gi] = [(flat[offs[k] : offs[k + 1]], False)]
+            gtype[gi] = GT_POLYGON
+
+    # general path
+    for gi in np.nonzero(is_str & ~simple_mask)[0]:
+        rr: list = []
+        rg: list = []
+        rh: list = []
+        gt = _parse_one(vals[gi], 0, rr, rg, rh)
+        rings_per_geom[gi] = list(zip(rr, rh))
+        gtype[gi] = gt
+
+    # assemble flat batch
+    all_rings = []
+    ring_geom = []
+    ring_hole = []
+    for gi in range(n):
+        if rings_per_geom[gi] is None:
+            continue
+        for coords, hole in rings_per_geom[gi]:
+            all_rings.append(coords)
+            ring_geom.append(gi)
+            ring_hole.append(hole)
+    if all_rings:
+        coords = np.concatenate(all_rings, axis=0)
+        sizes = np.array([len(r) for r in all_rings], dtype=np.int64)
+        ring_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    else:
+        coords = np.empty((0, 2), dtype=np.float64)
+        ring_offsets = np.zeros(1, dtype=np.int64)
+    return GeomBatch(
+        coords=coords,
+        ring_offsets=ring_offsets.astype(np.int64),
+        ring_geom=np.array(ring_geom, dtype=np.int32),
+        ring_is_hole=np.array(ring_hole, dtype=bool),
+        gtype=gtype,
+    )
+
+
+def _fmt(v: float) -> str:
+    """shapely-compatible coordinate formatting (python repr round-trips)."""
+    r = repr(float(v))
+    return r[:-2] if r.endswith(".0") else r
+
+
+def _ring_wkt(coords) -> str:
+    return "(" + ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in coords) + ")"
+
+
+def polygon_wkt(rings: list) -> str:
+    """rings: list of (K,2) arrays/lists, shell first."""
+    return "POLYGON (" + ", ".join(_ring_wkt(r) for r in rings) + ")"
+
+
+def multipolygon_wkt(polys: list) -> str:
+    """polys: list of list-of-rings."""
+    return (
+        "MULTIPOLYGON ("
+        + ", ".join("(" + ", ".join(_ring_wkt(r) for r in rings) + ")" for rings in polys)
+        + ")"
+    )
+
+
+def point_wkt(x: float, y: float) -> str:
+    return f"POINT ({_fmt(x)} {_fmt(y)})"
+
+
+def geojson_geometry_to_wkt(geometry: dict) -> str:
+    """GeoJSON geometry dict -> WKT, matching shapely's text format.
+
+    Reference: geojson_to_wkt at open_buildings/download_buildings.py:33-35,
+    golden string at tests/test_open_buildings.py:60.
+    """
+    t = geometry["type"]
+    c = geometry["coordinates"]
+    if t == "Point":
+        return point_wkt(c[0], c[1])
+    if t == "Polygon":
+        return polygon_wkt(c)
+    if t == "MultiPolygon":
+        return multipolygon_wkt(c)
+    raise ValueError(f"unsupported geometry type {t}")
+
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian, 2D) — used for the countries table / GeoParquet parity.
+# ---------------------------------------------------------------------------
+
+
+def _wkb_ring(coords) -> bytes:
+    arr = np.asarray(coords, dtype="<f8")
+    return struct.pack("<I", len(arr)) + arr.tobytes()
+
+
+def polygon_wkb(rings: list) -> bytes:
+    return (
+        b"\x01" + struct.pack("<I", GT_POLYGON) + struct.pack("<I", len(rings))
+        + b"".join(_wkb_ring(r) for r in rings)
+    )
+
+
+def multipolygon_wkb(polys: list) -> bytes:
+    return (
+        b"\x01" + struct.pack("<I", GT_MULTIPOLYGON) + struct.pack("<I", len(polys))
+        + b"".join(polygon_wkb(rings) for rings in polys)
+    )
+
+
+def point_wkb(x: float, y: float) -> bytes:
+    return b"\x01" + struct.pack("<I", GT_POINT) + struct.pack("<dd", x, y)
+
+
+def parse_wkb(buf: bytes):
+    """WKB -> (gtype, list of (rings, ...)); returns same shapes as parser.
+
+    Returns (gtype, rings) where rings is list[(coords(K,2), is_hole)].
+    """
+    if buf is None or len(buf) == 0:
+        return GT_MISSING, []
+    bo = "<" if buf[0] == 1 else ">"
+    (code,) = struct.unpack_from(f"{bo}I", buf, 1)
+    code = code % 1000  # tolerate EWKB-ish SRID-less flags
+    off = 5
+    if code == GT_POINT:
+        x, y = struct.unpack_from(f"{bo}dd", buf, off)
+        return GT_POINT, [(np.array([[x, y]]), False)]
+    if code == GT_POLYGON:
+        (nr,) = struct.unpack_from(f"{bo}I", buf, off)
+        off += 4
+        rings = []
+        for i in range(nr):
+            (npts,) = struct.unpack_from(f"{bo}I", buf, off)
+            off += 4
+            arr = np.frombuffer(buf, dtype=f"{bo}f8", count=npts * 2, offset=off).reshape(-1, 2)
+            off += npts * 16
+            rings.append((arr, i > 0))
+        return GT_POLYGON, rings
+    if code == GT_MULTIPOLYGON:
+        (nparts,) = struct.unpack_from(f"{bo}I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nparts):
+            off += 5  # nested byte order + type
+            (nr,) = struct.unpack_from(f"{bo}I", buf, off)
+            off += 4
+            for i in range(nr):
+                (npts,) = struct.unpack_from(f"{bo}I", buf, off)
+                off += 4
+                arr = np.frombuffer(buf, dtype=f"{bo}f8", count=npts * 2, offset=off).reshape(-1, 2)
+                off += npts * 16
+                rings.append((arr, i > 0))
+        return GT_MULTIPOLYGON, rings
+    raise ValueError(f"unsupported WKB geometry code {code}")
+
+
+def parse_wkb_batch(series: pd.Series) -> GeomBatch:
+    n = len(series)
+    gtype = np.full(n, GT_MISSING, dtype=np.int8)
+    all_rings, ring_geom, ring_hole = [], [], []
+    for gi, buf in enumerate(series.to_numpy(dtype=object)):
+        gt, rings = parse_wkb(buf if buf is not None else b"")
+        gtype[gi] = gt
+        for coords, hole in rings:
+            all_rings.append(np.asarray(coords, dtype=np.float64))
+            ring_geom.append(gi)
+            ring_hole.append(hole)
+    if all_rings:
+        coords = np.concatenate(all_rings, axis=0)
+        sizes = np.array([len(r) for r in all_rings], dtype=np.int64)
+        ring_offsets = np.concatenate([[0], np.cumsum(sizes)])
+    else:
+        coords = np.empty((0, 2), dtype=np.float64)
+        ring_offsets = np.zeros(1, dtype=np.int64)
+    return GeomBatch(
+        coords=coords,
+        ring_offsets=ring_offsets.astype(np.int64),
+        ring_geom=np.array(ring_geom, dtype=np.int32),
+        ring_is_hole=np.array(ring_hole, dtype=bool),
+        gtype=gtype,
+    )

@@ -1,0 +1,252 @@
+"""Golden unit tests pinning the numpy kernels to the reference's exact
+semantics (reference: tests/test_open_buildings.py:58-68)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from open_buildings_spark.geo import kernels, mercator, olc
+from open_buildings_spark.geo.wkt import (
+    geojson_geometry_to_wkt,
+    multipolygon_wkt,
+    parse_wkb_batch,
+    parse_wkt_batch,
+    polygon_wkb,
+    polygon_wkt,
+)
+from tests.fixtures import (
+    GLOBAL_STRADDLE_AOI,
+    LONDON_QUADKEY,
+    LONDON_TILE_FEATURE,
+    SEYCHELLES_AOI,
+    SEYCHELLES_QUADKEY,
+    SEYCHELLES_WKT,
+)
+
+
+def test_geojson_to_quadkey_golden():
+    assert mercator.geojson_to_quadkey(SEYCHELLES_AOI) == SEYCHELLES_QUADKEY
+
+
+def test_geojson_to_quadkey_straddle_returns_empty():
+    assert mercator.geojson_to_quadkey(GLOBAL_STRADDLE_AOI) == ""
+
+
+def test_geojson_to_wkt_golden():
+    assert geojson_geometry_to_wkt(SEYCHELLES_AOI["geometry"]) == SEYCHELLES_WKT
+
+
+def test_quadkey_to_geojson_golden():
+    got = mercator.quadkey_to_geojson(LONDON_QUADKEY)
+    exp = LONDON_TILE_FEATURE
+    assert got["type"] == "Feature"
+    g = np.array(got["geometry"]["coordinates"][0])
+    e = np.array(exp["geometry"]["coordinates"][0])
+    assert np.allclose(g, e, rtol=0, atol=1e-12)
+
+
+def test_quadkey_roundtrip():
+    for qk in [SEYCHELLES_QUADKEY, LONDON_QUADKEY, "0", "3333", "0123012301"]:
+        x, y, z = mercator.tile_from_quadkey(qk)
+        assert mercator.quadkey_from_tile(x, y, z) == qk
+
+
+def test_vectorized_quadkey_matches_scalar():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-80, 80, 500)
+    vec = mercator.lonlat_to_quadkey_np(lon, lat, 12)
+    for i in range(0, 500, 17):
+        assert vec[i] == mercator.lat_lon_to_quadkey(lat[i], lon[i], 12)
+
+
+def test_lat_lon_to_quadkey_seychelles_center():
+    # center of the Seychelles AOI must land in the AOI's covering tile
+    lat = (-4.6227964300457245 + -4.623440862045413) / 2
+    lon = (55.45280573412927 + 55.453376761871795) / 2
+    assert mercator.lat_lon_to_quadkey(lat, lon, 12) == SEYCHELLES_QUADKEY
+
+
+def test_wkt_parse_simple_polygon():
+    b = parse_wkt_batch(pd.Series([SEYCHELLES_WKT]))
+    assert b.n_geoms == 1 and b.n_rings == 1
+    assert b.gtype[0] == 3
+    assert b.ring(0).shape == (5, 2)
+    assert b.ring(0)[0, 0] == 55.45280573412927
+
+
+def test_wkt_roundtrip_polygon():
+    b = parse_wkt_batch(pd.Series([SEYCHELLES_WKT]))
+    assert polygon_wkt([b.ring(0)]) == SEYCHELLES_WKT
+
+
+def test_wkt_parse_multipolygon_with_hole():
+    w = multipolygon_wkt(
+        [
+            [[[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]],
+            [[[10, 10], [11, 10], [11, 11], [10, 10]]],
+        ]
+    )
+    b = parse_wkt_batch(pd.Series([w]))
+    assert b.gtype[0] == 6
+    assert b.n_rings == 3
+    assert list(b.ring_is_hole) == [False, True, False]
+    assert b.ring(1)[0, 0] == 1.0
+
+
+def test_wkt_parse_nulls_and_mixed():
+    s = pd.Series([None, "", SEYCHELLES_WKT, "POINT (1.5 -2.5)"])
+    b = parse_wkt_batch(s)
+    assert list(b.gtype) == [-1, -1, 3, 1]
+    assert b.ring(1).tolist() == [[1.5, -2.5]]
+
+
+def test_wkb_roundtrip():
+    shell = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    hole = [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]
+    buf = polygon_wkb([shell, hole])
+    b = parse_wkb_batch(pd.Series([buf]))
+    assert b.gtype[0] == 3
+    assert b.n_rings == 2
+    assert bool(b.ring_is_hole[1])
+    assert np.allclose(b.ring(0), shell)
+
+
+def test_centroid_square():
+    b = parse_wkt_batch(pd.Series([polygon_wkt([[[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]]])]))
+    c = kernels.centroids(b)
+    assert np.allclose(c, [[1.0, 1.0]])
+
+
+def test_centroid_with_hole_shifts():
+    # hole in the right half pulls the centroid left
+    shell = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    hole = [[2, 1], [3, 1], [3, 3], [2, 3], [2, 1]]
+    b = parse_wkt_batch(pd.Series([polygon_wkt([shell, hole])]))
+    c = kernels.centroids(b)
+    assert c[0, 0] < 2.0
+    assert np.isclose(c[0, 1], 2.0)
+
+
+def test_bbox_and_midpoint():
+    b = parse_wkt_batch(pd.Series([SEYCHELLES_WKT]))
+    bb = kernels.bboxes(b)
+    assert np.isclose(bb[0, 0], 55.45280573412927)
+    mid = kernels.bbox_midpoints(b)
+    assert np.isclose(mid[0, 0], (55.45280573412927 + 55.453376761871795) / 2)
+
+
+def test_within_semantics():
+    aoi = [(np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]), False)]
+    wkts = [
+        polygon_wkt([[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]),        # inside
+        polygon_wkt([[[9, 9], [11, 9], [11, 11], [9, 11], [9, 9]]]),     # straddles
+        polygon_wkt([[[20, 20], [21, 20], [21, 21], [20, 21], [20, 20]]]),  # outside
+        polygon_wkt([[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]]),         # touches from inside
+        polygon_wkt([[[-1, 0], [0, 0], [0, 1], [-1, 1], [-1, 0]]]),      # touches from outside
+    ]
+    b = parse_wkt_batch(pd.Series(wkts))
+    m = kernels.within_mask(b, aoi)
+    assert m.tolist() == [True, False, False, True, False]
+
+
+def test_intersects_semantics():
+    country = [(np.array([[0.0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]), False)]
+    wkts = [
+        polygon_wkt([[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]),          # inside
+        polygon_wkt([[[9, 9], [11, 9], [11, 11], [9, 11], [9, 9]]]),       # straddles -> True
+        polygon_wkt([[[20, 20], [21, 20], [21, 21], [20, 21], [20, 20]]]), # outside
+        polygon_wkt([[[-1, -1], [11, -1], [11, 11], [-1, 11], [-1, -1]]]), # contains country
+        polygon_wkt([[[10, 0], [11, 0], [11, 1], [10, 1], [10, 0]]]),      # edge touch -> True
+    ]
+    b = parse_wkt_batch(pd.Series(wkts))
+    m = kernels.intersects_mask(b, country)
+    assert m.tolist() == [True, True, False, True, True]
+
+
+def test_within_concave_aoi_rejects_crossing():
+    # concave (L-shaped) AOI: a square whose vertices are all inside the
+    # bounding region but which crosses the notch must be rejected
+    aoi = [
+        (
+            np.array(
+                [[0.0, 0], [10, 0], [10, 10], [6, 10], [6, 4], [4, 4], [4, 10], [0, 10], [0, 0]]
+            ),
+            False,
+        )
+    ]
+    wkts = [
+        polygon_wkt([[[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]]]),        # inside left leg
+        polygon_wkt([[[3, 5], [7, 5], [7, 6], [3, 6], [3, 5]]]),        # spans the notch
+    ]
+    b = parse_wkt_batch(pd.Series(wkts))
+    m = kernels.within_mask(b, aoi)
+    assert m.tolist() == [True, False]
+
+
+def test_pip_random_points_vs_winding_oracle():
+    """Property test: vectorized raycast agrees with an independent
+    winding-number oracle on random points vs a random convex polygon."""
+    rng = np.random.default_rng(42)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    poly = np.column_stack([np.cos(ang), np.sin(ang)]) * rng.uniform(1, 3)
+    poly = np.vstack([poly, poly[0]])
+    pts = rng.uniform(-3, 3, size=(500, 2))
+
+    def winding(p):
+        wn = 0
+        for i in range(len(poly) - 1):
+            x0, y0 = poly[i]
+            x1, y1 = poly[i + 1]
+            if y0 <= p[1]:
+                if y1 > p[1] and (x1 - x0) * (p[1] - y0) - (y1 - y0) * (p[0] - x0) > 0:
+                    wn += 1
+            elif y1 <= p[1] and (x1 - x0) * (p[1] - y0) - (y1 - y0) * (p[0] - x0) < 0:
+                wn -= 1
+        return wn != 0
+
+    strict, onb = kernels.points_in_polygon(pts, [(poly, False)])
+    oracle = np.array([winding(p) for p in pts])
+    disagree = (strict | onb) != oracle
+    assert disagree.sum() == 0
+
+
+def test_area_6933_square_near_equator():
+    # 0.01 x 0.01 degree square at the equator: ~1.1132 km per 0.01 deg
+    side = 0.01
+    w = polygon_wkt([[[0, 0], [side, 0], [side, side], [0, side], [0, 0]]])
+    b = parse_wkt_batch(pd.Series([w]))
+    a = kernels.area_6933(b)[0]
+    # 0.01 deg lon ~ 1113.19 m; 0.01 deg lat ~ 1105.74 m at the equator (WGS84)
+    assert a == pytest.approx(1113.19 * 1105.74, rel=2e-3)
+
+
+def test_area_hole_subtracts():
+    shell = [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]
+    hole = [[0.25, 0.25], [0.75, 0.25], [0.75, 0.75], [0.25, 0.75], [0.25, 0.25]]
+    b = parse_wkt_batch(
+        pd.Series([polygon_wkt([shell]), polygon_wkt([hole]), polygon_wkt([shell, hole])])
+    )
+    areas = kernels.area_6933(b)
+    assert areas[2] == pytest.approx(areas[0] - areas[1], rel=1e-12)
+
+
+def test_olc_spec_goldens():
+    # public spec test vectors (open-location-code encoding.csv)
+    assert olc.encode(20.375, 2.775, 6) == "7FG49Q00+"
+    assert olc.encode(20.3700625, 2.7821875, 10) == "7FG49QCJ+2V"
+    assert olc.encode(20.370113, 2.782234, 11) == "7FG49QCJ+2VX"
+    assert olc.encode(47.0000625, 8.0000625, 10) == "8FVC2222+22"
+    assert olc.encode(-41.2730625, 174.7859375, 10) == "4VCPPQGP+Q9"
+
+
+def test_olc_code_length_12_shape():
+    code = olc.encode(20.370113, 2.782234, 12)
+    assert len(code) == 13 and code[8] == "+"
+    assert code.startswith("7FG49QCJ+2VX")
+
+
+def test_haversine_known():
+    # 1 degree of longitude at the equator ~ 111.19 km
+    d = kernels.haversine_m(0.0, 0.0, 1.0, 0.0)
+    assert d == pytest.approx(111195, rel=1e-3)
