@@ -67,16 +67,20 @@ def bboxes(batch: GeomBatch) -> np.ndarray:
 
 
 def _ring_signed_area_centroid(coords: np.ndarray) -> tuple[float, float, float]:
-    x = coords[:, 0]
-    y = coords[:, 1]
+    # translate to a local origin first: the shoelace on raw coordinates
+    # suffers catastrophic cancellation (footprints are ~1e-9 of the
+    # coordinate magnitude squared); translation is area-exact.
+    ox, oy = coords[0, 0], coords[0, 1]
+    x = coords[:, 0] - ox
+    y = coords[:, 1] - oy
     x1 = np.roll(x, -1)
     y1 = np.roll(y, -1)
     cross = x * y1 - x1 * y
     a = cross.sum() / 2.0
-    if abs(a) < _EPS:
-        return 0.0, x.mean(), y.mean()
-    cx = ((x + x1) * cross).sum() / (6.0 * a)
-    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    if abs(a) < _EPS * _EPS:
+        return 0.0, coords[:, 0].mean(), coords[:, 1].mean()
+    cx = ((x + x1) * cross).sum() / (6.0 * a) + ox
+    cy = ((y + y1) * cross).sum() / (6.0 * a) + oy
     return a, cx, cy
 
 
@@ -336,8 +340,9 @@ def area_6933(batch: GeomBatch) -> np.ndarray:
         lo, hi = batch.ring_offsets[r], batch.ring_offsets[r + 1]
         if hi - lo < 3:
             continue
-        x = px[lo:hi]
-        y = py[lo:hi]
+        # local-origin translation avoids shoelace cancellation (see above)
+        x = px[lo:hi] - px[lo]
+        y = py[lo:hi] - py[lo]
         a = abs((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) / 2.0
         g = batch.ring_geom[r]
         out[g] += -a if batch.ring_is_hole[r] else a

@@ -1,0 +1,60 @@
+"""The flagship AOI query (= the reference's ``ob get_buildings``).
+
+Reference lifecycle (open_buildings/download_buildings.py:223-252): AOI ->
+covering quadkey + WKT -> SQL with `quadkey LIKE 'qk%'` coarse filter and
+`ST_Within(geometry, aoi)` exact refinement (+ optional country_iso partition
+predicate).
+
+Spark-first plan:
+  1. driver derives the covering quadkey prefix (tiny pure-python math),
+  2. coarse filter: native ``startswith`` on the quadkey column — Catalyst
+     pushes it to the parquet scan as a string-range filter, and the
+     iceberg-lite manifest prunes whole files by quadkey bounds,
+  3. exact refinement: one Arrow-batched ``within`` kernel over the
+     surviving candidates only,
+  4. spans ride through untouched (span-sequence invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import quadkey_prefix_filter
+from ..geo import mercator
+from ..udfs import make_within_aoi
+from .enrich import add_geo_columns, extract_geometry
+
+
+def aoi_query(
+    docs: DataFrame,
+    aoi_feature: dict,
+    country_iso: str | None = None,
+) -> DataFrame:
+    """Rows of ``docs`` whose footprint is ST_Within the AOI polygon.
+
+    ``docs`` needs (doc_id, spans); if a ``quadkey`` column already exists
+    (enriched/partitioned table) the coarse filter is applied *before* any
+    geometry parsing — that's the pruned scan path. Result keeps all input
+    columns plus quadkey, and is tile-assigned at z12 like the reference
+    archive layout.
+    """
+    prefix = mercator.geojson_to_quadkey(aoi_feature)
+
+    df = docs
+    pre_enriched = "quadkey" in df.columns
+    if pre_enriched:
+        df = df.filter(quadkey_prefix_filter(F.col("quadkey"), prefix))
+        if "wkt" not in df.columns:
+            df = extract_geometry(df)
+    else:
+        df = add_geo_columns(df)
+        df = df.filter(F.col("quadkey").isNotNull())
+        df = df.filter(quadkey_prefix_filter(F.col("quadkey"), prefix))
+
+    if country_iso is not None and "country_iso" in df.columns:
+        # partition-column equality predicate -> partition pruning
+        df = df.filter(F.col("country_iso") == country_iso)
+
+    within = make_within_aoi(aoi_feature)
+    return df.filter(F.col("wkt").isNotNull()).filter(within(F.col("wkt")))

@@ -1,0 +1,98 @@
+"""kNN lookup via quadkey cell-ring expansion (north_star J3; absent in the
+reference, which the engine adds as a first-class operator).
+
+Plan: for each query point, gather candidate buildings from the z12 tiles in
+a growing Chebyshev ring around the query tile (broadcast equi-join on
+quadkey — prunes the scan exactly like the AOI prefix filter), then exact
+haversine + windowed top-k. The ring is grown until every query's kth
+distance is provably smaller than the distance to the ring boundary, so the
+result equals brute force (verified against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import haversine_m
+from ..geo import mercator
+
+ZOOM = 12
+# conservative meters-per-degree lower bounds for the ring-boundary distance
+_M_PER_DEG_LAT = 110574.0
+_M_PER_DEG_LON_EQ = 111320.0
+
+
+def _ring_cells(qlon: float, qlat: float, ring: int) -> list[str]:
+    x, y = mercator.tile(qlon, qlat, ZOOM)
+    return [
+        mercator.quadkey_from_tile(tx, ty, ZOOM)
+        for tx, ty in mercator.tile_neighbors(x, y, ZOOM, ring)
+    ]
+
+
+def _boundary_margin_m(qlon: float, qlat: float, ring: int) -> float:
+    """Lower bound on distance from the query point to outside the ring."""
+    import math
+
+    x, y = mercator.tile(qlon, qlat, ZOOM)
+    w, s0, e0, n0 = mercator.tile_bounds(x - ring, y - ring, ZOOM)
+    w2, s, e, n = mercator.tile_bounds(x + ring, y + ring, ZOOM)
+    west, east = w, e
+    north, south = n0, s
+    dlon = min(qlon - west, east - qlon)
+    dlat = min(qlat - south, north - qlat)
+    coslat = math.cos(math.radians(max(abs(north), abs(south))))
+    return max(0.0, min(dlon * _M_PER_DEG_LON_EQ * coslat, dlat * _M_PER_DEG_LAT))
+
+
+def knn(
+    spark: SparkSession,
+    buildings: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int = 5,
+    initial_ring: int = 1,
+    max_ring: int = 64,
+) -> DataFrame:
+    """Exact k nearest buildings (haversine meters) per query point.
+
+    ``buildings``: DataFrame with (doc_id, quadkey, lon, lat) — the enriched
+    docs table. ``queries``: small list of (query_id, lon, lat), broadcast.
+    Returns (query_id, doc_id, rank); ordering ties broken by doc_id.
+    """
+    ring = initial_ring
+    while True:
+        cells = []
+        for qid, qlon, qlat in queries:
+            for c in _ring_cells(qlon, qlat, ring):
+                cells.append((qid, qlon, qlat, c))
+        cells_df = spark.createDataFrame(
+            cells, "query_id long, qlon double, qlat double, quadkey string"
+        )
+        cand = buildings.join(F.broadcast(cells_df), "quadkey")
+        dist = haversine_m(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat"))
+        scored = cand.withColumn("dist_m", dist)
+        w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("doc_id").asc())
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "rank", "dist_m")
+        )
+        # exactness check: kth distance must beat the ring boundary for
+        # every query that could still gain candidates from outside
+        kth = {
+            r["query_id"]: (r["cnt"], r["kth"])
+            for r in topk.groupBy("query_id")
+            .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
+            .collect()
+        }
+        ok = True
+        for qid, qlon, qlat in queries:
+            cnt, kd = kth.get(qid, (0, None))
+            margin = _boundary_margin_m(qlon, qlat, ring)
+            if cnt < k or (kd is not None and kd >= margin):
+                ok = False
+                break
+        if ok or ring >= max_ring:
+            return topk.drop("dist_m")
+        ring *= 2

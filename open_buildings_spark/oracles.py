@@ -1,0 +1,193 @@
+"""DuckDB oracle SQL for every engine query (driver correctness gate).
+
+Each SQL string is independent of the engine: it reproduces results from the
+shared arithmetic derivation (datagen.buildings_sql_cte) using integer
+quadkey math and closed-form geometry on the rectangle footprints — no
+engine kernels involved. Column names/aliases match the Spark side exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import datagen
+from .functions import haversine_sql
+
+MAX_PER_FILE = 100
+KNN_K = 5
+
+# EPSG:6933 constants (keep in sync with geo.kernels)
+_A = 6378137.0
+_E2 = 0.0066943799901413165
+_E = math.sqrt(_E2)
+_K0 = math.cos(math.radians(30.0)) / math.sqrt(1.0 - _E2 * math.sin(math.radians(30.0)) ** 2)
+
+
+def knn_queries() -> list[tuple[int, float, float]]:
+    """Deterministic query points: the center of tile (tx+32, ty+32) of each
+    city block, plus one point 20 tiles east of city 0 (forces ring growth)."""
+    pts = []
+    for i, (tx, ty) in enumerate(datagen.CITY_TILES):
+        pts.append((i, datagen._tile_lon(tx + 32.5), datagen._tile_lat(ty + 32.5)))
+    tx0, ty0 = datagen.CITY_TILES[0]
+    pts.append((5, datagen._tile_lon(tx0 + 84.5), datagen._tile_lat(ty0 + 32.5)))
+    return pts
+
+
+def _aoi_bounds_sql() -> tuple[str, str, str, str]:
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    return repr(w), repr(s), repr(e), repr(n)
+
+
+def _fp_bounds() -> str:
+    """SQL fragment: footprint bbox columns for bld rows (multi = two squares,
+    second centered at lon + 6r)."""
+    return (
+        "lon - r AS fminx, lat - r AS fminy, "
+        "CASE WHEN is_multi THEN lon + 7e0 * r ELSE lon + r END AS fmaxx, "
+        "lat + r AS fmaxy"
+    )
+
+
+def _d(v: float) -> str:
+    """Double literal that DuckDB cannot mistake for DECIMAL."""
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _q6933(lat: str) -> str:
+    s = f"sin(radians({lat}))"
+    e, e2 = _d(_E), _d(_E2)
+    return (
+        f"(1e0 - {e2}) * ({s} / (1e0 - {e2} * {s} * {s}) "
+        f"- (1e0 / (2e0 * {e})) * ln((1e0 - {e} * {s}) / (1e0 + {e} * {s})))"
+    )
+
+
+def _x6933(lon: str) -> str:
+    return f"{_d(_A)} * {_d(_K0)} * radians({lon})"
+
+
+def _y6933(lat: str) -> str:
+    return f"{_d(_A)} * {_q6933(lat)} / (2e0 * {_d(_K0)})"
+
+
+def oracle_sql() -> dict[str, str]:
+    bld = datagen.buildings_sql_cte()
+    w, s, e, n = _aoi_bounds_sql()
+    countries = datagen.countries_sql_values()
+    hav = haversine_sql(
+        "CASE WHEN b.is_multi THEN b.lon + 3e0 * b.r ELSE b.lon END",
+        "b.lat",
+        "q.qlon",
+        "q.qlat",
+    )
+    qpts = ", ".join(
+        f"(CAST({qid} AS BIGINT), {lon!r}, {lat!r})" for qid, lon, lat in knn_queries()
+    )
+
+    sqls: dict[str, str] = {}
+
+    sqls["g_enrich_quadkey"] = f"""
+WITH {bld}
+SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom
+"""
+
+    sqls["g_quadkey_hist"] = f"""
+WITH {bld}
+SELECT qk AS quadkey, COUNT(*) AS n_docs FROM bld WHERE has_geom GROUP BY 1
+"""
+
+    sqls["g_aoi_query"] = f"""
+WITH {bld},
+fp AS (SELECT doc_id, qk, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT doc_id, qk AS quadkey FROM fp
+WHERE fminx >= {w} AND fmaxx <= {e} AND fminy >= {s} AND fmaxy <= {n}
+"""
+
+    sqls["g_country_join"] = f"""
+WITH {bld},
+fp AS (SELECT doc_id, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT fp.doc_id, MIN(c.iso) AS country_iso
+FROM fp LEFT JOIN {countries}
+  ON fp.fmaxx >= c.w AND fp.fminx <= c.e AND fp.fmaxy >= c.s AND fp.fminy <= c.n
+GROUP BY fp.doc_id
+"""
+
+    sqls["g_tile_assignment"] = f"""
+WITH {bld}
+SELECT doc_id, qk AS quadkey, qk_media AS media_qk,
+       (qk = qk_media) AS tile_match
+FROM bld WHERE has_geom
+"""
+
+    sqls["g_tile_rollup"] = f"""
+WITH {bld}
+SELECT qk AS quadkey, COUNT(*) AS n_docs,
+       SUM(CASE WHEN qk <> qk_media THEN 1 ELSE 0 END) AS n_mismatch
+FROM bld WHERE has_geom GROUP BY 1
+"""
+
+    sqls["g_partition_plan"] = f"""
+WITH {bld},
+h12 AS (SELECT qk AS c, COUNT(*) AS n FROM bld WHERE has_geom GROUP BY 1),
+lv AS (
+  SELECT l, substr(c, 1, CAST(l AS INT)) AS p, SUM(n) AS n
+  FROM h12, (SELECT unnest(range(1, 13)) AS l) levels
+  GROUP BY 1, 2
+),
+leafpick AS (
+  SELECT h.c, MIN(v.l) AS lf
+  FROM h12 h JOIN lv v ON substr(h.c, 1, CAST(v.l AS INT)) = v.p AND v.n <= {MAX_PER_FILE}
+  GROUP BY h.c
+)
+SELECT COALESCE(substr(h.c, 1, CAST(lp.lf AS INT)), h.c) AS cell,
+       SUM(h.n) AS n_rows
+FROM h12 h LEFT JOIN leafpick lp ON h.c = lp.c
+GROUP BY 1
+"""
+
+    sqls["g_knn"] = f"""
+WITH {bld},
+q(query_id, qlon, qlat) AS (VALUES {qpts}),
+d AS (
+  SELECT q.query_id, b.doc_id, {hav} AS dist
+  FROM bld b CROSS JOIN q WHERE b.has_geom
+),
+r AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+  FROM d
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {KNN_K}
+"""
+
+    # explode: part 0 = square at lon, part 1 (multi only) = square at lon+6r
+    def part_area(loncenter: str) -> str:
+        x0 = _x6933(f"({loncenter}) - r")
+        x1 = _x6933(f"({loncenter}) + r")
+        y0 = _y6933("lat - r")
+        y1 = _y6933("lat + r")
+        return f"(({x1}) - ({x0})) * (({y1}) - ({y0}))"
+
+    sqls["g_explode_parts"] = f"""
+WITH {bld},
+p0 AS (
+  SELECT doc_id, 0 AS part_idx, round({part_area('lon')}, 1) AS area_r1
+  FROM bld WHERE has_geom
+),
+p1 AS (
+  SELECT doc_id, 1 AS part_idx, round({part_area('lon + 6e0 * r')}, 1) AS area_r1
+  FROM bld WHERE is_multi
+)
+SELECT * FROM p0 UNION ALL SELECT * FROM p1
+"""
+
+    sqls["g_span_kinds"] = f"""
+WITH {bld}
+SELECT doc_id,
+       CASE WHEN has_geom THEN 4 ELSE 2 END AS n_spans,
+       CASE WHEN has_geom THEN 'text,geometry,attr:confidence,media'
+            ELSE 'text,attr:confidence' END AS kinds
+FROM bld
+"""
+    return sqls

@@ -1,0 +1,172 @@
+"""Arrow-batched pandas UDFs wrapping the numpy geo kernels.
+
+All per-row math happens inside vectorized numpy kernels over Arrow batches —
+there is no row-at-a-time Python on the hot path (north_rule). The reference's
+equivalents are row-at-a-time DuckDB Python UDFs
+(open_buildings/overture/add_columns.py:33-34).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .geo import kernels, mercator, olc
+from .geo.wkt import parse_wkt_batch
+
+ZOOM = 12
+
+GEOM_SUMMARY_TYPE = StructType(
+    [
+        StructField("quadkey", StringType()),
+        StructField("cx", DoubleType()),
+        StructField("cy", DoubleType()),
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+        StructField("area_m2", DoubleType()),
+        StructField("n_parts", IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(GEOM_SUMMARY_TYPE)
+def geom_summary(wkt: pd.Series) -> pd.DataFrame:
+    """One parse pass per batch -> quadkey (z12, bbox-midpoint anchor exactly
+    like the reference: overture/add_columns.py:40-47), centroid, bbox,
+    equal-area m^2, and part count."""
+    batch = parse_wkt_batch(wkt)
+    bb = kernels.bboxes(batch)
+    cen = kernels.centroids(batch)
+    mid = kernels.bbox_midpoints(batch)
+    area = kernels.area_6933(batch)
+    qk = mercator.lonlat_to_quadkey_np(mid[:, 0], mid[:, 1], ZOOM)
+    nparts = np.zeros(batch.n_geoms, dtype=np.int32)
+    shells = ~batch.ring_is_hole
+    if batch.n_rings:
+        np.add.at(nparts, batch.ring_geom[shells], 1)
+    missing = batch.gtype == -1
+    area = np.where(missing, np.nan, area)
+    return pd.DataFrame(
+        {
+            "quadkey": qk,
+            "cx": cen[:, 0],
+            "cy": cen[:, 1],
+            "minx": bb[:, 0],
+            "miny": bb[:, 1],
+            "maxx": bb[:, 2],
+            "maxy": bb[:, 3],
+            "area_m2": area,
+            "n_parts": nparts,
+        }
+    )
+
+
+def make_within_aoi(aoi_feature: dict):
+    """Factory: pandas UDF testing ST_Within(geom, AOI) for one AOI polygon
+    (the reference's refinement predicate, download_buildings.py:250).
+    The AOI rings ride in the task closure (broadcast once per executor)."""
+    rings = [
+        (np.asarray(ring, dtype=np.float64), i > 0)
+        for i, ring in enumerate(aoi_feature["geometry"]["coordinates"])
+    ]
+
+    @F.pandas_udf(BooleanType())
+    def within_aoi(wkt: pd.Series) -> pd.Series:
+        batch = parse_wkt_batch(wkt)
+        mask = kernels.within_mask(batch, rings)
+        mask[batch.gtype == -1] = False
+        return pd.Series(mask)
+
+    return within_aoi
+
+
+def make_country_assign(country_list: list[tuple[str, list]]):
+    """Factory: pandas UDF assigning each footprint the min-ISO country whose
+    polygon it ST_Intersects (engine's deterministic tie-break; reference's
+    correlated UPDATE is last-write-wins: overture/add_columns.py:58-63).
+
+    ``country_list``: [(iso, rings)], rings = list[(coords (K,2), is_hole)].
+    The whole (small) country table is captured in the closure — a broadcast
+    nested-loop spatial join with per-country vectorized kernels, no shuffle.
+    """
+    prepared = []
+    for iso, rings in sorted(country_list, key=lambda t: t[0]):
+        rr = [(np.asarray(c, dtype=np.float64), bool(h)) for c, h in rings]
+        allc = np.concatenate([c for c, _ in rr])
+        bbox = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
+        prepared.append((iso, rr, bbox))
+
+    @F.pandas_udf(StringType())
+    def country_assign(wkt: pd.Series) -> pd.Series:
+        batch = parse_wkt_batch(wkt)
+        bb = kernels.bboxes(batch)
+        out = np.full(batch.n_geoms, None, dtype=object)
+        unassigned = (batch.gtype != -1)
+        for iso, rings, (w, s, e, n) in prepared:  # ISO-ascending: first hit wins
+            cand = unassigned & (bb[:, 2] >= w) & (bb[:, 0] <= e) & (bb[:, 3] >= s) & (bb[:, 1] <= n)
+            idx = np.nonzero(cand)[0]
+            if len(idx) == 0:
+                continue
+            sub = _subset_batch(batch, idx)
+            hit = kernels.intersects_mask(sub, rings)
+            hit_idx = idx[hit]
+            out[hit_idx] = iso
+            unassigned[hit_idx] = False
+        return pd.Series(out)
+
+    return country_assign
+
+
+def _subset_batch(batch, idx: np.ndarray):
+    """GeomBatch restricted to geometry indices ``idx`` (order preserved)."""
+    from .geo.wkt import GeomBatch
+
+    pos = {g: i for i, g in enumerate(idx)}
+    rings, ring_geom, ring_hole = [], [], []
+    for r in range(batch.n_rings):
+        g = batch.ring_geom[r]
+        if g in pos:
+            rings.append(batch.ring(r))
+            ring_geom.append(pos[g])
+            ring_hole.append(bool(batch.ring_is_hole[r]))
+    if rings:
+        coords = np.concatenate(rings)
+        sizes = np.array([len(r) for r in rings], dtype=np.int64)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+    else:
+        coords = np.empty((0, 2))
+        offsets = np.zeros(1, dtype=np.int64)
+    return GeomBatch(
+        coords=coords,
+        ring_offsets=offsets.astype(np.int64),
+        ring_geom=np.array(ring_geom, dtype=np.int32),
+        ring_is_hole=np.array(ring_hole, dtype=bool),
+        gtype=batch.gtype[idx],
+    )
+
+
+@F.pandas_udf(StringType())
+def plus_code12(lat: pd.Series, lon: pd.Series) -> pd.Series:
+    """Vectorized OLC encode, codeLength 12 (reference:
+    google/process.py:112-113 uses olc.encode(centroid, 12))."""
+    la = lat.to_numpy(dtype=np.float64)
+    lo = lon.to_numpy(dtype=np.float64)
+    bad = np.isnan(la) | np.isnan(lo)
+    la = np.where(bad, 0.0, la)
+    lo = np.where(bad, 0.0, lo)
+    codes = olc.encode_np(la, lo, 12)
+    codes[bad] = None
+    return pd.Series(codes)
+
+
