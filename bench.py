@@ -1,0 +1,130 @@
+"""Benchmark harness: headline engine queries over the interleaved-docs table.
+
+Prints ONE JSON line:
+  {"metric": "joined-docs/sec (spatial join + tile assignment)",
+   "value": <docs/sec>, "unit": "docs/sec", "queries": {...per-query sec...},
+   "sf": ..., "cpus": N, "n_docs": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+The docs table is materialized to parquet once per sf (quadkey-sorted,
+like the reference archive layout) so the timings measure the engine's
+read+compute path, not the synthetic generator.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"ob-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from open_buildings_spark import datagen, oracles
+    from open_buildings_spark.operators import aoi as aoi_op
+    from open_buildings_spark.operators import enrich, explode, knn, partition, tiles
+
+    docs_path = f"/tmp/ob_spark_bench/docs_sf{sf}.parquet"
+    if not os.path.exists(docs_path):
+        docs = datagen.interleaved_docs(spark, sf_dir)
+        n_out = max(cpus, 8)
+        docs.repartition(n_out).write.mode("overwrite").parquet(docs_path)
+
+    docs = spark.read.parquet(docs_path)
+    n_docs = docs.count()
+
+    # warm the Python workers (a real cluster has long-lived executors;
+    # first-task interpreter startup is not what we're measuring)
+    docs.limit(50000).mapInArrow(lambda it: it, docs.schema).select(
+        F.count("*")
+    ).collect()
+
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    clist = [
+        (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
+        for iso, (w, s, e, n) in datagen.countries()
+    ]
+
+    # headline: enrich -> country spatial join -> tile assignment, one pass
+    def q_join_tiles():
+        g = enrich.add_geo_columns(docs, countries=clist)
+        g = enrich.extract_media_tiles(g)
+        out = g.withColumn(
+            "tile_match", F.col("quadkey") == F.col("media_qk")
+        )
+        out.select(
+            F.count("*"),
+            F.count("country_iso"),
+            F.sum(F.when(F.col("tile_match"), 1).otherwise(0)),
+        ).collect()
+
+    def q_aoi():
+        aoi_op.aoi_query(docs, datagen.city_aoi()).select(F.count("*")).collect()
+
+    def q_partition_plan():
+        g = enrich.add_geo_columns(docs).filter(F.col("quadkey").isNotNull())
+        partition.partition_plan(g, 10000).select(F.count("*")).collect()
+
+    def q_knn():
+        g = enrich.add_geo_columns(docs).filter(F.col("quadkey").isNotNull())
+        b = g.select("doc_id", "quadkey", "lon", "lat")
+        knn.knn(spark, b, oracles.knn_queries(), k=5).select(F.count("*")).collect()
+
+    def q_explode():
+        explode.explode_multipolygons(docs).select(F.count("*")).collect()
+
+    timed("join_tiles", q_join_tiles)
+    timed("aoi_query", q_aoi)
+    timed("partition_plan", q_partition_plan)
+    timed("knn", q_knn)
+    timed("explode", q_explode)
+
+    throughput = n_docs / times["join_tiles"] if times["join_tiles"] else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "joined-docs/sec (spatial join + tile assignment)",
+                "value": round(throughput, 1),
+                "unit": "docs/sec",
+                "queries": times,
+                "sf": float(sf),
+                "cpus": cpus,
+                "n_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

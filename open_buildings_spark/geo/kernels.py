@@ -66,45 +66,72 @@ def bboxes(batch: GeomBatch) -> np.ndarray:
     return out
 
 
-def _ring_signed_area_centroid(coords: np.ndarray) -> tuple[float, float, float]:
-    # translate to a local origin first: the shoelace on raw coordinates
-    # suffers catastrophic cancellation (footprints are ~1e-9 of the
-    # coordinate magnitude squared); translation is area-exact.
-    ox, oy = coords[0, 0], coords[0, 1]
-    x = coords[:, 0] - ox
-    y = coords[:, 1] - oy
-    x1 = np.roll(x, -1)
-    y1 = np.roll(y, -1)
-    cross = x * y1 - x1 * y
-    a = cross.sum() / 2.0
-    if abs(a) < _EPS * _EPS:
-        return 0.0, coords[:, 0].mean(), coords[:, 1].mean()
-    cx = ((x + x1) * cross).sum() / (6.0 * a) + ox
-    cy = ((y + y1) * cross).sum() / (6.0 * a) + oy
-    return a, cx, cy
+def _ring_shoelace(
+    x: np.ndarray, y: np.ndarray, ring_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized per-ring signed area + centroid numerators over ALL rings.
+
+    Coordinates are translated to each ring's first vertex before the
+    shoelace — raw coordinates suffer catastrophic cancellation (footprints
+    are ~1e-9 of the coordinate magnitude squared); translation is
+    area-exact. Returns (signed_area, cx, cy) per ring; degenerate rings get
+    area 0 and the vertex mean as centroid.
+    """
+    sizes = np.diff(ring_offsets)
+    nrings = len(sizes)
+    if nrings == 0:
+        z = np.empty(0)
+        return z, z.copy(), z.copy()
+    starts = ring_offsets[:-1]
+    ring_id = np.repeat(np.arange(nrings), sizes)
+    ox = x[starts][ring_id]
+    oy = y[starts][ring_id]
+    lx = x - ox
+    ly = y - oy
+    # next-vertex index, wrapping within each ring
+    nxt = np.arange(len(x)) + 1
+    nxt[ring_offsets[1:] - 1] = starts
+    cross = lx * ly[nxt] - lx[nxt] * ly
+    area = 0.5 * np.add.reduceat(cross, starts)
+    cxn = np.add.reduceat((lx + lx[nxt]) * cross, starts)
+    cyn = np.add.reduceat((ly + ly[nxt]) * cross, starts)
+    # reduceat quirk: a segment whose start == len(x) (impossible here since
+    # sizes>0) would misbehave; sizes are >= 1 by construction.
+    good = np.abs(area) > _EPS * _EPS
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = np.where(good, cxn / (6.0 * np.where(good, area, 1.0)), 0.0) + x[starts]
+        cy = np.where(good, cyn / (6.0 * np.where(good, area, 1.0)), 0.0) + y[starts]
+    # degenerate rings: vertex mean
+    if (~good).any():
+        mean_x = np.add.reduceat(x, starts) / sizes
+        mean_y = np.add.reduceat(y, starts) / sizes
+        cx = np.where(good, cx, mean_x)
+        cy = np.where(good, cy, mean_y)
+        area = np.where(good, area, 0.0)
+    return area, cx, cy
 
 
 def centroids(batch: GeomBatch) -> np.ndarray:
     """(N, 2) area-weighted centroid (holes subtracted); point geoms pass through."""
     n = batch.n_geoms
     out = np.full((n, 2), np.nan)
+    if batch.n_rings == 0:
+        return out
+    area, cx, cy = _ring_shoelace(
+        batch.coords[:, 0], batch.coords[:, 1], batch.ring_offsets
+    )
+    w = np.abs(area)
+    w = np.where(w == 0.0, _EPS, w)  # points/degenerates still contribute
+    w = np.where(batch.ring_is_hole, -w, w)
     wsum = np.zeros(n)
-    acc = np.zeros((n, 2))
-    for r in range(batch.n_rings):
-        g = batch.ring_geom[r]
-        coords = batch.ring(r)
-        if len(coords) == 1:  # point
-            out[g] = coords[0]
-            continue
-        a, cx, cy = _ring_signed_area_centroid(coords[:-1] if np.array_equal(coords[0], coords[-1]) else coords)
-        w = abs(a) * (-1.0 if batch.ring_is_hole[r] else 1.0)
-        if w == 0.0:
-            w = _EPS
-        acc[g, 0] += w * cx
-        acc[g, 1] += w * cy
-        wsum[g] += w
+    accx = np.zeros(n)
+    accy = np.zeros(n)
+    np.add.at(wsum, batch.ring_geom, w)
+    np.add.at(accx, batch.ring_geom, w * cx)
+    np.add.at(accy, batch.ring_geom, w * cy)
     nz = wsum != 0
-    out[nz] = acc[nz] / wsum[nz, None]
+    out[nz, 0] = accx[nz] / wsum[nz]
+    out[nz, 1] = accy[nz] / wsum[nz]
     return out
 
 
@@ -269,9 +296,24 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
         starts = offs[:-1][idx]
         out[idx] = np.logical_or.reduceat(hit, starts)[: len(idx)]
 
-    # other's vertices inside geometry (covers geom-contains-other)
+    # bbox prefilters: a non-hit geometry (all vertices outside) can only
+    # intersect by containing the other polygon or by edge crossing — both
+    # require bbox overlap with the other's bbox. This keeps the expensive
+    # paths off the hot path entirely for disjoint geometries.
     other_pts = np.concatenate([r for r, _ in other_rings])
-    rest = np.nonzero(~out)[0]
+    ow, os_, oe, on = (
+        other_pts[:, 0].min(),
+        other_pts[:, 1].min(),
+        other_pts[:, 0].max(),
+        other_pts[:, 1].max(),
+    )
+    bb = bboxes(batch)
+    with np.errstate(invalid="ignore"):
+        bbox_overlap = (bb[:, 2] >= ow) & (bb[:, 0] <= oe) & (bb[:, 3] >= os_) & (bb[:, 1] <= on)
+        contains_other_bbox = (bb[:, 0] <= ow) & (bb[:, 2] >= oe) & (bb[:, 1] <= os_) & (bb[:, 3] >= on)
+
+    # other's vertices inside geometry (covers geom-contains-other)
+    rest = np.nonzero(~out & contains_other_bbox)[0]
     for g in rest:
         rings_g = [
             (batch.ring(r), bool(batch.ring_is_hole[r]))
@@ -285,7 +327,7 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
             out[g] = True
 
     # proper edge crossings
-    rest = np.nonzero(~out)[0]
+    rest = np.nonzero(~out & bbox_overlap)[0]
     if len(rest):
         ex0, ex1, eg = _geom_edges(batch)
         keep = np.isin(eg, rest)
@@ -334,18 +376,14 @@ def project_6933(lon: np.ndarray, lat: np.ndarray) -> tuple[np.ndarray, np.ndarr
 
 def area_6933(batch: GeomBatch) -> np.ndarray:
     """(N,) polygon area in m^2 in the EPSG:6933 equal-area projection."""
-    px, py = project_6933(batch.coords[:, 0], batch.coords[:, 1])
     out = np.zeros(batch.n_geoms)
-    for r in range(batch.n_rings):
-        lo, hi = batch.ring_offsets[r], batch.ring_offsets[r + 1]
-        if hi - lo < 3:
-            continue
-        # local-origin translation avoids shoelace cancellation (see above)
-        x = px[lo:hi] - px[lo]
-        y = py[lo:hi] - py[lo]
-        a = abs((x * np.roll(y, -1) - np.roll(x, -1) * y).sum()) / 2.0
-        g = batch.ring_geom[r]
-        out[g] += -a if batch.ring_is_hole[r] else a
+    if batch.n_rings == 0:
+        return out
+    px, py = project_6933(batch.coords[:, 0], batch.coords[:, 1])
+    area, _, _ = _ring_shoelace(px, py, batch.ring_offsets)
+    a = np.abs(area)
+    a = np.where(batch.ring_is_hole, -a, a)
+    np.add.at(out, batch.ring_geom, a)
     return out
 
 

@@ -83,20 +83,23 @@ def encode_np(lat: np.ndarray, lon: np.ndarray, code_length: int = 10) -> np.nda
         la //= 20
         lo //= 20
 
-    alpha = np.array(list(_ALPHABET))
-    out = []
+    # vectorized string assembly: fixed-width char matrix viewed as bytes
+    alpha_bytes = np.frombuffer(_ALPHABET.encode(), dtype=np.uint8)
     ncode = code_length
-    for r in range(n):
-        digits = [alpha[d] for d in pair_digits[r, : min(ncode, _PAIR_CODE_LEN)]]
-        s = "".join(digits)
-        if ncode < _SEP_POS:
-            s = s + "0" * (_SEP_POS - ncode) + "+"
-        else:
-            s = s[:_SEP_POS] + "+" + s[_SEP_POS:]
-        if ncode > _PAIR_CODE_LEN:
-            s += "".join(alpha[d] for d in grid_chars[r, : ncode - _PAIR_CODE_LEN])
-        out.append(s)
-    return np.array(out, dtype=object)
+    npair = min(ncode, _PAIR_CODE_LEN)
+    width = max(ncode, _SEP_POS) + 1  # digits (+ zero padding) + separator
+    mat = np.full((n, width), ord("0"), dtype=np.uint8)
+    pos = 0
+    for j in range(npair):
+        col = pos if pos < _SEP_POS else pos + 1
+        mat[:, col] = alpha_bytes[pair_digits[:, j]]
+        pos += 1
+    mat[:, _SEP_POS] = ord("+")
+    if ncode > _PAIR_CODE_LEN:
+        for j in range(ncode - _PAIR_CODE_LEN):
+            mat[:, _PAIR_CODE_LEN + 1 + j] = alpha_bytes[grid_chars[:, j]]
+    flat = np.ascontiguousarray(mat).view(f"S{width}").ravel()
+    return flat.astype(str).astype(object)
 
 
 def encode(lat: float, lon: float, code_length: int = 10) -> str:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..udfs import geom_summary, make_country_assign
+from ..udfs import make_country_assign
 
 
 def extract_geometry(docs: DataFrame) -> DataFrame:
@@ -36,26 +36,103 @@ def extract_media_tiles(docs: DataFrame) -> DataFrame:
     return docs.withColumn("media_qk", F.element_at(F.split(ref, "/"), -1))
 
 
-def add_geo_columns(docs: DataFrame, keep_bbox: bool = False) -> DataFrame:
+def add_geo_columns(
+    docs: DataFrame,
+    keep_bbox: bool = False,
+    drop_nongeo: bool = False,
+    countries: list[tuple[str, list]] | None = None,
+) -> DataFrame:
     """quadkey (z12, bbox-midpoint anchor — reference semantics), centroid
-    lon/lat, equal-area m^2; docs without geometry get NULLs but are KEPT."""
-    df = docs if "wkt" in docs.columns else extract_geometry(docs)
-    df = df.withColumn("_gs", geom_summary(F.col("wkt")))
-    out = (
-        df.withColumn("quadkey", F.col("_gs.quadkey"))
-        .withColumn("lon", F.col("_gs.cx"))
-        .withColumn("lat", F.col("_gs.cy"))
-        .withColumn("area_m2", F.col("_gs.area_m2"))
-        .withColumn("n_parts", F.col("_gs.n_parts"))
+    lon/lat, equal-area m^2; docs without geometry get NULLs but are KEPT
+    (set ``drop_nongeo`` to pre-filter them natively, BEFORE any Python).
+
+    Implemented with ``mapInArrow`` (ONE Arrow pass appending plain columns)
+    rather than a struct-returning pandas UDF: Catalyst re-evaluates a
+    python UDF expression once per referencing operator (a filter on
+    ``quadkey`` plus a projection would parse every WKT twice), while map
+    output columns are ordinary attributes. Arrow-native means the ``spans``
+    array column is passed through untouched with zero per-row Python —
+    only the ``wkt`` string column is materialized for the numpy kernels.
+
+    Pass ``countries`` to also assign ``country_iso`` in the SAME parse pass
+    (the reference's add_columns computes quadkey and country together).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
     )
+
+    from ..geo import kernels, mercator
+    from ..geo.wkt import parse_wkt_batch
+
+    df = docs if "wkt" in docs.columns else extract_geometry(docs)
+    if drop_nongeo:
+        # native pre-filter: every non-null WKT yields a quadkey
+        df = df.filter(F.col("wkt").isNotNull())
+
+    fields = [
+        StructField("quadkey", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+        StructField("area_m2", DoubleType()),
+        StructField("n_parts", IntegerType()),
+    ]
     if keep_bbox:
-        out = (
-            out.withColumn("minx", F.col("_gs.minx"))
-            .withColumn("miny", F.col("_gs.miny"))
-            .withColumn("maxx", F.col("_gs.maxx"))
-            .withColumn("maxy", F.col("_gs.maxy"))
-        )
-    return out.drop("_gs")
+        fields += [
+            StructField("minx", DoubleType()),
+            StructField("miny", DoubleType()),
+            StructField("maxx", DoubleType()),
+            StructField("maxy", DoubleType()),
+        ]
+    prepared = None
+    if countries is not None:
+        from ..udfs import prepare_countries
+
+        prepared = prepare_countries(countries)
+        fields.append(StructField("country_iso", StringType()))
+    schema = StructType(list(df.schema.fields) + fields)
+    in_names = [f.name for f in df.schema.fields]
+    wkt_idx = in_names.index("wkt")
+    out_names = [f.name for f in schema.fields]
+
+    def enrich_batches(batches):
+        for rb in batches:
+            wkt = rb.column(wkt_idx).to_pandas()
+            batch = parse_wkt_batch(wkt)
+            cen = kernels.centroids(batch)
+            mid = kernels.bbox_midpoints(batch)
+            area = kernels.area_6933(batch)
+            qk = mercator.lonlat_to_quadkey_np(mid[:, 0], mid[:, 1], 12)
+            nparts = np.zeros(batch.n_geoms, dtype=np.int32)
+            shells = ~batch.ring_is_hole
+            if batch.n_rings:
+                np.add.at(nparts, batch.ring_geom[shells], 1)
+            missing = batch.gtype == -1
+            cols = list(rb.columns) + [
+                pa.array(qk, type=pa.string()),
+                pa.array(np.where(missing, np.nan, cen[:, 0])),
+                pa.array(np.where(missing, np.nan, cen[:, 1])),
+                pa.array(np.where(missing, np.nan, area)),
+                pa.array(nparts, type=pa.int32()),
+            ]
+            if keep_bbox:
+                bb = kernels.bboxes(batch)
+                cols += [pa.array(bb[:, j]) for j in range(4)]
+            if prepared is not None:
+                from ..udfs import assign_countries_np
+
+                cols.append(
+                    pa.array(assign_countries_np(batch, prepared), type=pa.string())
+                )
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return df.mapInArrow(enrich_batches, schema)
 
 
 def add_country_iso(docs: DataFrame, country_list: list[tuple[str, list]]) -> DataFrame:

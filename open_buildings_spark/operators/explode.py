@@ -3,108 +3,133 @@ polygon, with per-part equal-area m^2 and Plus Code recomputed.
 
 Reference does this with a driver-side fetchall loop, shapely parse, and
 per-row INSERT/DELETE (open_buildings/google/process.py:76-149) — explicitly
-its slow path. Engine shape: one Arrow-batched parse UDF emitting an
-array<struct> of parts, a native ``posexplode``, then vectorized area/OLC
-kernels. The original multi-row is replaced by its parts (the reference's
-DELETE at google/process.py:149) — expressed immutably.
+its slow path (README.md:131-143 benchmarks it). Engine shape: ONE
+``mapInArrow`` pass that parses each batch once, computes per-part
+area/centroid/OLC with vectorized kernels, and emits the exploded rows
+directly via an Arrow ``take`` gather — no per-row Python, no second
+Python stage, no posexplode of object arrays. The original multi-row is
+replaced by its parts (the reference's DELETE), expressed immutably.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-from ..geo import kernels
+from ..geo import kernels, olc
 from ..geo.wkt import GeomBatch, parse_wkt_batch, polygon_wkt
-from ..udfs import plus_code12
-
-PART_TYPE = ArrayType(
-    StructType(
-        [
-            StructField("part_wkt", StringType()),
-            StructField("area_m2", DoubleType()),
-            StructField("cx", DoubleType()),
-            StructField("cy", DoubleType()),
-        ]
-    )
-)
 
 
-@F.pandas_udf(PART_TYPE)
-def split_parts(wkt: pd.Series) -> pd.Series:
-    """Parse batch once; emit each shell (with its holes) as its own polygon
-    part with equal-area area and centroid."""
-    batch = parse_wkt_batch(wkt)
-    out: list = [None] * batch.n_geoms
-    # group rings into (geom, part): a part = shell ring + following holes
-    part_rings: dict[tuple[int, int], list] = {}
-    part_no = {}
-    for r in range(batch.n_rings):
-        g = int(batch.ring_geom[r])
-        if not batch.ring_is_hole[r]:
-            part_no[g] = part_no.get(g, -1) + 1
-        if part_no.get(g, -1) < 0:  # malformed: hole before shell
-            continue
-        part_rings.setdefault((g, part_no[g]), []).append(batch.ring(r))
-    # vectorized area/centroid per part via a sub-batch
-    keys = sorted(part_rings)
-    if keys:
-        rings, ring_geom, ring_hole = [], [], []
-        for i, key in enumerate(keys):
-            for j, coords in enumerate(part_rings[key]):
-                rings.append(coords)
-                ring_geom.append(i)
-                ring_hole.append(j > 0)
-        coords = np.concatenate(rings)
-        sizes = np.array([len(r) for r in rings], dtype=np.int64)
-        sub = GeomBatch(
-            coords=coords,
-            ring_offsets=np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64),
-            ring_geom=np.array(ring_geom, dtype=np.int32),
-            ring_is_hole=np.array(ring_hole, dtype=bool),
-            gtype=np.full(len(keys), 3, dtype=np.int8),
-        )
-        areas = kernels.area_6933(sub)
-        cents = kernels.centroids(sub)
-        for i, (g, _p) in enumerate(keys):
-            if out[g] is None:
-                out[g] = []
-            out[g].append(
-                {
-                    "part_wkt": polygon_wkt(part_rings[keys[i][0], keys[i][1]]),
-                    "area_m2": float(areas[i]),
-                    "cx": float(cents[i, 0]),
-                    "cy": float(cents[i, 1]),
-                }
-            )
-    return pd.Series(out)
+def _part_wkts(batch: GeomBatch, part_of_ring: np.ndarray, n_parts: int) -> np.ndarray:
+    """WKT text per part. Vectorized for hole-free parts grouped by ring
+    size; parts with holes fall back to the scalar writer (rare)."""
+    out = np.empty(n_parts, dtype=object)
+    rings_per_part = np.bincount(part_of_ring, minlength=n_parts)
+    simple = rings_per_part == 1
+    shell_ring_of_part = np.full(n_parts, -1, dtype=np.int64)
+    shells = np.nonzero(~batch.ring_is_hole)[0]
+    shell_ring_of_part[part_of_ring[shells]] = shells
+
+    sizes = np.diff(batch.ring_offsets)
+    simple_parts = np.nonzero(simple)[0]
+    if len(simple_parts):
+        srings = shell_ring_of_part[simple_parts]
+        ssizes = sizes[srings]
+        for sz in np.unique(ssizes):
+            grp = simple_parts[ssizes == sz]
+            grings = shell_ring_of_part[grp]
+            # gather (k, sz, 2) coordinate blocks
+            starts = batch.ring_offsets[grings]
+            gather = (starts[:, None] + np.arange(sz)[None, :]).ravel()
+            block = batch.coords[gather].reshape(len(grp), sz, 2)
+            xs = block[:, :, 0].astype(str)
+            ys = block[:, :, 1].astype(str)
+            txt = None
+            for j in range(sz):
+                piece = np.char.add(np.char.add(xs[:, j], " "), ys[:, j])
+                txt = piece if txt is None else np.char.add(np.char.add(txt, ", "), piece)
+            full = np.char.add(np.char.add("POLYGON ((", txt), "))")
+            out[grp] = full.astype(object)
+
+    # holes: scalar fallback
+    for p in np.nonzero(~simple)[0]:
+        rings = [batch.ring(r) for r in np.nonzero(part_of_ring == p)[0]]
+        out[p] = polygon_wkt(rings)
+    return out
 
 
-def explode_multipolygons(docs: DataFrame) -> DataFrame:
+def explode_multipolygons(docs: DataFrame, emit_wkt: bool = True) -> DataFrame:
     """One output row per polygon part; single-polygon rows pass through as
-    part_idx=0. Adds part_wkt, part area_m2, plus_code (OLC-12 of the part
-    centroid), part_idx. Docs without geometry are dropped (this operator's
-    contract is the reference's converted-buildings output)."""
+    part_idx=0. Adds part_idx, part_area_m2, plus_code (OLC-12 of the part
+    centroid, reference google/process.py:112-113) and part_wkt. Docs
+    without geometry are dropped (the operator's contract is the
+    reference's converted-buildings output)."""
     from .enrich import extract_geometry
 
     df = docs if "wkt" in docs.columns else extract_geometry(docs)
     df = df.filter(F.col("wkt").isNotNull())
-    df = df.withColumn("_parts", split_parts(F.col("wkt")))
-    df = df.select(
-        "*", F.posexplode(F.col("_parts")).alias("part_idx", "_part")
-    ).drop("_parts")
-    return (
-        df.withColumn("part_wkt", F.col("_part.part_wkt"))
-        .withColumn("part_area_m2", F.col("_part.area_m2"))
-        .withColumn("plus_code", plus_code12(F.col("_part.cy"), F.col("_part.cx")))
-        .drop("_part")
-    )
+
+    fields = [
+        StructField("part_idx", IntegerType()),
+        StructField("part_area_m2", DoubleType()),
+        StructField("plus_code", StringType()),
+    ]
+    if emit_wkt:
+        fields.append(StructField("part_wkt", StringType()))
+    schema = StructType(list(df.schema.fields) + fields)
+    in_names = [f.name for f in df.schema.fields]
+    wkt_idx = in_names.index("wkt")
+    out_names = [f.name for f in schema.fields]
+
+    def explode_batches(batches):
+        for rb in batches:
+            wkt = rb.column(wkt_idx).to_pandas()
+            batch = parse_wkt_batch(wkt)
+            if batch.n_rings == 0:
+                continue
+            shell = ~batch.ring_is_hole
+            # hole rings belong to the preceding shell's part
+            part_of_ring = np.cumsum(shell) - 1
+            n_parts = int(shell.sum())
+            if n_parts == 0:
+                continue
+            part_geom = batch.ring_geom[np.nonzero(shell)[0]]
+            # per-part kernels: regroup rings by part instead of by geom
+            sub = GeomBatch(
+                coords=batch.coords,
+                ring_offsets=batch.ring_offsets,
+                ring_geom=part_of_ring.astype(np.int32),
+                ring_is_hole=batch.ring_is_hole,
+                gtype=np.full(n_parts, 3, dtype=np.int8),
+            )
+            areas = kernels.area_6933(sub)
+            cents = kernels.centroids(sub)
+            plus = olc.encode_np(cents[:, 1], cents[:, 0], 12)
+            # part_idx within each geometry
+            counts = np.bincount(part_geom, minlength=batch.n_geoms)
+            first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            part_idx = np.arange(n_parts) - first[part_geom]
+
+            take = pa.array(part_geom.astype(np.int64))
+            cols = [c.take(take) for c in rb.columns]
+            cols += [
+                pa.array(part_idx.astype(np.int32)),
+                pa.array(areas),
+                pa.array(plus, type=pa.string()),
+            ]
+            if emit_wkt:
+                cols.append(
+                    pa.array(_part_wkts(batch, part_of_ring, n_parts), type=pa.string())
+                )
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return df.mapInArrow(explode_batches, schema)

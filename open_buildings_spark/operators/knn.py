@@ -51,8 +51,8 @@ def knn(
     buildings: DataFrame,
     queries: list[tuple[int, float, float]],
     k: int = 5,
-    initial_ring: int = 1,
-    max_ring: int = 64,
+    initial_ring: int = 2,
+    max_ring: int = 256,
 ) -> DataFrame:
     """Exact k nearest buildings (haversine meters) per query point.
 
@@ -60,6 +60,8 @@ def knn(
     docs table. ``queries``: small list of (query_id, lon, lat), broadcast.
     Returns (query_id, doc_id, rank); ordering ties broken by doc_id.
     """
+    if buildings.storageLevel.useMemory is False:
+        buildings = buildings.cache()  # ring growth re-reads the candidates
     ring = initial_ring
     while True:
         cells = []
@@ -95,4 +97,4 @@ def knn(
                 break
         if ok or ring >= max_ring:
             return topk.drop("dist_m")
-        ring *= 2
+        ring *= 4

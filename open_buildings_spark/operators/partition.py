@@ -36,52 +36,57 @@ def partition_plan(
 ) -> DataFrame:
     """Leaf-cell plan: (keys..., cell, n_rows) with reference split semantics.
 
-    Implemented entirely as DataFrame ops over the (small) z12 histogram:
-    for each level l, a cell is a LEAF iff its own count <= max_per_file and
-    every ancestor's count > max_per_file (or l == 1). Cells still over the
-    cap at level 12 become level-12 leaves.
+    One shuffle computes the z12 histogram; the recursion itself runs
+    driver-side in pandas (like the reference's driver-side loop, but on the
+    histogram instead of per-cell COUNT queries). A cell is a LEAF iff its
+    count <= max_per_file and every ancestor is over the cap (or level 1);
+    over-cap level-12 cells become leaves (cap).
+
+    Scale note: the planet has <= 4^12 ≈ 17M z12 cells, so the collected
+    histogram is bounded regardless of table size; for tighter drivers,
+    aggregate at z8 first and recurse into z12 only for over-cap z8 cells.
     """
     keys = keys or []
-    hist = cell_histogram(df, keys).cache()
+    spark = df.sparkSession
+    hist = cell_histogram(df, keys).toPandas()
 
-    level_counts = []
-    for lvl in range(1, MAX_LEVEL + 1):
-        level_counts.append(
-            hist.groupBy(*keys, cell_at(F.col("qk12"), lvl).alias("cell"))
-            .agg(F.sum("n").alias("n"))
-            .withColumn("lvl", F.lit(lvl))
-        )
-    allc = level_counts[0]
-    for lc in level_counts[1:]:
-        allc = allc.unionByName(lc)
+    import numpy as np
 
-    parent = allc.select(
-        *keys,
-        F.col("cell").alias("pcell"),
-        F.col("lvl").alias("plvl"),
-        F.col("n").alias("pn"),
-    )
-    joined = allc.join(
-        parent,
-        on=[allc[k] == parent[k] for k in keys]
-        + [
-            parent["plvl"] == allc["lvl"] - 1,
-            parent["pcell"] == F.expr(f"substring(cell, 1, lvl - 1)"),
-        ]
-        if keys
-        else [
-            parent["plvl"] == allc["lvl"] - 1,
-            parent["pcell"] == F.expr("substring(cell, 1, lvl - 1)"),
-        ],
-        how="left",
-    ).select(*[allc[k] for k in keys], "cell", "lvl", "n", "pn")
+    out_rows: list[tuple] = []
+    for key_vals, grp in (
+        hist.groupby(keys, sort=False) if keys else [((), hist)]
+    ):
+        if keys and not isinstance(key_vals, tuple):
+            key_vals = (key_vals,)
+        order = np.argsort(grp["qk12"].to_numpy())
+        cells = grp["qk12"].to_numpy()[order]
+        counts = grp["n"].to_numpy()[order]
+        csum = np.concatenate([[0], np.cumsum(counts)])
 
-    leaves = joined.filter(
-        ((F.col("n") <= max_per_file) | (F.col("lvl") == MAX_LEVEL))
-        & ((F.col("lvl") == 1) | (F.col("pn") > max_per_file))
-    )
-    # a level-12 over-cap leaf and a level-12 at-cap leaf are both leaves; dedup
-    return leaves.select(*keys, "cell", F.col("n").alias("n_rows")).distinct()
+        def node_count(prefix: str) -> int:
+            # cells with this prefix form a contiguous range in sorted order
+            lo = np.searchsorted(cells, prefix)
+            hi = np.searchsorted(cells, prefix + "\x7f")
+            return int(csum[hi] - csum[lo]), lo, hi
+
+        stack = [""]
+        while stack:
+            prefix = stack.pop()
+            lvl = len(prefix)
+            n, lo, hi = node_count(prefix)
+            if n == 0:
+                continue
+            if (n <= max_per_file and lvl >= 1) or lvl >= MAX_LEVEL:
+                out_rows.append((*key_vals, prefix, n))
+                continue
+            children = np.unique(
+                np.frompyfunc(lambda s: s[: lvl + 1], 1, 1)(cells[lo:hi])
+            )
+            stack.extend(children[::-1].tolist())
+    schema = (
+        ", ".join(f"{k} string" for k in keys) + (", " if keys else "")
+    ) + "cell string, n_rows long"
+    return spark.createDataFrame(out_rows, schema)
 
 
 def apply_partition_plan(

@@ -91,30 +91,34 @@ def make_within_aoi(aoi_feature: dict):
     return within_aoi
 
 
-def make_country_assign(country_list: list[tuple[str, list]]):
-    """Factory: pandas UDF assigning each footprint the min-ISO country whose
-    polygon it ST_Intersects (engine's deterministic tie-break; reference's
-    correlated UPDATE is last-write-wins: overture/add_columns.py:58-63).
-
-    ``country_list``: [(iso, rings)], rings = list[(coords (K,2), is_hole)].
-    The whole (small) country table is captured in the closure — a broadcast
-    nested-loop spatial join with per-country vectorized kernels, no shuffle.
-    """
+def prepare_countries(country_list: list[tuple[str, list]]):
+    """Precompute per-country rings + bbox, ISO-ascending (tie-break order)."""
     prepared = []
     for iso, rings in sorted(country_list, key=lambda t: t[0]):
         rr = [(np.asarray(c, dtype=np.float64), bool(h)) for c, h in rings]
         allc = np.concatenate([c for c, _ in rr])
         bbox = (allc[:, 0].min(), allc[:, 1].min(), allc[:, 0].max(), allc[:, 1].max())
         prepared.append((iso, rr, bbox))
+    return prepared
 
-    @F.pandas_udf(StringType())
-    def country_assign(wkt: pd.Series) -> pd.Series:
-        batch = parse_wkt_batch(wkt)
-        bb = kernels.bboxes(batch)
-        out = np.full(batch.n_geoms, None, dtype=object)
-        unassigned = (batch.gtype != -1)
+
+def assign_countries_np(batch, prepared) -> np.ndarray:
+    """Min-ISO country whose polygon each footprint ST_Intersects (engine's
+    deterministic tie-break; the reference's correlated UPDATE is
+    last-write-wins: overture/add_columns.py:58-63). Vectorized per country
+    with a bbox prefilter; the small country table is broadcast in-closure."""
+    bb = kernels.bboxes(batch)
+    out = np.full(batch.n_geoms, None, dtype=object)
+    unassigned = batch.gtype != -1
+    with np.errstate(invalid="ignore"):
         for iso, rings, (w, s, e, n) in prepared:  # ISO-ascending: first hit wins
-            cand = unassigned & (bb[:, 2] >= w) & (bb[:, 0] <= e) & (bb[:, 3] >= s) & (bb[:, 1] <= n)
+            cand = (
+                unassigned
+                & (bb[:, 2] >= w)
+                & (bb[:, 0] <= e)
+                & (bb[:, 3] >= s)
+                & (bb[:, 1] <= n)
+            )
             idx = np.nonzero(cand)[0]
             if len(idx) == 0:
                 continue
@@ -123,35 +127,40 @@ def make_country_assign(country_list: list[tuple[str, list]]):
             hit_idx = idx[hit]
             out[hit_idx] = iso
             unassigned[hit_idx] = False
-        return pd.Series(out)
+    return out
+
+
+def make_country_assign(country_list: list[tuple[str, list]]):
+    """Factory: pandas UDF form of :func:`assign_countries_np` (broadcast
+    nested-loop spatial join, no shuffle)."""
+    prepared = prepare_countries(country_list)
+
+    @F.pandas_udf(StringType())
+    def country_assign(wkt: pd.Series) -> pd.Series:
+        batch = parse_wkt_batch(wkt)
+        return pd.Series(assign_countries_np(batch, prepared))
 
     return country_assign
 
 
 def _subset_batch(batch, idx: np.ndarray):
-    """GeomBatch restricted to geometry indices ``idx`` (order preserved)."""
+    """GeomBatch restricted to geometry indices ``idx`` (sorted, order
+    preserved) — fully vectorized gather, no per-ring Python."""
     from .geo.wkt import GeomBatch
 
-    pos = {g: i for i, g in enumerate(idx)}
-    rings, ring_geom, ring_hole = [], [], []
-    for r in range(batch.n_rings):
-        g = batch.ring_geom[r]
-        if g in pos:
-            rings.append(batch.ring(r))
-            ring_geom.append(pos[g])
-            ring_hole.append(bool(batch.ring_is_hole[r]))
-    if rings:
-        coords = np.concatenate(rings)
-        sizes = np.array([len(r) for r in rings], dtype=np.int64)
-        offsets = np.concatenate([[0], np.cumsum(sizes)])
-    else:
-        coords = np.empty((0, 2))
-        offsets = np.zeros(1, dtype=np.int64)
+    idx = np.asarray(idx, dtype=np.int64)
+    keep_ring = np.isin(batch.ring_geom, idx)
+    sizes = np.diff(batch.ring_offsets)
+    coord_mask = np.repeat(keep_ring, sizes)
+    coords = batch.coords[coord_mask]
+    kept_sizes = sizes[keep_ring]
+    offsets = np.concatenate([[0], np.cumsum(kept_sizes)])
+    ring_geom = np.searchsorted(idx, batch.ring_geom[keep_ring]).astype(np.int32)
     return GeomBatch(
         coords=coords,
         ring_offsets=offsets.astype(np.int64),
-        ring_geom=np.array(ring_geom, dtype=np.int32),
-        ring_is_hole=np.array(ring_hole, dtype=bool),
+        ring_geom=ring_geom,
+        ring_is_hole=batch.ring_is_hole[keep_ring],
         gtype=batch.gtype[idx],
     )
 
