@@ -66,8 +66,8 @@ def knn(
     while True:
         cells = []
         for qid, qlon, qlat in queries:
-            for c in _ring_cells(qlon, qlat, ring):
-                cells.append((qid, qlon, qlat, c))
+            for c in _ring_cells(float(qlon), float(qlat), ring):
+                cells.append((int(qid), float(qlon), float(qlat), c))
         cells_df = spark.createDataFrame(
             cells, "query_id long, qlon double, qlat double, quadkey string"
         )

@@ -1,0 +1,242 @@
+"""Iceberg-style table layer: parquet data files + JSON manifest metadata.
+
+No Iceberg jar exists in this sandbox, so the engine implements the subset of
+Iceberg semantics the north_rule needs, over plain ``spark.read/write.parquet``:
+
+- **snapshots**: ``metadata/v{N}.json`` manifests, each listing data files
+  with per-file partition values, row counts and quadkey bounds;
+- **atomic commit**: manifest written to a temp file then ``os.replace``'d,
+  then the ``VERSION`` pointer swapped the same way (single-writer);
+- **partition pruning**: readers plan the file list from the manifest
+  (quadkey-prefix and key-equality predicates) before Spark ever lists
+  a directory — the reference gets this from hive partitioning + quadkey
+  file clustering (open_buildings/settings.py:26-35, overture/partition.py);
+- **resume**: per-partition lineage (cell -> files, row counts) means a
+  killed build job recomputes only uncommitted cells — the reference's
+  skip-if-exists file gates (overture/partition.py:146-147,172-174)
+  expressed as manifest state (P10).
+
+Determinism: manifests carry a monotone snapshot counter, no wall-clock.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _version_file(root: str) -> str:
+    return os.path.join(_meta_dir(root), "VERSION")
+
+
+def current_manifest(root: str) -> dict | None:
+    vf = _version_file(root)
+    if not os.path.exists(vf):
+        return None
+    with open(vf) as f:
+        v = f.read().strip()
+    with open(os.path.join(_meta_dir(root), v)) as f:
+        return json.load(f)
+
+
+def _commit_manifest(root: str, manifest: dict) -> None:
+    """Atomic: temp-write manifest, rename, then swap the VERSION pointer."""
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    name = f"v{manifest['snapshot_id']}.json"
+    tmp = os.path.join(_meta_dir(root), f".{name}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(_meta_dir(root), name))
+    vtmp = _version_file(root) + ".tmp"
+    with open(vtmp, "w") as f:
+        f.write(name)
+    os.replace(vtmp, _version_file(root))
+
+
+def committed_cells(root: str, keys: list[str] | None = None) -> set:
+    m = current_manifest(root)
+    if m is None:
+        return set()
+    keys = keys or []
+    out = set()
+    for part in m["partitions"]:
+        out.add(tuple(part["values"].get(k) for k in keys) + (part["cell"],))
+    return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    root: str,
+    max_per_file: int,
+    keys: list[str] | None = None,
+    cells_per_commit: int = 0,
+    fail_after_commits: int = -1,
+) -> dict:
+    """Adaptive-cell partitioned write with manifest commits.
+
+    1. plan leaf cells (one-pass histogram, reference split semantics),
+    2. skip cells already committed (resume),
+    3. tag rows with their leaf cell, hash-partition by cell, write one
+       parquet directory per cell, quadkey-sorted within files (the
+       reference's ORDER BY quadkey clustered write),
+    4. commit the manifest atomically every ``cells_per_commit`` cells
+       (0 = single commit at the end).
+
+    ``fail_after_commits`` >= 0 raises after that many commits — the
+    kill/resume test hook. Returns the final manifest.
+    """
+    from ..operators.partition import partition_plan
+
+    keys = keys or []
+    plan = partition_plan(df, max_per_file, keys).collect()
+    done = committed_cells(root, keys)
+    pending = [
+        r
+        for r in plan
+        if (tuple(r[k] for k in keys) + (r["cell"],)) not in done
+    ]
+    m = current_manifest(root)
+    if m is None:
+        m = {"snapshot_id": 0, "parent_id": None, "partitions": [], "metrics": {"rows_written": 0, "recomputed_cells": 0}}
+
+    if not pending:
+        return m
+
+    groups: list[list] = (
+        [pending]
+        if cells_per_commit <= 0
+        else [
+            pending[i : i + cells_per_commit]
+            for i in range(0, len(pending), cells_per_commit)
+        ]
+    )
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    commits = 0
+    for group in groups:
+        conds = None
+        for r in group:
+            c = F.col("quadkey").startswith(r["cell"])
+            for k in keys:
+                c = c & (F.col(k) == r[k])
+            conds = c if conds is None else (conds | c)
+        # leaf cells are disjoint prefixes within a key-group, so each row
+        # matches exactly one (keys, cell) entry
+        sub = df.filter(conds)
+        cell_col = F.lit(None).cast("string")
+        for r in group:
+            cond = F.col("quadkey").startswith(r["cell"])
+            for k in keys:
+                cond = cond & (F.col(k) == r[k])
+            cell_col = F.when(cond, r["cell"]).otherwise(cell_col)
+        sub = sub.withColumn("cell", cell_col)
+        (
+            sub.repartition(F.col("cell"), *[F.col(k) for k in keys])
+            # sort by (partition cols, quadkey): the dynamic-partition writer
+            # requires rows grouped by partition cols and would inject its
+            # own quadkey-destroying sort otherwise; this way one sort gives
+            # both the grouping and the reference's ORDER BY quadkey
+            # clustering (overture/partition.py:149,182)
+            .sortWithinPartitions(*keys, "cell", "quadkey")
+            .write.mode("overwrite")
+            # dynamic overwrite: a resumed run rewrites only the cells it
+            # recomputes; a previously half-written (uncommitted) cell dir
+            # is replaced, never appended to
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*keys, "cell")
+            .option("compression", "snappy")
+            .parquet(data_dir)
+        )
+        new_parts = []
+        for r in group:
+            part_dir = data_dir
+            vals = {k: r[k] for k in keys}
+            for k in keys:
+                part_dir = os.path.join(part_dir, f"{k}={r[k]}")
+            part_dir = os.path.join(part_dir, f"cell={r['cell']}")
+            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+            new_parts.append(
+                {
+                    "cell": r["cell"],
+                    "values": vals,
+                    "n_rows": r["n_rows"],
+                    "files": [os.path.relpath(p, root) for p in files],
+                }
+            )
+        m = {
+            "snapshot_id": m["snapshot_id"] + 1,
+            "parent_id": m["snapshot_id"],
+            "partitions": m["partitions"] + new_parts,
+            "metrics": {
+                "rows_written": m["metrics"]["rows_written"]
+                + sum(r["n_rows"] for r in group),
+                "recomputed_cells": m["metrics"]["recomputed_cells"] + len(group),
+            },
+        }
+        _commit_manifest(root, m)
+        commits += 1
+        if fail_after_commits >= 0 and commits >= fail_after_commits:
+            raise RuntimeError(f"injected failure after {commits} commits")
+    return m
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    quadkey_prefix: str | None = None,
+    **key_filters: str,
+) -> DataFrame:
+    """Manifest-planned scan with partition pruning.
+
+    ``quadkey_prefix``: keep partitions whose cell overlaps the prefix
+    (cell startswith prefix OR prefix startswith cell). Key equality
+    filters prune on manifest partition values. Returns an empty DataFrame
+    with no files when everything prunes away.
+    """
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    files: list[str] = []
+    for part in m["partitions"]:
+        if quadkey_prefix:
+            cell = part["cell"]
+            if not (cell.startswith(quadkey_prefix) or quadkey_prefix.startswith(cell)):
+                continue
+        if any(part["values"].get(k) != v for k, v in key_filters.items()):
+            continue
+        files.extend(os.path.join(root, f) for f in part["files"])
+    if not files:
+        # preserve schema by reading zero rows from the full table
+        allf = [os.path.join(root, f) for p in m["partitions"] for f in p["files"]]
+        return spark.read.parquet(*allf).limit(0)
+    return spark.read.parquet(*files)
+
+
+def metrics(root: str) -> dict:
+    """Per-partition lineage + row-count metrics from the current snapshot."""
+    m = current_manifest(root)
+    if m is None:
+        return {}
+    return {
+        "snapshot_id": m["snapshot_id"],
+        "n_partitions": len(m["partitions"]),
+        "rows_written": m["metrics"]["rows_written"],
+        "recomputed_cells": m["metrics"]["recomputed_cells"],
+        "partitions": {
+            p["cell"]: p["n_rows"] for p in m["partitions"]
+        },
+    }
+
+
+def drop_table(root: str) -> None:
+    if os.path.exists(root):
+        shutil.rmtree(root)

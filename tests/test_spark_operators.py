@@ -1,0 +1,211 @@
+"""Spark-level operator tests against the pure-Python oracle (tests/oracle.py)
+and the per-row span-sequence invariant (BASELINE.json input_hint)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_buildings_spark import datagen
+from open_buildings_spark.operators import aoi as aoi_op
+from open_buildings_spark.operators import enrich, explode, knn, partition, tiles
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def buildings_pdf(spark, sf_dir):
+    return (
+        datagen.derive_buildings(spark, sf_dir)
+        .select("doc_id", "lon", "lat", "r", "qk", "qk_media", "has_geom", "is_multi")
+        .toPandas()
+    )
+
+
+def test_enrich_quadkey_matches_oracle(spark, docs, buildings_pdf):
+    got = (
+        enrich.add_geo_columns(docs, drop_nongeo=True)
+        .select("doc_id", "quadkey")
+        .toPandas()
+    )
+    exp = buildings_pdf[buildings_pdf.has_geom]
+    m = got.merge(exp[["doc_id", "qk"]], on="doc_id", how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    assert (m.quadkey == m.qk).all()
+    # independent scalar oracle on a sample
+    for _, row in exp.head(50).iterrows():
+        assert oracle.quadkey_z12(row.lon, row.lat) == row.qk
+
+
+def test_aoi_query_rowset_matches_oracle(spark, docs, buildings_pdf):
+    aoi = datagen.city_aoi()
+    w, s, e, n = datagen.aoi_bounds(aoi)
+    got = set(
+        r["doc_id"] for r in aoi_op.aoi_query(docs, aoi).select("doc_id").collect()
+    )
+    exp = set()
+    for _, b in buildings_pdf[buildings_pdf.has_geom].iterrows():
+        maxx = b.lon + (7 * b.r if b.is_multi else b.r)
+        if oracle.rect_within(b.lon - b.r, b.lat - b.r, maxx, b.lat + b.r, w, s, e, n):
+            exp.add(b.doc_id)
+    assert got == exp
+    assert len(got) > 0
+
+
+def test_aoi_boundary_buildings_excluded(spark):
+    """Footprints straddling the AOI edge must be excluded (ST_Within)."""
+    aoi = {
+        "type": "Feature",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+        },
+    }
+    rows = [
+        ("in", "POLYGON ((0.4 0.4, 0.6 0.4, 0.6 0.6, 0.4 0.6, 0.4 0.4))"),
+        ("straddle", "POLYGON ((0.9 0.4, 1.1 0.4, 1.1 0.6, 0.9 0.6, 0.9 0.4))"),
+        ("outside", "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"),
+        ("touch_inside", "POLYGON ((0 0, 0.2 0, 0.2 0.2, 0 0.2, 0 0))"),
+    ]
+    docs = (
+        spark.createDataFrame(rows, "doc_id string, wkt string")
+        .withColumn(
+            "spans",
+            F.array(
+                F.struct(
+                    F.lit("geometry").alias("kind"),
+                    F.col("wkt").alias("text"),
+                    F.lit("").alias("media_ref"),
+                    F.lit(0).alias("offset"),
+                )
+            ),
+        )
+        .drop("wkt")
+    )
+    got = sorted(r["doc_id"] for r in aoi_op.aoi_query(docs, aoi).collect())
+    assert got == ["in", "touch_inside"]
+
+
+def test_span_invariant_through_aoi_query(spark, docs):
+    """Output spans byte-equal the source doc's spans, order preserved."""
+    aoi = datagen.city_aoi()
+    out = aoi_op.aoi_query(docs, aoi).select("doc_id", "spans")
+    src = docs.select("doc_id", F.col("spans").alias("src_spans"))
+    joined = out.join(src, "doc_id")
+    bad = joined.filter(
+        F.to_json(F.col("spans")) != F.to_json(F.col("src_spans"))
+    ).count()
+    assert bad == 0
+    # offsets strictly increasing in every surviving row
+    mono = joined.withColumn(
+        "sorted_ok",
+        F.col("spans")
+        == F.array_sort(
+            F.col("spans"), lambda a, b: a["offset"].cast("int") - b["offset"].cast("int")
+        ),
+    )
+    assert mono.filter(~F.col("sorted_ok")).count() == 0
+
+
+def test_partition_plan_respects_cap_and_total(spark, docs):
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    total = g.count()
+    plan = partition.partition_plan(g, 200).toPandas()
+    assert plan.n_rows.sum() == total
+    # every leaf over the cap must be a full-depth (12-char) cell
+    over = plan[plan.n_rows > 200]
+    assert (over.cell.str.len() == 12).all()
+    # leaves are prefix-disjoint
+    cells = sorted(plan.cell.tolist())
+    for a, b in zip(cells, cells[1:]):
+        assert not b.startswith(a)
+
+
+def test_partition_plan_rows_land_in_their_cell(spark, docs):
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    plan = partition.partition_plan(g, 500)
+    tagged = partition.apply_partition_plan(g, plan)
+    assert tagged.filter(F.col("cell").isNull()).count() == 0
+    bad = tagged.filter(~F.col("quadkey").startswith(F.col("cell"))).count()
+    assert bad == 0
+
+
+def test_knn_matches_bruteforce(spark, docs, buildings_pdf):
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    b = g.select("doc_id", "quadkey", "lon", "lat").cache()
+    queries = [(0, buildings_pdf.lon.iloc[0] + 0.01, buildings_pdf.lat.iloc[0] + 0.01)]
+    got = (
+        knn.knn(spark, b, queries, k=7)
+        .orderBy("rank")
+        .select("doc_id", "rank")
+        .toPandas()
+    )
+    bp = buildings_pdf[buildings_pdf.has_geom].copy()
+    # centroid of multis sits at lon + 3r
+    bp["clon"] = bp.lon + np.where(bp.is_multi, 3 * bp.r, 0.0)
+    qlon, qlat = queries[0][1], queries[0][2]
+
+    def hav(lon, lat):
+        R = 6371008.8
+        p = np.pi / 180
+        a = (
+            np.sin((qlat - lat) * p / 2) ** 2
+            + np.cos(lat * p) * np.cos(qlat * p) * np.sin((qlon - lon) * p / 2) ** 2
+        )
+        return 2 * R * np.arcsin(np.sqrt(a))
+
+    bp["d"] = hav(bp.clon.to_numpy(), bp.lat.to_numpy())
+    exp = bp.sort_values(["d", "doc_id"]).head(7).doc_id.tolist()
+    assert got.doc_id.tolist() == exp
+
+
+def test_tile_assignment_matches_derivation(spark, docs, buildings_pdf):
+    t = tiles.tile_assignment(docs).toPandas()
+    exp = buildings_pdf[buildings_pdf.has_geom]
+    m = t.merge(exp[["doc_id", "qk", "qk_media"]], on="doc_id")
+    assert len(m) == len(exp)
+    assert (m.quadkey == m.qk).all()
+    assert (m.media_qk == m.qk_media).all()
+    assert (m.tile_match == (m.qk == m.qk_media)).all()
+
+
+def test_explode_part_counts(spark, docs, buildings_pdf):
+    parts = explode.explode_multipolygons(docs).groupBy("doc_id").count().toPandas()
+    exp = buildings_pdf[buildings_pdf.has_geom]
+    m = parts.merge(exp[["doc_id", "is_multi"]], on="doc_id", how="outer", indicator=True)
+    assert (m["_merge"] == "both").all()
+    assert (m["count"] == np.where(m.is_multi, 2, 1)).all()
+
+
+def test_explode_pluscode_matches_olc_kernel(spark, docs):
+    from open_buildings_spark.geo import olc
+
+    sample = (
+        explode.explode_multipolygons(docs)
+        .select("doc_id", "part_idx", "part_wkt", "plus_code")
+        .limit(20)
+        .toPandas()
+    )
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+
+    batch = parse_wkt_batch(pd.Series(sample.part_wkt.tolist()))
+    cen = kernels.centroids(batch)
+    for i, code in enumerate(sample.plus_code):
+        assert code == olc.encode(cen[i, 1], cen[i, 0], 12)
+
+
+def test_country_join_min_iso_tiebreak(spark):
+    """A footprint inside the overlap region of two countries gets the
+    lexicographically smallest ISO."""
+    clist = [
+        ("ZZ", [([[0.0, 0.0], [10, 0], [10, 10], [0, 10], [0, 0]], False)]),
+        ("AM", [([[5.0, 0.0], [15, 0], [15, 10], [5, 10], [5, 0]], False)]),
+    ]
+    docs = spark.createDataFrame(
+        [("overlap", "POLYGON ((6 1, 7 1, 7 2, 6 2, 6 1))"),
+         ("onlyzz", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+         ("nowhere", "POLYGON ((40 40, 41 40, 41 41, 40 41, 40 40))")],
+        "doc_id string, wkt string",
+    )
+    out = {r["doc_id"]: r["country_iso"] for r in enrich.add_country_iso(docs, clist).collect()}
+    assert out == {"overlap": "AM", "onlyzz": "ZZ", "nowhere": None}

@@ -1,0 +1,97 @@
+"""Iceberg-lite table layer: atomic snapshots, partition pruning, resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_buildings_spark import datagen
+from open_buildings_spark.operators import enrich
+from open_buildings_spark.table import iceberg_lite as tbl
+
+
+@pytest.fixture()
+def enriched(spark, docs):
+    return enrich.add_geo_columns(docs, drop_nongeo=True)
+
+
+def test_write_read_roundtrip(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    m = tbl.write_partitioned(enriched, root, max_per_file=500)
+    assert m["snapshot_id"] == 1
+    total = enriched.count()
+    back = tbl.read_table(spark, root)
+    assert back.count() == total
+    # quadkey-sorted within files (clustered write)
+    one = tbl.current_manifest(root)["partitions"][0]
+    f = os.path.join(root, one["files"][0])
+    pdf = spark.read.parquet(f).select("quadkey").toPandas()
+    assert (pdf.quadkey.sort_values().values == pdf.quadkey.values).all()
+
+
+def test_prefix_pruned_read(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    prefix = "30011"  # city 0 area
+    full = enriched.filter(F.col("quadkey").startswith(prefix)).count()
+    pruned = tbl.read_table(spark, root, quadkey_prefix=prefix)
+    got = pruned.filter(F.col("quadkey").startswith(prefix)).count()
+    assert got == full
+    # and the pruned plan reads strictly fewer files than the table holds
+    man = tbl.current_manifest(root)
+    nfiles = sum(len(p["files"]) for p in man["partitions"])
+    kept = [
+        p
+        for p in man["partitions"]
+        if p["cell"].startswith(prefix) or prefix.startswith(p["cell"])
+    ]
+    assert 0 < sum(len(p["files"]) for p in kept) < nfiles
+
+
+def test_resume_recomputes_only_pending(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    # full run for ground truth
+    root_full = str(tmp_path / "tbl_full")
+    tbl.write_partitioned(enriched, root_full, max_per_file=500)
+    truth = tbl.read_table(spark, root_full).count()
+    n_cells = len(tbl.current_manifest(root_full)["partitions"])
+    assert n_cells > 3
+
+    # killed run: commit every 2 cells, die after the first commit
+    with pytest.raises(RuntimeError, match="injected failure"):
+        tbl.write_partitioned(
+            enriched, root, max_per_file=500, cells_per_commit=2, fail_after_commits=1
+        )
+    m1 = tbl.current_manifest(root)
+    assert len(m1["partitions"]) == 2  # exactly one committed group
+
+    # resume: must only recompute the remaining cells
+    m2 = tbl.write_partitioned(enriched, root, max_per_file=500, cells_per_commit=2)
+    assert len(m2["partitions"]) == n_cells
+    recomputed = m2["metrics"]["recomputed_cells"]
+    assert recomputed == n_cells  # 2 in the killed run + the rest resumed
+    # lineage: resumed table equals the one-shot table, row for row
+    assert tbl.read_table(spark, root).count() == truth
+    a = set(r["doc_id"] for r in tbl.read_table(spark, root).select("doc_id").collect())
+    b = set(r["doc_id"] for r in tbl.read_table(spark, root_full).select("doc_id").collect())
+    assert a == b
+    # second resume is a no-op (nothing pending)
+    m3 = tbl.write_partitioned(enriched, root, max_per_file=500, cells_per_commit=2)
+    assert m3["snapshot_id"] == m2["snapshot_id"]
+
+
+def test_empty_prune_returns_empty_with_schema(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    out = tbl.read_table(spark, root, quadkey_prefix="999")
+    assert out.count() == 0
+    assert "quadkey" in out.columns
+
+
+def test_metrics_exposed(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    m = tbl.metrics(root)
+    assert m["rows_written"] == enriched.count()
+    assert m["n_partitions"] == len(m["partitions"])
+    assert all(v > 0 for v in m["partitions"].values())
