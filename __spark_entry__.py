@@ -13,9 +13,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from open_buildings_spark import datagen, oracles
+from open_buildings_spark import datagen, oracles, oracles_text
 from open_buildings_spark.operators import aoi as aoi_op
-from open_buildings_spark.operators import enrich, explode, knn, partition, tiles
+from open_buildings_spark.operators import (
+    dedup,
+    enrich,
+    explode,
+    knn,
+    multimodal,
+    partition,
+    similarity,
+    textstats,
+    tiles,
+)
+from open_buildings_spark.streaming import events as events_ops
 
 
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,8 +119,96 @@ def _q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------- dedup / text / similarity / events -------------------
+
+
+def _docs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(dedup.augment_corpus(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_dedup(dedup.augment_corpus(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash(dedup.augment_corpus(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    corpus = dedup.augment_corpus(spark, sf_dir)
+    pairs = (
+        _docs_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("a"),
+            (F.col("doc_id") + dedup.NEAR_DUP_OFFSET).alias("b"),
+        )
+    )
+    return dedup.ngram_jaccard_pairs(corpus, pairs)
+
+
+def _q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs_table(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs_table(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    return textstats.langid(_docs_table(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs_table(spark, sf_dir))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    return similarity.cosine_topk(emb, q, k=5)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return similarity.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    # the synthetic embeddings hold no near-dups; inject exact duplicates
+    # (vec_id+100000) so the operator has positives to find (oracle mirrors)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return similarity.embedding_near_dups(emb.unionByName(dups))
+
+
+def _q_media_decode(spark, sf_dir):
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    return multimodal.media_feature_table(docs)
+
+
+def _q_windowed_agg(spark, sf_dir):
+    return events_ops.windowed_counts_batch(spark, sf_dir)
+
+
+def _q_sessionize(spark, sf_dir):
+    return events_ops.sessionize_batch(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # geospatial core (SURVEY.md §2)
         "g_enrich_quadkey": _q_enrich_quadkey,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
@@ -120,8 +219,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_knn": _q_knn,
         "g_explode_parts": _q_explode_parts,
         "g_span_kinds": _q_span_kinds,
+        # training-data pipeline: dedup + text analysis
+        "t_exact_dedup": _q_exact_dedup,
+        "t_minhash_lsh": _q_minhash_lsh,
+        "t_simhash": _q_simhash,
+        "t_ngram_jaccard": _q_ngram_jaccard,
+        "t_token_stats": _q_token_stats,
+        "t_quality": _q_quality,
+        "t_langid": _q_langid,
+        "t_fingerprint": _q_fingerprint,
+        # similarity search over embeddings
+        "s_cosine_topk": _q_cosine_topk,
+        "s_ann_lsh": _q_ann_lsh,
+        "s_embedding_neardup": _q_embedding_neardup,
+        # multimodal + events
+        "m_media_decode": _q_media_decode,
+        "e_windowed_agg": _q_windowed_agg,
+        "e_sessionize": _q_sessionize,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracles.oracle_sql()
+    out = oracles.oracle_sql()
+    out.update(oracles_text.oracle_sql_text())
+    return out

@@ -1,0 +1,216 @@
+"""Deduplication operators over the documents table — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard. First-class training-data-pipeline components
+(not in the reference, which is geospatial-only; these follow the same
+engine discipline: built-in JVM expressions everywhere, no Python UDFs).
+
+Hash parity: every hash is ``md5`` over explicit strings, so the DuckDB
+correctness oracle reproduces results bit-for-bit. The synthetic corpus has
+no duplicates, so :func:`augment_corpus` injects deterministic exact and
+near duplicates (same derivation on the oracle side).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NEAR_DUP_OFFSET = 1_000_000
+EXACT_DUP_OFFSET = 2_000_000
+
+
+def augment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dups (doc_id%3==0, text + ' the') ∪ exact dups
+    (doc_id%7==0). Keep in sync with :func:`corpus_sql_cte`."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + NEAR_DUP_OFFSET)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" the")))
+    )
+    exact = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + EXACT_DUP_OFFSET
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+def corpus_sql_cte() -> str:
+    return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {NEAR_DUP_OFFSET}, text || ' the' FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {EXACT_DUP_OFFSET}, text FROM documents WHERE doc_id % 7 = 0
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, fingerprint, canonical_id, group_size): canonical = min id per
+    md5(text). One shuffle on the fingerprint; at scale this is the classic
+    map-side-combinable hash-groupBy."""
+    fp = F.md5(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .select(id_col, "fingerprint", "canonical_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokens / shingles (shared)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, empties dropped (same rule in the SQL oracle)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
+def word_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = tokens_col()
+    # guard: Spark sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(id_col, F.explode(sh).alias("shingle")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """k min-hashes per doc: mh_i = min(md5(i || '|' || shingle)). One
+    groupBy with k partial-aggregable mins (map-side combine)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band-hash bucket join: docs sharing any band signature become a
+    candidate pair (a < b). The self-join shuffles on the band key — the
+    standard LSH equi-join; skewed buckets are handled by AQE skew-join."""
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat(*parts)).alias(f"band_{b}"))
+    banded = sig.select(id_col, *band_cols)
+    stacked = None
+    for b in range(bands):
+        one = banded.select(
+            F.col(id_col).alias("id"), F.col(f"band_{b}").alias("bkey"),
+            F.lit(b).alias("band")
+        )
+        stacked = one if stacked is None else stacked.unionByName(one)
+    left = stacked.select(F.col("id").alias("a"), "bkey", "band")
+    right = stacked.select(F.col("id").alias("b"), "bkey", "band")
+    return (
+        left.join(right, ["bkey", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pair_jaccard(shingles: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: (a, b, jac)."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = shingles.select(F.col(id_col).alias("a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .select("a", "b", "jac")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, threshold: float = 0.35, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bucket join ->
+    exact-Jaccard verification: (a, b, jac) with jac >= threshold."""
+    sh = word_shingles(df)
+    sig = minhash_signatures(sh, k)
+    pairs = lsh_candidate_pairs(sig, bands, k // bands)
+    return pair_jaccard(sh, pairs).filter(F.col("jac") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over whitespace tokens (token weight = multiplicity):
+    bit b of the hash is the sign of sum(+1/-1 over tokens' md5 bit b)."""
+    toks = df.select(id_col, F.explode(tokens_col()).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = functools.reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s_{b}") > 0, F.lit(2**b).cast("long")).otherwise(0),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# character n-gram Jaccard (direct near-dup scoring)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(df: DataFrame, n: int = 5, id_col: str = "doc_id") -> DataFrame:
+    """Distinct character n-grams per doc: (id, gram)."""
+    grams = F.expr(
+        f"CASE WHEN length(text) >= {n} THEN "
+        f"transform(sequence(1, length(text) - {n - 1}), i -> substring(text, i, {n})) "
+        f"ELSE array() END"
+    )
+    return df.select(id_col, F.explode(grams).alias("gram")).distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:
+    """Char n-gram Jaccard for given (a, b) pairs."""
+    grams = char_ngrams(df, n)
+    return pair_jaccard(grams.withColumnRenamed("gram", "shingle"), pairs)

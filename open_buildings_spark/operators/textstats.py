@@ -1,0 +1,105 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All built-in JVM expressions (no UDFs);
+every score is an exact integer ratio so the DuckDB oracle matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# deterministic per-language marker lists for the language-ID heuristic
+# (n-gram/stopword scoring; predicted = argmax hits, ties -> lexicographic)
+LANG_MARKERS = {
+    "en": ["the", "a", "row", "fast"],
+    "es": ["data", "valor", "tabla", "filter"],
+    "fr": ["table", "petit", "value", "merge"],
+    "de": ["und", "scan", "batch", "window"],
+    "zh": ["big", "join", "query", "slow"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens, n_chars, avg_token_len).
+
+    Token counting with whitespace splitting plus a BPE-ish subword count:
+    total length / 4 rounded up approximates byte-pair token counts the way
+    large-scale pipelines budget context windows."""
+    toks = tokens_col()
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("avg_token_len"),
+        F.ceil(F.length("text").cast("double") / 4.0).cast("long").alias("n_subwords"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, stop_ratio, distinct_ratio, quality_ok): length/stopword/
+    repetition heuristics — the standard cheap pre-training quality gate."""
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    stop_ratio = n_stop.cast("double") / n.cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    return df.select(
+        id_col,
+        stop_ratio.alias("stop_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        (
+            (n >= 10) & (distinct_ratio >= 0.2)
+        ).alias("quality_ok"),
+    )
+
+
+def langid(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred): marker-token scoring, argmax hits with lexicographic
+    tie-break — a deterministic n-gram language-ID heuristic."""
+    toks = tokens_col()
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(markers, t))).alias(
+                f"score_{lang}"
+            )
+        )
+    scored = df.select(id_col, *scores)
+    # argmax with lexicographic tie-break: iterate langs in order, keep the
+    # first with the maximal score
+    best = None
+    pred = None
+    for lang in sorted(LANG_MARKERS):
+        s = F.col(f"score_{lang}")
+        if best is None:
+            best, pred = s, F.lit(lang)
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.when(s > best, s).otherwise(best)
+    return scored.select(id_col, pred.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, window: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """(id, fp_full, fp_min): whole-document fingerprint = md5(lower(text));
+    rolling fingerprint = min md5 over all character 8-gram windows
+    (winnowing-style representative hash)."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(lower(text)) - {window - 1}, 1)),"
+        f" i -> md5(substring(lower(text), i, {window})))"
+    )
+    return df.select(
+        id_col,
+        F.md5(F.lower(F.col("text"))).alias("fp_full"),
+        F.array_min(grams).alias("fp_min"),
+    )

@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL for the training-data pipeline operators (dedup,
+similarity search, text analysis, multimodal decode, events). Independent
+reimplementations in ANSI SQL; md5-based hashing guarantees bit parity with
+the Spark engine's built-in md5/conv expressions.
+"""
+
+from __future__ import annotations
+
+from . import datagen
+from .operators.dedup import corpus_sql_cte
+from .operators.similarity import DIM, N_PLANES
+from .operators.textstats import LANG_MARKERS, STOPWORDS
+
+MINHASH_K = 8
+MINHASH_BANDS = 4
+JACCARD_THRESHOLD = 0.35
+SIMHASH_BITS = 32
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _hex_bigint(expr: str) -> str:
+    return f"('0x' || {expr})::BIGINT"
+
+
+def oracle_sql_text() -> dict[str, str]:
+    corpus = corpus_sql_cte()
+    sqls: dict[str, str] = {}
+
+    sqls["t_exact_dedup"] = f"""
+WITH {corpus}
+SELECT doc_id, md5(text) AS fingerprint,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM corpus
+"""
+
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(MINHASH_K)
+    )
+    band_cases = " ".join(
+        f"WHEN {b} THEN md5(mh_{2 * b} || mh_{2 * b + 1})" for b in range(MINHASH_BANDS)
+    )
+    sqls["t_minhash_lsh"] = f"""
+WITH {corpus},
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[CAST(u.i AS INT):CAST(u.i + 2 AS INT)], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, 1))) AS i) u
+  WHERE len(tk) >= 3
+),
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, b.band, CASE b.band {band_cases} END AS bkey
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.bkey = r.bkey AND l.band = r.band AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM pairs p JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+  GROUP BY p.a, p.b
+),
+jacs AS (
+  SELECT i.a, i.b,
+         CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jac
+  FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+)
+SELECT a, b, jac FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    sqls["t_simhash"] = f"""
+WITH {corpus},
+tokx AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM corpus),
+tokh AS (SELECT doc_id, {_hex_bigint("substr(md5(tok), 1, 8)")} AS h FROM tokx),
+bitsum AS (SELECT doc_id, {bit_sums} FROM tokh GROUP BY doc_id)
+SELECT doc_id, {sim_expr} AS simhash FROM bitsum
+"""
+
+    sqls["t_ngram_jaccard"] = f"""
+WITH {corpus},
+want AS (
+  SELECT doc_id FROM corpus
+  WHERE (doc_id % 3 = 0 AND doc_id < 1000000) OR (doc_id >= 1000000 AND doc_id < 2000000)
+),
+cg AS (
+  SELECT DISTINCT c.doc_id, substr(c.text, CAST(u.i AS INT), 5) AS gram
+  FROM corpus c JOIN want w ON w.doc_id = c.doc_id,
+  LATERAL (SELECT unnest(range(1, greatest(length(c.text) - 3, 1))) AS i) u
+  WHERE length(c.text) >= 5
+),
+pairs AS (SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents WHERE doc_id % 3 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM cg GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS i
+  FROM pairs p JOIN cg ga ON ga.doc_id = p.a
+  JOIN cg gb ON gb.doc_id = p.b AND gb.gram = ga.gram
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jac
+FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+"""
+
+    sqls["t_token_stats"] = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+         / CAST(len(tk) AS DOUBLE) AS avg_token_len,
+       CAST(ceil(CAST(length(text) AS DOUBLE) / 4e0) AS BIGINT) AS n_subwords
+FROM toks
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    sqls["t_quality"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(tk, x -> list_contains([{stop_list}], x))) AS DOUBLE)
+         / CAST(len(tk) AS DOUBLE) AS stop_ratio,
+       CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS distinct_ratio,
+       (len(tk) >= 10 AND
+        CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 2e-1
+       ) AS quality_ok
+FROM toks
+"""
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        "len(list_filter(tk, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"], x))) AS score_{lang}"
+        for lang in langs
+    )
+    # replicate the engine's argmax chain (strict >, first-lang-wins)
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(score_{lang}, {best})"
+    sqls["t_langid"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM toks)
+SELECT doc_id, {pred} AS lang_pred FROM scored
+"""
+
+    sqls["t_fingerprint"] = """
+WITH g AS (
+  SELECT doc_id,
+         md5(lower(text)) AS fp_full,
+         (SELECT MIN(md5(substr(lower(d.text), CAST(u.i AS INT), 8)))
+          FROM (SELECT unnest(range(1, greatest(length(lower(d.text)) - 6, 2))) AS i) u
+         ) AS fp_min
+  FROM documents d
+)
+SELECT doc_id, fp_full, fp_min FROM g
+"""
+
+    # ---------------- similarity over embeddings -----------------
+
+    sqls["s_cosine_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim_r
+  FROM embeddings e, q
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5
+"""
+
+    sig_cte = f"""
+comp AS (
+  SELECT vec_id, CAST(u.e AS DOUBLE) AS e, u.i
+  FROM embeddings, LATERAL (
+    SELECT unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+  ) u
+),
+sigbits AS (
+  SELECT vec_id, p.p,
+         SUM(e * (CAST(((p.p * 131 + i) * 2654435761) % 1000 AS DOUBLE) / 1e3 - 5e-1)) AS s
+  FROM comp, (SELECT unnest(range(0, {N_PLANES})) AS p) p
+  GROUP BY vec_id, p.p
+),
+sig AS (
+  SELECT vec_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+  FROM sigbits GROUP BY vec_id
+)
+""".strip()
+
+    sqls["s_ann_lsh"] = f"""
+WITH {sig_cte},
+q AS (
+  SELECT e.vec_id AS query_id, s.sig AS qsig, e.embedding AS qe
+  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id WHERE e.vec_id < 5
+),
+cand AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim_r
+  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
+  JOIN q ON q.qsig = s.sig
+  WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+
+    sig_cte_aug = sig_cte.replace(
+        "FROM embeddings,",
+        "FROM emb_aug AS embeddings,",
+    )
+    sqls["s_embedding_neardup"] = f"""
+WITH emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+{sig_cte_aug},
+e AS (SELECT emb.vec_id, s.sig, emb.embedding FROM emb_aug emb JOIN sig s ON s.vec_id = emb.vec_id),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim_r
+  FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT a, b, sim_r FROM pairs WHERE sim_r >= 0.999
+"""
+
+    # ---------------- multimodal decode (deterministic stub) -----------------
+
+    bld = datagen.buildings_sql_cte()
+    ref = "'tile/z12/' || qk_media"
+    sqls["m_media_decode"] = f"""
+WITH {bld}
+SELECT doc_id, qk_media AS media_qk,
+       md5({ref}) AS feat_hash,
+       {_hex_bigint(f"substr(md5({ref}), 1, 2)")} AS feat0,
+       {_hex_bigint(f"substr(md5({ref}), 3, 2)")} AS feat1,
+       CAST(256 AS INT) AS width, CAST(256 AS INT) AS height
+FROM bld WHERE has_geom
+"""
+
+    # ---------------- events -----------------
+
+    sqls["e_windowed_agg"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value_r4
+FROM events GROUP BY 1, 2
+"""
+
+    sqls["e_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+FROM s GROUP BY 1, 2
+"""
+    return sqls

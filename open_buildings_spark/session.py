@@ -16,6 +16,7 @@ import zipfile
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

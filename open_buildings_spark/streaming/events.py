@@ -1,0 +1,157 @@
+"""Structured Streaming over the events table: watermarked windowed
+aggregation and a custom stateful sessionization operator.
+
+The reference is batch-only; the engine adds streams as first-class
+(north-star training pipelines tail event logs). Batch/stream parity: the
+batch variants below define the semantics and back the DuckDB oracle; the
+streaming variants run the same logical plan via readStream and are
+asserted equal to the batch result in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: (window_start, event_type,
+    n_events, sum_value_r4). Batch semantics = oracle semantics."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value_r4"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r4",
+        )
+    )
+
+
+def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregation as a watermarked streaming query (file source).
+    Caller starts it with .writeStream (tests use format('memory') +
+    outputMode('complete'))."""
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    # late data policy: 2-hour watermark; with the static fixture all rows
+    # are within bounds, so stream result == batch result.
+    # watermarks require TIMESTAMP (not NTZ): cast in, cast back out —
+    # lossless under the pinned UTC session timezone.
+    return (
+        stream.where(F.col("event_id").isNotNull())
+        .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.window("ts_ltz", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value_r4"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r4",
+        )
+    )
+
+
+def sessionize_batch(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions: a session breaks after a >gap inactivity.
+
+    Batch formulation with window functions (the oracle-checkable
+    semantics); the streaming twin is :func:`sessionize_stream_stateful`.
+    Returns (user_id, session_id, n_events, t_start, t_end).
+    """
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    # microsecond-exact gap (events carry sub-second timestamps; second
+    # truncation would disagree with the oracle's epoch_us)
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast applies a
+    # session-tz offset, which cancels in the difference
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    new_session = (
+        F.when(gap.isNull(), 1)
+        .when(us(F.col("ts")) - us(gap) > gap_minutes * 60 * 1_000_000, 1)
+        .otherwise(0)
+    )
+    sess = ev.withColumn(
+        "session_id", F.sum(new_session).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
+
+
+def sessionize_stream_stateful(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful streaming sessionization via applyInPandasWithState:
+    open sessions ride in per-user state; a session is emitted when the
+    inactivity gap passes (or on timeout). Demonstrates the engine's custom
+    stateful-operator surface; correctness vs the batch twin in tests."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    out_schema = (
+        "user_id long, session_id long, n_events long, t_start timestamp, t_end timestamp"
+    )
+    state_schema = "session_id long, n long, t_start long, t_end long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            session_id, n, t0, t1 = state.get
+        else:
+            session_id, n, t0, t1 = 0, 0, None, None
+        out = []
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            t = int(ts.value // 1000)  # exact microseconds
+            if t0 is None:
+                session_id, n, t0, t1 = 1, 1, t, t
+            elif t - t1 > gap_us:
+                out.append((user_id, session_id, n, t0, t1))
+                session_id, n, t0, t1 = session_id + 1, 1, t, t
+            else:
+                n += 1
+                t1 = t
+        state.update((session_id, n, t0, t1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "session_id", "n_events", "t_start", "t_end"]
+            ).assign(
+                t_start=lambda d: pd.to_datetime(d.t_start, unit="us"),
+                t_end=lambda d: pd.to_datetime(d.t_end, unit="us"),
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

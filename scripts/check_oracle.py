@@ -43,6 +43,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

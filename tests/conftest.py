@@ -8,6 +8,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("ob-spark-tests")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
