@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "1"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from pyspark.sql import SparkSession
@@ -49,9 +50,9 @@ def main() -> None:
     from open_buildings_spark.operators import aoi as aoi_op
     from open_buildings_spark.operators import enrich, explode, knn, partition, tiles
 
-    docs_path = f"/tmp/ob_spark_bench/docs_sf{sf}.parquet"
+    docs_path = f"/tmp/ob_spark_bench/docs_sf{sf}_r{replicas}.parquet"
     if not os.path.exists(docs_path):
-        docs = datagen.interleaved_docs(spark, sf_dir)
+        docs = datagen.interleaved_docs(spark, sf_dir, replicas)
         n_out = max(cpus, 8)
         docs.repartition(n_out).write.mode("overwrite").parquet(docs_path)
 
@@ -121,6 +122,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cpus": cpus,
                 "n_docs": n_docs,
+                "replicas": replicas,
             }
         )
     )

@@ -130,12 +130,16 @@ def _city_col(bid: Column) -> Column:
     )
 
 
-def derive_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def derive_buildings(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     """lineitem -> one building row per lineitem with derived geometry cols.
 
     Columns: bid, doc_id, city, tx, ty, lon, lat, r, conf, has_geom,
     is_multi, media_dx, qk (true z12 quadkey via integer interleave — used
     by tests/oracles; engine operators recompute it from WKT), qk_media, wkt.
+
+    ``replicas`` > 1 multiplies the corpus deterministically for scaling
+    benchmarks (bid = base*replicas + r); replicas=1 keeps the exact bids
+    the correctness oracle derives.
     """
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
     # deduplicate so bid (and doc_id) is a key on both engine and oracle side
@@ -144,7 +148,14 @@ def derive_buildings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber")
         .distinct()
     )
-    df = li.withColumn("bid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
+    if replicas > 1:
+        li = li.crossJoin(
+            spark.range(replicas).select(F.col("id").alias("_rep"))
+        )
+        base = (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * replicas + F.col("_rep")
+        df = li.withColumn("bid", base).drop("_rep")
+    else:
+        df = li.withColumn("bid", F.col("l_orderkey") * 8 + F.col("l_linenumber"))
     df = df.withColumn("h", (F.col("bid") * 1103515245 + 12345) % 2147483648)
     df = df.withColumn("city", _city_col(F.col("bid")))
     cx = F.element_at(F.array(*[F.lit(t[0]) for t in CITY_TILES]), F.col("city") + 1)
@@ -212,7 +223,7 @@ def _quadkey_col(tx: Column, ty: Column) -> Column:
     return F.concat(*parts)
 
 
-def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def interleaved_docs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
     """The interleaved-docs table per ``input_hint``: (doc_id, spans).
 
     Span sequence per doc (offsets monotone, gaps where spans are absent):
@@ -221,7 +232,7 @@ def interleaved_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       2: kind='attr:confidence'  confidence as text
       3: kind='media'            media_ref='tile/z12/<qk>'  (if has_geom)
     """
-    b = derive_buildings(spark, sf_dir)
+    b = derive_buildings(spark, sf_dir, replicas)
     text_span = F.struct(
         F.lit("text").alias("kind"),
         F.format_string("building %s in city %s", F.col("bid").cast("string"), F.col("city").cast("string")).alias("text"),

@@ -287,6 +287,37 @@ def parse_wkb(buf: bytes):
     raise ValueError(f"unsupported WKB geometry code {code}")
 
 
+def wkb_from_batch(batch: GeomBatch) -> np.ndarray:
+    """Serialize each geometry of a batch to WKB bytes (None for missing).
+
+    Holes follow their shell; multipolygon parts are split on shell rings.
+    """
+    out = np.full(batch.n_geoms, None, dtype=object)
+    rings_of: dict[int, list[tuple[np.ndarray, bool]]] = {}
+    for r in range(batch.n_rings):
+        rings_of.setdefault(int(batch.ring_geom[r]), []).append(
+            (batch.ring(r), bool(batch.ring_is_hole[r]))
+        )
+    for g in range(batch.n_geoms):
+        gt = batch.gtype[g]
+        if gt == GT_MISSING:
+            continue
+        rings = rings_of.get(g, [])
+        if gt == GT_POINT:
+            out[g] = point_wkb(rings[0][0][0, 0], rings[0][0][0, 1])
+        elif gt == GT_POLYGON:
+            out[g] = polygon_wkb([c for c, _ in rings])
+        else:  # multipolygon: new part at each shell
+            parts: list[list] = []
+            for coords, hole in rings:
+                if not hole or not parts:
+                    parts.append([coords])
+                else:
+                    parts[-1].append(coords)
+            out[g] = multipolygon_wkb(parts)
+    return out
+
+
 def parse_wkb_batch(series: pd.Series) -> GeomBatch:
     n = len(series)
     gtype = np.full(n, GT_MISSING, dtype=np.int8)

@@ -146,3 +146,26 @@ def add_country_iso(docs: DataFrame, country_list: list[tuple[str, list]]) -> Da
     df = docs if "wkt" in docs.columns else extract_geometry(docs)
     assign = make_country_assign(country_list)
     return df.withColumn("country_iso", assign(F.col("wkt")))
+
+
+def add_country_iso_from_table(docs: DataFrame, countries_df: DataFrame) -> DataFrame:
+    """Same as :func:`add_country_iso` but consuming the reference-schema
+    countries table (isocountrycodealpha2 + WKB geometry,
+    overture/add_columns.py:52): the small dimension is collected at the
+    driver, WKB-parsed once, and broadcast in the kernel closure."""
+    import pandas as pd
+
+    from ..geo.wkt import parse_wkb_batch
+
+    rows = countries_df.select("isocountrycodealpha2", "geometry").collect()
+    wkbs = pd.Series([bytes(r["geometry"]) for r in rows])
+    batch = parse_wkb_batch(wkbs)
+    country_list = []
+    for i, r in enumerate(rows):
+        rings = [
+            (batch.ring(j), bool(batch.ring_is_hole[j]))
+            for j in range(batch.n_rings)
+            if batch.ring_geom[j] == i
+        ]
+        country_list.append((r["isocountrycodealpha2"], rings))
+    return add_country_iso(docs, country_list)
