@@ -110,6 +110,25 @@ def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multi_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from open_buildings_spark.operators import spatial_join
+
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    out = spatial_join.aoi_join(docs, datagen.multi_aois())
+    return out.select("doc_id", "aoi_id")
+
+
+def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("hour", F.hour("ts"))
+        .groupBy("event_type")
+        .pivot("hour", list(range(24)))
+        .count()
+        .na.fill(0)
+    )
+
+
 def _q_span_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datagen.interleaved_docs(spark, sf_dir)
     return docs.select(
@@ -219,6 +238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_knn": _q_knn,
         "g_explode_parts": _q_explode_parts,
         "g_span_kinds": _q_span_kinds,
+        "g_multi_aoi": _q_multi_aoi,
+        "e_pivot": _q_event_pivot,
         # training-data pipeline: dedup + text analysis
         "t_exact_dedup": _q_exact_dedup,
         "t_minhash_lsh": _q_minhash_lsh,

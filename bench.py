@@ -105,13 +105,19 @@ def main() -> None:
     def q_explode():
         explode.explode_multipolygons(docs).select(F.count("*")).collect()
 
-    timed("join_tiles", q_join_tiles)
-    timed("aoi_query", q_aoi)
-    timed("partition_plan", q_partition_plan)
-    timed("knn", q_knn)
-    timed("explode", q_explode)
+    all_queries = {
+        "join_tiles": q_join_tiles,
+        "aoi_query": q_aoi,
+        "partition_plan": q_partition_plan,
+        "knn": q_knn,
+        "explode": q_explode,
+    }
+    selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    names = [n for n in selected.split(",") if n] or list(all_queries)
+    for name in names:
+        timed(name, all_queries[name])
 
-    throughput = n_docs / times["join_tiles"] if times["join_tiles"] else 0.0
+    throughput = n_docs / times["join_tiles"] if times.get("join_tiles") else 0.0
     print(
         json.dumps(
             {

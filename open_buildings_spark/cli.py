@@ -1,0 +1,178 @@
+"""CLI parity with the reference's ``ob`` tool (open_buildings/cli.py), so a
+reference user can run the same commands against this engine:
+
+  python -m open_buildings_spark quadkey  < aoi.geojson     (ob tools quadkey)
+  python -m open_buildings_spark wkt      < aoi.geojson     (ob tools WKT)
+  python -m open_buildings_spark quad2json 031313131112     (ob tools quad2json)
+  python -m open_buildings_spark sql      < aoi.geojson     (ob tools sql)
+  python -m open_buildings_spark get-buildings --table T --aoi aoi.geojson \
+         --dst out.json [--format json|parquet|geoparquet] [--country-iso XX]
+  python -m open_buildings_spark enrich    --src docs-parquet --dst table-root
+  python -m open_buildings_spark partition --src table-root --max-per-file N
+
+``geocode`` (place name -> AOI via Nominatim) is intentionally absent: no
+network in the target environment; pass AOI GeoJSON directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read_geojson(path: str | None) -> dict:
+    data = json.load(open(path) if path else sys.stdin)
+    if data.get("type") == "FeatureCollection":
+        return data["features"][0]
+    return data
+
+
+def cmd_quadkey(args) -> None:
+    from .geo.mercator import geojson_to_quadkey
+
+    print(geojson_to_quadkey(_read_geojson(args.geojson)))
+
+
+def cmd_wkt(args) -> None:
+    from .geo.wkt import geojson_geometry_to_wkt
+
+    print(geojson_geometry_to_wkt(_read_geojson(args.geojson)["geometry"]))
+
+
+def cmd_quad2json(args) -> None:
+    from .geo.mercator import quadkey_to_geojson
+
+    print(json.dumps(quadkey_to_geojson(args.quadkey), indent=2))
+
+
+def cmd_sql(args) -> None:
+    """Emit the equivalent relational query text (reference `ob tools sql`,
+    download_buildings.py:91-118) — here, the DataFrame plan the engine runs."""
+    from .geo.mercator import geojson_to_quadkey
+    from .geo.wkt import geojson_geometry_to_wkt
+
+    feat = _read_geojson(args.geojson)
+    qk = geojson_to_quadkey(feat)
+    wkt = geojson_geometry_to_wkt(feat["geometry"])
+    where = f"WHERE quadkey LIKE '{qk}%'"
+    if not args.only_quadkey:
+        where += f"\n  AND st_within(geometry, '{wkt}')  -- engine: Arrow within-kernel"
+    print(f"SELECT * FROM docs_table\n{where}")
+
+
+def cmd_get_buildings(args) -> None:
+    from .operators import aoi as aoi_op
+    from .operators import sinks
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-get-buildings")
+    feat = _read_geojson(args.aoi)
+    from .geo.mercator import geojson_to_quadkey
+
+    prefix = geojson_to_quadkey(feat)
+    try:
+        docs = tbl.read_table(spark, args.table, quadkey_prefix=prefix or None)
+    except FileNotFoundError:
+        docs = spark.read.parquet(args.table)
+    hit = aoi_op.aoi_query(docs, feat, country_iso=args.country_iso)
+    n = hit.count()
+    if n == 0:
+        print("No buildings found for the given AOI.", file=sys.stderr)
+        return
+    fmt = args.format or ("json" if args.dst.endswith(".json") else "parquet")
+    if fmt == "json":
+        sinks.write_geojson(hit, args.dst)
+    elif fmt == "geoparquet":
+        sinks.write_geoparquet(hit.drop("spans"), args.dst)
+    else:
+        hit.write.mode("overwrite").parquet(args.dst)
+    print(f"wrote {n} buildings to {args.dst} ({fmt})")
+
+
+def cmd_enrich(args) -> None:
+    from . import datagen
+    from .operators import enrich
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-enrich")
+    docs = spark.read.parquet(args.src)
+    clist = None
+    if args.countries:
+        cdf = spark.read.parquet(args.countries)
+        out = enrich.add_country_iso_from_table(
+            enrich.add_geo_columns(docs, drop_nongeo=True), cdf
+        )
+    else:
+        clist = [
+            (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
+            for iso, (w, s, e, n) in datagen.countries()
+        ]
+        out = enrich.add_geo_columns(docs, drop_nongeo=True, countries=clist)
+    m = tbl.write_partitioned(out, args.dst, max_per_file=args.max_per_file)
+    print(f"snapshot {m['snapshot_id']}: {len(m['partitions'])} partitions, "
+          f"{m['metrics']['rows_written']} rows")
+
+
+def cmd_partition(args) -> None:
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-partition")
+    docs = spark.read.parquet(args.src)
+    m = tbl.write_partitioned(docs, args.dst, max_per_file=args.max_per_file,
+                              cells_per_commit=args.cells_per_commit)
+    print(f"snapshot {m['snapshot_id']}: {len(m['partitions'])} partitions")
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="open_buildings_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quadkey", help="GeoJSON AOI -> covering quadkey")
+    q.add_argument("geojson", nargs="?")
+    q.set_defaults(fn=cmd_quadkey)
+
+    w = sub.add_parser("wkt", help="GeoJSON AOI -> WKT")
+    w.add_argument("geojson", nargs="?")
+    w.set_defaults(fn=cmd_wkt)
+
+    qj = sub.add_parser("quad2json", help="quadkey -> tile GeoJSON")
+    qj.add_argument("quadkey")
+    qj.set_defaults(fn=cmd_quad2json)
+
+    sq = sub.add_parser("sql", help="emit the AOI query text")
+    sq.add_argument("geojson", nargs="?")
+    sq.add_argument("--only-quadkey", action="store_true")
+    sq.set_defaults(fn=cmd_sql)
+
+    gb = sub.add_parser("get-buildings", help="AOI query over a docs table")
+    gb.add_argument("--table", required=True, help="iceberg-lite root or parquet dir")
+    gb.add_argument("--aoi", required=True)
+    gb.add_argument("--dst", required=True)
+    gb.add_argument("--format", choices=["json", "parquet", "geoparquet"])
+    gb.add_argument("--country-iso")
+    gb.set_defaults(fn=cmd_get_buildings)
+
+    en = sub.add_parser("enrich", help="add quadkey/country columns, write table")
+    en.add_argument("--src", required=True)
+    en.add_argument("--dst", required=True)
+    en.add_argument("--countries", help="countries parquet (WKB schema)")
+    en.add_argument("--max-per-file", type=int, default=10_000_000)
+    en.set_defaults(fn=cmd_enrich)
+
+    pt = sub.add_parser("partition", help="adaptive quadkey partitioning")
+    pt.add_argument("--src", required=True)
+    pt.add_argument("--dst", required=True)
+    pt.add_argument("--max-per-file", type=int, default=10_000_000)
+    pt.add_argument("--cells-per-commit", type=int, default=0)
+    pt.set_defaults(fn=cmd_partition)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

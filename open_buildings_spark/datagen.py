@@ -111,6 +111,44 @@ def city_aoi() -> dict:
     }
 
 
+def _rect_aoi(ci: int, x0: int, x1: int, y0: int, y1: int) -> dict:
+    """Rect AOI spanning tiles [x0..x1) x [y0..y1) of city ``ci``, inset 1e-6."""
+    tx, ty = CITY_TILES[ci]
+    eps = 1e-6
+    w = _tile_lon(tx + x0) + eps
+    e = _tile_lon(tx + x1) - eps
+    n = _tile_lat(ty + y0) - eps
+    s = _tile_lat(ty + y1) + eps
+    return {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]],
+        },
+    }
+
+
+def multi_aois() -> list[tuple[int, dict]]:
+    """Fixture AOI table for the generic spatial join: two dense-city AOIs,
+    one overlapping the first (docs matching both appear once per AOI),
+    and one empty-ocean AOI."""
+    ocean = {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[-30.0, -30.0], [-29.0, -30.0], [-29.0, -29.0], [-30.0, -29.0], [-30.0, -30.0]]],
+        },
+    }
+    return [
+        (1, _rect_aoi(0, 10, 14, 20, 24)),
+        (2, _rect_aoi(1, 5, 10, 40, 45)),
+        (3, _rect_aoi(0, 12, 16, 20, 24)),  # overlaps AOI 1
+        (4, ocean),
+    ]
+
+
 def aoi_bounds(aoi: dict) -> tuple[float, float, float, float]:
     ring = aoi["geometry"]["coordinates"][0]
     xs = [p[0] for p in ring]

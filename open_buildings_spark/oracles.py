@@ -182,6 +182,29 @@ p1 AS (
 SELECT * FROM p0 UNION ALL SELECT * FROM p1
 """
 
+    aoi_rows = ", ".join(
+        f"({aid}, {w!r}, {s!r}, {e!r}, {n!r})"
+        for aid, feat in datagen.multi_aois()
+        for w, s, e, n in [datagen.aoi_bounds(feat)]
+    )
+    sqls["g_multi_aoi"] = f"""
+WITH {bld},
+fp AS (SELECT doc_id, {_fp_bounds()} FROM bld WHERE has_geom),
+aois(aoi_id, aw, asx, ae, an) AS (VALUES {aoi_rows})
+SELECT fp.doc_id, CAST(a.aoi_id AS INT) AS aoi_id
+FROM fp JOIN aois a
+  ON fp.fminx >= a.aw AND fp.fmaxx <= a.ae AND fp.fminy >= a.asx AND fp.fmaxy <= a.an
+"""
+
+    sqls["e_pivot"] = """
+SELECT event_type,
+""" + ",\n".join(
+        f"       SUM(CASE WHEN date_part('hour', ts) = {h} THEN 1 ELSE 0 END) AS \"{h}\""
+        for h in range(24)
+    ) + """
+FROM events GROUP BY event_type
+"""
+
     sqls["g_span_kinds"] = f"""
 WITH {bld}
 SELECT doc_id,
