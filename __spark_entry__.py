@@ -225,6 +225,43 @@ def _q_sessionize(spark, sf_dir):
     return events_ops.sessionize_batch(spark, sf_dir)
 
 
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate: map-side-combinable, one shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + window top-k: top-3 customers by order value per nation
+    (broadcast dims, one shuffle on the fact)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    per_cust = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("total"))
+    j = per_cust.join(
+        F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"]
+    ).join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    w = Window.partitionBy("n_name").orderBy(F.col("total").desc(), F.col("c_custkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "c_custkey", "total", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY.md §2)
@@ -257,6 +294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_decode": _q_media_decode,
         "e_windowed_agg": _q_windowed_agg,
         "e_sessionize": _q_sessionize,
+        # generic analytics over the star schema
+        "h_pricing_summary": _q_pricing_summary,
+        "h_top_customers": _q_top_customers,
     }
 
 

@@ -268,6 +268,29 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+    sqls["h_pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(SUM(l_quantity), 4) AS sum_qty,
+       round(SUM(l_extendedprice), 4) AS sum_base_price,
+       round(SUM(l_extendedprice * (1e0 - l_discount)), 4) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+    sqls["h_top_customers"] = """
+WITH per_cust AS (
+  SELECT o_custkey, round(SUM(o_totalprice), 4) AS total FROM orders GROUP BY 1
+),
+j AS (
+  SELECT n.n_name, c.c_custkey, p.total,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY p.total DESC, c.c_custkey) AS rank
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, c_custkey, total, CAST(rank AS BIGINT) AS rank FROM j WHERE rank <= 3
+"""
+
     sqls["e_sessionize"] = """
 WITH o AS (
   SELECT user_id, ts, event_id,
