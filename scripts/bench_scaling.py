@@ -6,7 +6,7 @@ Efficiency = (throughput_4N / throughput_N) / 4. The north_rule asks >= 0.8
 between N and 4N executors; this sandbox has no cluster, so parallelism
 levels on one machine stand in (driver instruction).
 
-Usage: python scripts/bench_scaling.py [replicas] [runs]
+Usage: python scripts/bench_scaling.py [replicas] [runs] [N] [fourN]
 """
 
 from __future__ import annotations
@@ -43,12 +43,14 @@ def run_bench(cpus: int, replicas: int) -> dict:
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
-    results: dict[int, list[dict]] = {8: [], 32: []}
+    results: dict[int, list[dict]] = {n_small: [], n_big: []}
     # warm the docs cache once (idempotent materialization)
-    run_bench(8, replicas)
+    run_bench(n_small, replicas)
     for _ in range(runs):
-        for cpus in (8, 32):
+        for cpus in (n_small, n_big):
             r = run_bench(cpus, replicas)
             results[cpus].append(r)
             print(json.dumps(r))
@@ -64,8 +66,8 @@ def main() -> None:
         }
         return {"cpus": cpus, "n_docs": n, "join_tiles_sec": t, "docs_per_sec": n / t, "queries": qmed}
 
-    b8, b32 = best(8), best(32)
-    eff = (b32["docs_per_sec"] / b8["docs_per_sec"]) / 4.0
+    b8, b32 = best(n_small), best(n_big)
+    eff = (b32['docs_per_sec'] / b8['docs_per_sec']) / (n_big / n_small)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — engine throughput + two-cluster-size scaling
@@ -76,19 +78,19 @@ tile-assignment pipeline over the interleaved-docs table.
 Input: /root/testdata/sf0.1 lineitem-derived docs x{replicas} replicas =
 {b8['n_docs']:,} documents, identical at both parallelism levels.
 No real cluster exists in this sandbox, so the north_rule's N -> 4N executor
-scaling is evidenced at local[8] vs local[32] on identical input
+scaling is evidenced at local[{n_small}] vs local[{n_big}] on identical input
 (best of {runs} runs; the host carries heavy external load, so best-of is used).
 
 | parallelism | join_tiles wall (s) | joined-docs/sec |
 |---|---|---|
-| local[8]  (N)  | {b8['join_tiles_sec']:.2f} | {b8['docs_per_sec']:,.0f} |
-| local[32] (4N) | {b32['join_tiles_sec']:.2f} | {b32['docs_per_sec']:,.0f} |
+| local[{n_small}]  (N)  | {b8['join_tiles_sec']:.2f} | {b8['docs_per_sec']:,.0f} |
+| local[{n_big}] (4N) | {b32['join_tiles_sec']:.2f} | {b32['docs_per_sec']:,.0f} |
 
 **Scaling efficiency (N -> 4N): {eff:.2f}** (target >= 0.8)
 
 Per-query medians (seconds):
 
-| query | local[8] | local[32] |
+| query | local[{n_small}] | local[{n_big}] |
 |---|---|---|
 """ + "\n".join(
         f"| {q} | {b8['queries'][q]:.2f} | {b32['queries'][q]:.2f} |"
@@ -98,7 +100,7 @@ Per-query medians (seconds):
 Raw runs (one JSON line each):
 
 ```
-{chr(10).join(json.dumps(r) for c in (8, 32) for r in results[c])}
+{chr(10).join(json.dumps(r) for c in (n_small, n_big) for r in results[c])}
 ```
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
