@@ -123,6 +123,26 @@ def main() -> None:
     def q_explode():
         explode.explode_multipolygons(docs).select(F.count("*")).collect()
 
+    def q_dedup_minhash():
+        from open_buildings_spark.operators import dedup
+
+        corpus = dedup.augment_corpus(spark, sf_dir)
+        dedup.minhash_lsh_dedup(corpus).select(F.count("*")).collect()
+
+    def q_cosine_topk():
+        from open_buildings_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+        similarity.cosine_topk(emb, q).select(F.count("*")).collect()
+
+    def q_windowed_agg():
+        from open_buildings_spark.streaming import events as ev
+
+        ev.windowed_counts_batch(spark, sf_dir).select(F.count("*")).collect()
+
     all_queries = {
         "join_tiles": q_join_tiles,
         "aoi_query": q_aoi,
@@ -130,6 +150,9 @@ def main() -> None:
         "partition_plan": q_partition_plan,
         "knn": q_knn,
         "explode": q_explode,
+        "dedup_minhash": q_dedup_minhash,
+        "cosine_topk": q_cosine_topk,
+        "windowed_agg": q_windowed_agg,
     }
     selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [n for n in selected.split(",") if n] or list(all_queries)

@@ -111,18 +111,17 @@ def lsh_candidate_pairs(
     """Band-hash bucket join: docs sharing any band signature become a
     candidate pair (a < b). The self-join shuffles on the band key — the
     standard LSH equi-join; skewed buckets are handled by AQE skew-join."""
-    band_cols = []
+    # one struct array + explode (NOT a per-band union: each union branch
+    # would re-evaluate the whole minhash aggregation upstream)
+    band_structs = []
     for b in range(bands):
         parts = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.md5(F.concat(*parts)).alias(f"band_{b}"))
-    banded = sig.select(id_col, *band_cols)
-    stacked = None
-    for b in range(bands):
-        one = banded.select(
-            F.col(id_col).alias("id"), F.col(f"band_{b}").alias("bkey"),
-            F.lit(b).alias("band")
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("bkey"))
         )
-        stacked = one if stacked is None else stacked.unionByName(one)
+    stacked = sig.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     left = stacked.select(F.col("id").alias("a"), "bkey", "band")
     right = stacked.select(F.col("id").alias("b"), "bkey", "band")
     return (

@@ -250,3 +250,20 @@ def test_haversine_known():
     # 1 degree of longitude at the equator ~ 111.19 km
     d = kernels.haversine_m(0.0, 0.0, 1.0, 0.0)
     assert d == pytest.approx(111195, rel=1e-3)
+
+
+def test_cell_index_provider_abstraction():
+    from open_buildings_spark.geo.cells import cell_index
+
+    qk = cell_index("quadkey")
+    c = qk.cell_of_scalar(55.4530911764705, -4.62311864604, 12)
+    assert c == SEYCHELLES_QUADKEY
+    assert qk.parent(c, 5) == c[:5]
+    nb = qk.neighbors(c, 1)
+    assert len(nb) == 9 and c in nb
+    cover = qk.cover_bbox(55.4528, -4.6235, 55.4534, -4.6227, 12)
+    assert c in cover
+    vec = qk.cell_of(np.array([55.4530911764705]), np.array([-4.62311864604]), 12)
+    assert vec[0] == c
+    with pytest.raises(ImportError):
+        cell_index("h3")  # not installed in this environment
