@@ -74,9 +74,25 @@ def knn(
         cand = buildings.join(F.broadcast(cells_df), "quadkey")
         dist = haversine_m(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat"))
         scored = cand.withColumn("dist_m", dist)
+        # two-stage salted top-k: a plain Window.partitionBy(query_id) would
+        # funnel every candidate of a query into ONE reducer (queries are
+        # few, candidate sets can be huge in dense cells). Stage 1 takes a
+        # local top-k per (query, salt) shard; stage 2 merges k*SALTS rows.
+        SALTS = 16
+        salted = scored.withColumn(
+            "salt", F.pmod(F.hash(F.col("doc_id")), F.lit(SALTS))
+        )
+        w1 = Window.partitionBy("query_id", "salt").orderBy(
+            F.col("dist_m").asc(), F.col("doc_id").asc()
+        )
+        local = (
+            salted.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= k)
+            .drop("r1", "salt")
+        )
         w = Window.partitionBy("query_id").orderBy(F.col("dist_m").asc(), F.col("doc_id").asc())
         topk = (
-            scored.withColumn("rank", F.row_number().over(w))
+            local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "doc_id", "rank", "dist_m")
         )
