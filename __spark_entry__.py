@@ -93,13 +93,10 @@ def _q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _geo_docs(spark, sf_dir).filter(F.col("quadkey").isNotNull())
-    b = g.select("doc_id", "quadkey", "lon", "lat").cache()
-    try:
-        return knn.knn(spark, b, oracles.knn_queries(), k=oracles.KNN_K).withColumn(
-            "rank", F.col("rank").cast("long")
-        )
-    finally:
-        pass
+    b = g.select("doc_id", "quadkey", "lon", "lat")
+    return knn.knn(spark, b, oracles.knn_queries(), k=oracles.KNN_K).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:

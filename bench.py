@@ -53,8 +53,9 @@ def main() -> None:
     docs_path = f"/tmp/ob_spark_bench/docs_sf{sf}_r{replicas}.parquet"
     if not os.path.exists(docs_path):
         docs = datagen.interleaved_docs(spark, sf_dir, replicas)
-        n_out = max(cpus, 8)
-        docs.repartition(n_out).write.mode("overwrite").parquet(docs_path)
+        # fixed 64-way layout: input parallelism must not depend on which
+        # cluster size materialized the cache (identical input for scaling)
+        docs.repartition(64).write.mode("overwrite").parquet(docs_path)
 
     docs = spark.read.parquet(docs_path)
     n_docs = docs.count()
@@ -65,6 +66,7 @@ def main() -> None:
         F.count("*")
     ).collect()
 
+    loadavg_start = round(os.getloadavg()[0], 1)
     times: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
@@ -123,6 +125,41 @@ def main() -> None:
     def q_explode():
         explode.explode_multipolygons(docs).select(F.count("*")).collect()
 
+    # reference-comparable conversion benchmark: the reference converts a
+    # 101 MB Google CSV (~multipolygon split + area + plus code) in 1.9-2.3s
+    # single-node DuckDB (README.md:131-143). Same pipeline here over an
+    # equivalent CSV materialized once.
+    csv_path = f"/tmp/ob_spark_bench/google_sf{sf}_r{replicas}.csv"
+    def _ensure_csv():
+        if not os.path.exists(csv_path):
+            from open_buildings_spark import datagen as dg
+
+            b = dg.derive_buildings(spark, sf_dir, replicas).filter(
+                F.col("wkt").isNotNull()
+            )
+            (
+                b.select(
+                    F.col("lat").alias("latitude"),
+                    F.col("lon").alias("longitude"),
+                    (F.col("r") * F.col("r") * 4).alias("area_in_meters"),
+                    F.col("conf").alias("confidence"),
+                    F.col("wkt").alias("geometry"),
+                    F.lit("XXXXXXXX+XX").alias("full_plus_code"),
+                )
+                .coalesce(8)
+                .write.mode("overwrite")
+                .option("header", True)
+                .csv(csv_path)
+            )
+
+    def q_convert_csv():
+        from open_buildings_spark.operators import convert
+
+        out = convert.convert_google_csv(spark, csv_path)
+        out.write.mode("overwrite").option("compression", "snappy").parquet(
+            "/tmp/ob_spark_bench/convert_out.parquet"
+        )
+
     def q_dedup_minhash():
         from open_buildings_spark.operators import dedup
 
@@ -153,11 +190,14 @@ def main() -> None:
         "dedup_minhash": q_dedup_minhash,
         "cosine_topk": q_cosine_topk,
         "windowed_agg": q_windowed_agg,
+        "convert_csv": q_convert_csv,
     }
     selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [n for n in selected.split(",") if n] or list(all_queries)
     if "aoi_table" in names:
         _ensure_table()  # one-time build outside the timed window
+    if "convert_csv" in names:
+        _ensure_csv()
     for name in names:
         timed(name, all_queries[name])
 
@@ -173,6 +213,8 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "replicas": replicas,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": round(os.getloadavg()[0], 1),
             }
         )
     )

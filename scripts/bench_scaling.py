@@ -20,7 +20,23 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def wait_for_idle(threshold: float = 4.0, timeout_s: int = 1200) -> float:
+    """Block until the 1-min loadavg drops below threshold (the host carries
+    bursty external load; measuring during a burst is meaningless)."""
+    import time as _t
+
+    t0 = _t.time()
+    while _t.time() - t0 < timeout_s:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            return load
+        _t.sleep(20)
+    return os.getloadavg()[0]
+
+
 def run_bench(cpus: int, replicas: int) -> dict:
+    load = wait_for_idle()
+    print(f"# starting cpus={cpus} at loadavg {load:.1f}", flush=True)
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
