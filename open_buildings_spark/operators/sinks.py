@@ -142,3 +142,110 @@ def write_geojson(df: DataFrame, path: str, wkt_col: str = "wkt") -> int:
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
     return len(feats)
+
+
+# --------------------------- STAC catalog (S11) ---------------------------
+
+
+def write_stac_catalog(
+    table_root: str,
+    catalog_id: str = "open-buildings-spark",
+    description: str = "A catalog of geoparquet files.",
+    item_datetime: str = "2023-05-30T00:00:00Z",
+) -> dict:
+    """Emit a STAC catalog for an iceberg_lite table's data files (S11).
+
+    The reference ships a per-parquet-file STAC emitter that is declared
+    non-working (open_buildings/google/stac-geoparquet.py:1-8); its intended
+    output — one Item per parquet file with bbox geometry + a data asset,
+    under a catalog.json and collection.json — is produced here from the
+    table manifest instead of re-reading every file: each partition's bbox
+    is the web-mercator bounds of its cell quadkey (tile prefix), so the
+    catalog build is metadata-only (no data-file scan).
+
+    Deterministic: item datetime is a fixed parameter (the reference does
+    the same via --item-datetime, stac-geoparquet.py:55), no wall clock.
+    Returns the catalog dict; writes metadata/stac/{catalog,collection}.json
+    and one item JSON per data file.
+    """
+    from ..geo import mercator
+    from ..table import iceberg_lite
+
+    m = iceberg_lite.current_manifest(table_root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {table_root}")
+    stac_dir = os.path.join(table_root, "metadata", "stac")
+    os.makedirs(stac_dir, exist_ok=True)
+
+    items = []
+    gxmin = gymin = float("inf")
+    gxmax = gymax = float("-inf")
+    for part in m["partitions"]:
+        cell = part["cell"]
+        if cell:
+            x, y, z = mercator.tile_from_quadkey(cell)
+            w, s, e, n = mercator.tile_bounds(x, y, z)
+        else:  # root cell: whole web-mercator extent
+            w, s, e, n = -180.0, -85.05112878, 180.0, 85.05112878
+        gxmin, gymin = min(gxmin, w), min(gymin, s)
+        gxmax, gymax = max(gxmax, e), max(gymax, n)
+        ring = [[w, s], [e, s], [e, n], [w, n], [w, s]]
+        for rel in part["files"]:
+            # id from the RELATIVE path: spark's dynamic-partition writer
+            # reuses one task's part-file basename across every cell dir it
+            # writes, so basenames alone collide between partitions
+            file_id = os.path.splitext(rel)[0].replace(os.sep, "_").replace("=", "-")
+            items.append(
+                {
+                    "type": "Feature",
+                    "stac_version": "1.0.0",
+                    "id": file_id,
+                    "bbox": [w, s, e, n],
+                    "geometry": {"type": "Polygon", "coordinates": [ring]},
+                    "properties": {
+                        "title": os.path.basename(rel),
+                        "proj:epsg": 4326,
+                        "datetime": item_datetime,
+                        "table:cell": cell,
+                        "table:partition_values": part["values"],
+                        "table:row_count": part["n_rows"],
+                    },
+                    "assets": {
+                        "data": {
+                            "href": os.path.join("..", "..", rel),
+                            "type": "application/parquet",
+                        }
+                    },
+                    "links": [{"rel": "parent", "href": "catalog.json"}],
+                    "collection": f"{catalog_id}-collection",
+                }
+            )
+
+    catalog = {
+        "type": "Catalog",
+        "stac_version": "1.0.0",
+        "id": catalog_id,
+        "description": description,
+        "links": [{"rel": "self", "href": "catalog.json"}]
+        + [{"rel": "item", "href": f"{it['id']}.json"} for it in items],
+    }
+    collection = {
+        "type": "Collection",
+        "stac_version": "1.0.0",
+        "id": f"{catalog_id}-collection",
+        "description": description,
+        "license": "proprietary",
+        "extent": {
+            "spatial": {"bbox": [[gxmin, gymin, gxmax, gymax]]},
+            "temporal": {"interval": [[item_datetime, item_datetime]]},
+        },
+        "links": [{"rel": "child", "href": "catalog.json"}],
+    }
+    for it in items:
+        with open(os.path.join(stac_dir, f"{it['id']}.json"), "w") as f:
+            json.dump(it, f, indent=1, sort_keys=True)
+    with open(os.path.join(stac_dir, "catalog.json"), "w") as f:
+        json.dump(catalog, f, indent=1, sort_keys=True)
+    with open(os.path.join(stac_dir, "collection.json"), "w") as f:
+        json.dump(collection, f, indent=1, sort_keys=True)
+    return catalog

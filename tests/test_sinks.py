@@ -88,3 +88,44 @@ def test_country_join_from_wkb_table(spark, docs):
     assert got.sum() == out.filter(F.col("wkt").isNotNull()).count()
     assert "A0" in got.index and got["A0"] > 0
     assert set(got.index) <= {"A0", "AA", "BB", "CC", "DD", "EE"}
+
+
+def test_stac_catalog_from_manifest(spark, docs, tmp_path):
+    """S11: STAC items/catalog/collection emitted from the table manifest
+    (reference intent: google/stac-geoparquet.py, declared non-working)."""
+    import json
+    import os
+
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import enrich, sinks
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    root = str(tmp_path / "tbl")
+    enriched = enrich.add_geo_columns(docs, drop_nongeo=True)
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    cat = sinks.write_stac_catalog(root)
+
+    man = tbl.current_manifest(root)
+    nfiles = sum(len(p["files"]) for p in man["partitions"])
+    stac_dir = os.path.join(root, "metadata", "stac")
+    item_links = [l for l in cat["links"] if l["rel"] == "item"]
+    assert len(item_links) == nfiles
+
+    # every item file exists, bbox matches its cell's tile bounds, and the
+    # asset href resolves to the real data file
+    part = man["partitions"][0]
+    item_id = (
+        os.path.splitext(part["files"][0])[0].replace(os.sep, "_").replace("=", "-")
+    )
+    with open(os.path.join(stac_dir, f"{item_id}.json")) as f:
+        item = json.load(f)
+    x, y, z = mercator.tile_from_quadkey(part["cell"])
+    assert item["bbox"] == list(mercator.tile_bounds(x, y, z))
+    assert item["properties"]["table:row_count"] == part["n_rows"]
+    asset = os.path.normpath(os.path.join(stac_dir, item["assets"]["data"]["href"]))
+    assert os.path.exists(asset)
+
+    with open(os.path.join(stac_dir, "collection.json")) as f:
+        coll = json.load(f)
+    (bbox,) = coll["extent"]["spatial"]["bbox"]
+    assert bbox[0] <= item["bbox"][0] and bbox[2] >= item["bbox"][2]
