@@ -199,6 +199,10 @@ def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return similarity.ann_topk_ivf(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     # the synthetic embeddings hold no near-dups; inject exact duplicates
     # (vec_id+100000) so the operator has positives to find (oracle mirrors)
@@ -286,6 +290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search over embeddings
         "s_cosine_topk": _q_cosine_topk,
         "s_ann_lsh": _q_ann_lsh,
+        "s_ann_ivf": _q_ann_ivf,
         "s_embedding_neardup": _q_embedding_neardup,
         # multimodal + events
         "m_media_decode": _q_media_decode,

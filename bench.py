@@ -46,13 +46,15 @@ def main() -> None:
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
-    if cpus >= 16:
-        # Arrow stages run a JVM task thread + a Python worker (~2 runnable
-        # threads per task). Budgeting 2 cpus/task keeps runnable threads ≈
-        # cores — the same spark.executor.cores vs spark.task.cpus sizing a
-        # real cluster uses for pandas-UDF-heavy jobs. Measured here: kNN
-        # 15.5s → 7.2s at local[32]; JVM-only queries unaffected.
-        spark = spark.config("spark.task.cpus", "2")
+    # Arrow stages run a JVM task thread + a Python worker (~2 runnable
+    # threads per task). Budgeting 2 cpus/task keeps runnable threads ≈
+    # cores — the same spark.executor.cores vs spark.task.cpus sizing a
+    # real cluster uses for pandas-UDF-heavy jobs. Measured here: kNN
+    # 15.5s → 7.2s at local[32]; JVM-only queries unaffected. Overridable
+    # so the scaling harness can hold task sizing constant across N and 4N.
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS") or ("2" if cpus >= 16 else "1")
+    if task_cpus != "1":
+        spark = spark.config("spark.task.cpus", task_cpus)
     spark = spark.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

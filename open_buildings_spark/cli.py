@@ -127,6 +127,70 @@ def cmd_partition(args) -> None:
     print(f"snapshot {m['snapshot_id']}: {len(m['partitions'])} partitions")
 
 
+def cmd_benchmark(args) -> None:
+    """Conversion benchmark matrix (= ``ob google benchmark``,
+    reference cli.py:90-162 / google/process.py:449-476): time the convert
+    pipeline per (process, format), render as a process x format pivot.
+
+    Reference processes are duckdb/pandas/ogr engines; here the engine
+    variants are ``spark`` (multipolygon split + derived attrs, like the
+    reference's split-multis mode) and ``spark-nosplit`` (pass-through,
+    like ogr which cannot split, google/process.py:342-344).
+    """
+    import json as _json
+    import os
+    import time
+
+    import pandas as pd
+
+    from .operators import convert, sinks
+    from .session import get_spark
+
+    spark = get_spark(app_name="ob-benchmark")
+    processes = args.processes.split(",")
+    formats = args.formats.split(",")
+    rows = []
+    for proc in processes:
+        for fmt in formats:
+            t0 = time.time()
+            out = convert.convert_google_csv(
+                spark, args.src, split_multipolygons=(proc != "spark-nosplit")
+            )
+            dst = os.path.join(args.dst, f"{proc}_{fmt}")
+            if fmt == "parquet":
+                out.write.mode("overwrite").option("compression", "snappy").parquet(dst)
+            elif fmt == "geoparquet":
+                sinks.write_geoparquet(out.withColumnRenamed("geometry", "wkt"), dst)
+            elif fmt == "json":
+                os.makedirs(args.dst, exist_ok=True)
+                sinks.write_geojson(
+                    out.withColumnRenamed("geometry", "wkt").limit(args.json_limit),
+                    dst + ".json",
+                )
+            else:
+                raise SystemExit(f"unknown format: {fmt}")
+            rows.append(
+                {"process": proc, "format": fmt,
+                 "execution_time": round(time.time() - t0, 3)}
+            )
+    df = pd.DataFrame(rows)
+    pivot = df.pivot(index="process", columns="format", values="execution_time")
+    if args.output_format == "csv":
+        print(pivot.to_csv())
+    elif args.output_format == "json":
+        print(_json.dumps(rows))
+    else:
+        print(pivot.to_string())
+
+
+def cmd_stac(args) -> None:
+    from .operators import sinks
+
+    cat = sinks.write_stac_catalog(args.table, item_datetime=args.item_datetime)
+    n = sum(1 for l in cat["links"] if l["rel"] == "item")
+    print(f"wrote STAC catalog with {n} items under {args.table}/metadata/stac")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="open_buildings_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -169,6 +233,21 @@ def main(argv: list[str] | None = None) -> None:
     pt.add_argument("--max-per-file", type=int, default=10_000_000)
     pt.add_argument("--cells-per-commit", type=int, default=0)
     pt.set_defaults(fn=cmd_partition)
+
+    bm = sub.add_parser("benchmark", help="conversion timing matrix (process x format)")
+    bm.add_argument("--src", required=True, help="Google-schema CSV path")
+    bm.add_argument("--dst", required=True, help="output directory")
+    bm.add_argument("--processes", default="spark,spark-nosplit")
+    bm.add_argument("--formats", default="parquet,geoparquet,json")
+    bm.add_argument("--output-format", choices=["ascii", "csv", "json"], default="ascii")
+    bm.add_argument("--json-limit", type=int, default=100_000,
+                    help="cap GeoJSON export rows (driver-side text sink)")
+    bm.set_defaults(fn=cmd_benchmark)
+
+    st = sub.add_parser("stac", help="emit STAC catalog for a table's data files")
+    st.add_argument("--table", required=True, help="iceberg-lite table root")
+    st.add_argument("--item-datetime", default="2023-05-30T00:00:00Z")
+    st.set_defaults(fn=cmd_stac)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -36,10 +36,16 @@ def read_google_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.drop("latitude", "longitude")
 
 
-def convert_google(df: DataFrame) -> DataFrame:
+def convert_google(df: DataFrame, split_multipolygons: bool = True) -> DataFrame:
     """Split multipolygons; every output row carries recomputed
     area_in_meters + full_plus_code; single-polygon rows pass through
-    (with their derived values recomputed identically)."""
+    (with their derived values recomputed identically).
+
+    ``split_multipolygons=False`` passes geometries through unchanged —
+    the reference's ogr engine mode, which cannot split
+    (google/process.py:342-344)."""
+    if not split_multipolygons:
+        return df
     src = df.withColumnRenamed("geometry", "wkt")
     out = explode_multipolygons(src)
     return (
@@ -51,9 +57,12 @@ def convert_google(df: DataFrame) -> DataFrame:
 
 
 def convert_google_csv(
-    spark: SparkSession, csv_path: str, dst: str | None = None
+    spark: SparkSession,
+    csv_path: str,
+    dst: str | None = None,
+    split_multipolygons: bool = True,
 ) -> DataFrame:
-    out = convert_google(read_google_csv(spark, csv_path))
+    out = convert_google(read_google_csv(spark, csv_path), split_multipolygons)
     if dst:
         out.write.mode("overwrite").option("compression", "snappy").parquet(dst)
     return out

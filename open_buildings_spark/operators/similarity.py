@@ -114,3 +114,91 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.999) -> DataFrame:
         .filter(F.col("sim_r") >= threshold)
         .select("a", "b", "sim_r")
     )
+
+
+# ------------------------------ IVF variant ------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+CENTROID_STRIDE = 7
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                  stride: int = CENTROID_STRIDE) -> DataFrame:
+    """Deterministic coarse quantizer: centroid c = the embedding of
+    vec_id c*stride (a fixed sample standing in for k-means training, which
+    would be nondeterministic across engines). (cid, cv)."""
+    ids = [i * stride for i in range(n_centroids)]
+    return emb.filter(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") / stride).cast("int").alias("cid"),
+        _vecd(F.col("embedding")).alias("cv"),
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid): each vector joins its nearest centroid by cosine
+    (rounded, cid-ascending tie-break). The centroid table is tiny and
+    broadcast; at scale ``cid`` is the partition key of the index — probes
+    read only the probed cells' partitions."""
+    crossed = emb.select("vec_id", _vecd(F.col("embedding")).alias("v")).crossJoin(
+        F.broadcast(centroids)
+    )
+    sim = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(sim, 6).desc(), F.col("cid").asc()
+    )
+    return (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-bucketed ANN (the scale path alongside the LSH variant): assign
+    every vector to its nearest coarse centroid, probe each query's
+    ``n_probe`` nearest cells, exact cosine top-k among those candidates
+    only: (query_id, vec_id, rank). Cost Q x (N * n_probe / n_centroids)
+    instead of Q x N."""
+    cent = ivf_centroids(emb)
+    cells = ivf_assign(emb, cent)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), _vecd(F.col("embedding")).alias("qv")
+    )
+    qsim = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(qsim, 6).desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cid", "qv")
+    )
+    cand = (
+        emb.select("vec_id", _vecd(F.col("embedding")).alias("v"))
+        .join(cells, "vec_id")
+        .join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_r").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("sim_r", F.round(sim, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )

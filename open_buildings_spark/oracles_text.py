@@ -246,6 +246,52 @@ pairs AS (
 SELECT a, b, sim_r FROM pairs WHERE sim_r >= 0.999
 """
 
+    # IVF: centroid c = embedding of vec_id c*STRIDE (deterministic sample
+    # quantizer, mirrors operators.similarity.ivf_centroids); every vector
+    # assigned to its nearest centroid, queries probe the N_PROBE nearest
+    # cells, exact cosine top-k among probed candidates only.
+    from .operators.similarity import CENTROID_STRIDE, N_CENTROIDS, N_PROBE
+
+    sqls["s_ann_ivf"] = f"""
+WITH cent AS (
+  SELECT CAST(vec_id / {CENTROID_STRIDE} AS INT) AS cid, embedding AS cv
+  FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {N_CENTROIDS * CENTROID_STRIDE}
+),
+asg AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY sim_r DESC, cid) AS rn
+  FROM (SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(e.embedding, c.cv), 6) AS sim_r
+        FROM embeddings e CROSS JOIN cent c)
+),
+cell AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT e.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding, c.cv), 6) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, ce.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 6) AS sim_r
+  FROM cell ce
+  JOIN probes p ON ce.cid = p.cid
+  JOIN embeddings e ON e.vec_id = ce.vec_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  WHERE ce.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, vec_id, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sim_r DESC, vec_id) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
+"""
+
     # ---------------- multimodal decode (deterministic stub) -----------------
 
     bld = datagen.buildings_sql_cte()

@@ -58,3 +58,65 @@ def test_cli_unknown_command_errors():
     )
     assert r.returncode != 0
     assert "invalid choice" in r.stderr
+
+
+def test_cli_benchmark_matrix(spark, tmp_path, capsys):
+    """In-process `benchmark` command (= ob google benchmark, reference
+    cli.py:90-162): process x format pivot over the convert pipeline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from open_buildings_spark import cli, datagen
+
+    csv = str(tmp_path / "google.csv")
+    b = datagen.derive_buildings(spark, "/root/testdata/sf0.001").filter(
+        F.col("wkt").isNotNull()
+    )
+    (
+        b.limit(200)
+        .select(
+            F.col("lat").alias("latitude"),
+            F.col("lon").alias("longitude"),
+            (F.col("r") * F.col("r") * 4).alias("area_in_meters"),
+            F.col("conf").alias("confidence"),
+            F.col("wkt").alias("geometry"),
+            F.lit("XXXXXXXX+XX").alias("full_plus_code"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(csv)
+    )
+    dst = str(tmp_path / "out")
+    cli.main(
+        ["benchmark", "--src", csv, "--dst", dst,
+         "--formats", "parquet,json", "--output-format", "json"]
+    )
+    import json as _json
+
+    rows = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {(r["process"], r["format"]) for r in rows} == {
+        ("spark", "parquet"), ("spark", "json"),
+        ("spark-nosplit", "parquet"), ("spark-nosplit", "json"),
+    }
+    assert all(r["execution_time"] > 0 for r in rows)
+    assert os.path.exists(os.path.join(dst, "spark_parquet"))
+    assert os.path.exists(os.path.join(dst, "spark-nosplit_json.json"))
+
+
+def test_cli_stac(spark, docs, tmp_path, capsys):
+    from open_buildings_spark import cli
+    from open_buildings_spark.operators import enrich
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(
+        enrich.add_geo_columns(docs, drop_nongeo=True), root, max_per_file=500
+    )
+    cli.main(["stac", "--table", root])
+    out = capsys.readouterr().out
+    assert "wrote STAC catalog" in out
+    import os
+
+    assert os.path.exists(os.path.join(root, "metadata", "stac", "catalog.json"))
