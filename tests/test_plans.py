@@ -1,0 +1,105 @@
+"""Physical-plan regression tests for the scale claims in README/SURVEY §4.
+
+These pin the *plan shape*, not results: quadkey prefix predicates must be
+pushed into the parquet scan (row-group pruning on quadkey-sorted files),
+small dimensions must broadcast (no shuffle of the fact side), and
+aggregations must have a map-side partial phase. A refactor that silently
+turns one of these into a full scan / shuffle still passes result tests —
+only a plan assertion catches it before it costs 100x at 100 TB.
+"""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from open_buildings_spark.operators import enrich
+from open_buildings_spark.table import iceberg_lite as tbl
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_quadkey_prefix_pushed_to_parquet_scan(spark, docs, tmp_path):
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(
+        enrich.add_geo_columns(docs, drop_nongeo=True), root, max_per_file=500
+    )
+    t = tbl.read_table(spark, root, quadkey_prefix="3001")
+    q = t.filter(F.col("quadkey").startswith("3001")).select("doc_id", "quadkey")
+    plan = plan_of(q)
+    assert "PushedFilters" in plan and "StringStartsWith(quadkey,3001)" in plan
+    # column pruning reaches the scan: spans (the widest column) not read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "spans" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_histogram_has_partial_aggregation(spark, docs):
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    hist = g.groupBy(F.substring("quadkey", 1, 12).alias("qk12")).count()
+    plan = plan_of(hist)
+    # two HashAggregate phases = map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_native_pipeline_stays_in_codegen(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = plan_of(q)
+    # the date filter is pushed to the parquet reader, which reads vectorized
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "Batched: true" in plan
+    # codegen spans only materialize in the AQE *final* plan: execute, then
+    # check the executed plan marks its operators codegen'd ("*(n) Op")
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed, executed
+
+
+def test_enrich_is_single_python_pass(spark, docs):
+    """The whole enrichment (parse + quadkey + centroid + area + country)
+    must be ONE Arrow stage — a second python eval node means a kernel got
+    split out and every WKT parses twice."""
+    from open_buildings_spark import datagen
+
+    clist = [
+        (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
+        for iso, (w, s, e, n) in datagen.countries()
+    ]
+    g = enrich.add_geo_columns(docs, countries=clist)
+    out = g.filter(F.col("quadkey").isNotNull()).select("doc_id", "country_iso")
+    import re
+
+    plan = plan_of(out)
+    # formatted mode prints each node once in the tree and once in the
+    # details section — count only the numbered detail headers
+    nodes = re.findall(
+        r"^\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython|MapInPandas)",
+        plan,
+        re.M,
+    )
+    assert len(nodes) == 1, plan
