@@ -62,6 +62,38 @@ def _floats(text: str) -> np.ndarray:
         return np.fromstring(text.replace(",", " "), dtype=np.float64, sep=" ")
 
 
+def _floats_bulk(text: str, expected: int) -> np.ndarray:
+    """Parse a big "x y, x y, ..." blob. pyarrow's CSV float parser is ~2.5x
+    faster than np.fromstring and bit-identical; single-threaded on purpose
+    (this runs inside a Spark python worker — spawning a thread pool per
+    batch would oversubscribe the executor). Falls back to the numpy parser
+    when the blob isn't the regular two-floats-per-pair shape."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    try:
+        csv = text.replace(", ", "\n").replace(",", "\n")
+        t = pacsv.read_csv(
+            io.BytesIO(csv.encode()),
+            read_options=pacsv.ReadOptions(use_threads=False, column_names=["x", "y"]),
+            parse_options=pacsv.ParseOptions(delimiter=" "),
+            convert_options=pacsv.ConvertOptions(
+                column_types={"x": pa.float64(), "y": pa.float64()}
+            ),
+        )
+        out = np.column_stack(
+            [t.column("x").to_numpy(zero_copy_only=False),
+             t.column("y").to_numpy(zero_copy_only=False)]
+        ).ravel()
+        if len(out) == expected and not np.isnan(out).any():
+            return out
+    except Exception:
+        pass
+    return _floats(text)
+
+
 def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) -> int:
     """General parser for one WKT string; appends rings; returns gtype."""
     s = wkt.strip()
@@ -119,54 +151,75 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
 
     is_str = np.array([isinstance(v, str) and len(v) > 0 for v in vals], dtype=bool)
     s = series.where(pd.Series(is_str, index=series.index), "")
-    simple_mask = s.str.match(r"^POLYGON \(\([^()]+\)\)$").to_numpy()
+    # simple = "POLYGON ((" + paren-free body + "))": first '(' pair at 8-9,
+    # no further '(' anywhere, first ')' is the penultimate char — same set
+    # as the old ^POLYGON \(\([^()]+\)\)$ regex at ~half the scan cost
+    slen = s.str.len().to_numpy()
+    simple_mask = (
+        s.str.startswith("POLYGON ((").to_numpy()
+        & (s.str.find("(", 10).to_numpy() == -1)
+        & (s.str.find(")").to_numpy() == slen - 2)
+    )
 
-    rings_per_geom: list = [None] * n  # each entry: list[(coords, is_hole)]
-
-    # fast path: one ring per geom, all parsed in one shot
+    # fast path: one shell ring per geom; the whole batch's coordinates are
+    # parsed in ONE bulk pass and kept as ONE contiguous block (no per-ring
+    # views, no re-concatenation)
     simple_idx = np.nonzero(simple_mask)[0]
     if len(simple_idx):
         inner = s.iloc[simple_idx].str.slice(10, -2)
         counts = (inner.str.count(",") + 1).to_numpy(dtype=np.int64)
         blob = inner.str.cat(sep=",")
-        flat = _floats(blob).reshape(-1, 2)
-        offs = np.concatenate([[0], np.cumsum(counts)])
-        for k, gi in enumerate(simple_idx):
-            rings_per_geom[gi] = [(flat[offs[k] : offs[k + 1]], False)]
-            gtype[gi] = GT_POLYGON
-
-    # general path
-    for gi in np.nonzero(is_str & ~simple_mask)[0]:
-        rr: list = []
-        rg: list = []
-        rh: list = []
-        gt = _parse_one(vals[gi], 0, rr, rg, rh)
-        rings_per_geom[gi] = list(zip(rr, rh))
-        gtype[gi] = gt
-
-    # assemble flat batch
-    all_rings = []
-    ring_geom = []
-    ring_hole = []
-    for gi in range(n):
-        if rings_per_geom[gi] is None:
-            continue
-        for coords, hole in rings_per_geom[gi]:
-            all_rings.append(coords)
-            ring_geom.append(gi)
-            ring_hole.append(hole)
-    if all_rings:
-        coords = np.concatenate(all_rings, axis=0)
-        sizes = np.array([len(r) for r in all_rings], dtype=np.int64)
-        ring_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        fast_coords = _floats_bulk(blob, int(counts.sum()) * 2).reshape(-1, 2)
+        fast_offs = np.concatenate([[0], np.cumsum(counts)])
+        gtype[simple_idx] = GT_POLYGON
     else:
-        coords = np.empty((0, 2), dtype=np.float64)
-        ring_offsets = np.zeros(1, dtype=np.int64)
+        fast_coords = np.empty((0, 2), dtype=np.float64)
+        fast_offs = np.zeros(1, dtype=np.int64)
+
+    # general path (multipolygons, holes, points): per-geom recursive descent
+    gen_rings: list = []
+    gen_geom: list = []
+    gen_hole: list = []
+    for gi in np.nonzero(is_str & ~simple_mask)[0]:
+        gtype[gi] = _parse_one(vals[gi], int(gi), gen_rings, gen_geom, gen_hole)
+
+    if gen_rings:
+        # merge the two blocks back into geometry order: several kernels
+        # (geom_coord_offsets -> reduceat grouping) require coords contiguous
+        # per geometry in ascending index order. Both blocks are themselves
+        # geom-sorted, so a stable argsort is a cheap 2-way merge, and the
+        # coordinate gather is one vectorized fancy-index pass.
+        gen_coords = np.concatenate(gen_rings, axis=0)
+        gen_sizes = np.array([len(r) for r in gen_rings], dtype=np.int64)
+        all_coords = np.concatenate([fast_coords, gen_coords], axis=0)
+        sizes_cat = np.concatenate([np.diff(fast_offs), gen_sizes])
+        src_offs = np.concatenate([[0], np.cumsum(sizes_cat)])
+        geom_cat = np.concatenate(
+            [simple_idx.astype(np.int32), np.array(gen_geom, dtype=np.int32)]
+        )
+        hole_cat = np.concatenate(
+            [np.zeros(len(simple_idx), dtype=bool), np.array(gen_hole, dtype=bool)]
+        )
+        order = np.argsort(geom_cat, kind="stable")
+        sizes = sizes_cat[order]
+        ring_offsets = np.concatenate([[0], np.cumsum(sizes)])
+        vidx = (
+            np.repeat(src_offs[:-1][order] - ring_offsets[:-1], sizes)
+            + np.arange(int(ring_offsets[-1]), dtype=np.int64)
+        )
+        coords = all_coords[vidx]
+        ring_geom = geom_cat[order]
+        ring_hole = hole_cat[order]
+    else:
+        coords = fast_coords
+        ring_offsets = fast_offs
+        ring_geom = simple_idx.astype(np.int32)
+        ring_hole = np.zeros(len(simple_idx), dtype=bool)
     return GeomBatch(
         coords=coords,
         ring_offsets=ring_offsets.astype(np.int64),
-        ring_geom=np.array(ring_geom, dtype=np.int32),
-        ring_is_hole=np.array(ring_hole, dtype=bool),
+        ring_geom=ring_geom,
+        ring_is_hole=ring_hole,
         gtype=gtype,
     )
 

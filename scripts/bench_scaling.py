@@ -20,9 +20,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def wait_for_idle(threshold: float = 4.0, timeout_s: int = 1200) -> float:
+def wait_for_idle(threshold: float | None = None, timeout_s: int = 1200) -> float:
     """Block until the 1-min loadavg drops below threshold (the host carries
     bursty external load; measuring during a burst is meaningless)."""
+    if threshold is None:
+        threshold = float(os.environ.get("SPARK_GRAFT_IDLE_THRESHOLD", "4.0"))
     import time as _t
 
     t0 = _t.time()
