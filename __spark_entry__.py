@@ -31,9 +31,11 @@ from open_buildings_spark.streaming import events as events_ops
 
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved docs -> enriched (quadkey/lon/lat/area) via the real
-    engine path: spans -> WKT extraction -> Arrow-batched parse kernels."""
+    engine path: spans -> WKT extraction -> Arrow-batched parse kernels.
+    Non-geometry docs are dropped by the NATIVE wkt pre-filter (a post-hoc
+    filter on quadkey would split the python eval and parse twice)."""
     docs = datagen.interleaved_docs(spark, sf_dir)
-    return enrich.add_geo_columns(docs)
+    return enrich.add_geo_columns(docs, drop_nongeo=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,16 +49,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_enrich_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _geo_docs(spark, sf_dir)
-    return g.filter(F.col("quadkey").isNotNull()).select("doc_id", "quadkey")
+    return _geo_docs(spark, sf_dir).select("doc_id", "quadkey")
 
 
 def _q_quadkey_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _geo_docs(spark, sf_dir)
-    return (
-        g.filter(F.col("quadkey").isNotNull())
-        .groupBy("quadkey")
-        .agg(F.count("*").alias("n_docs"))
+    return _geo_docs(spark, sf_dir).groupBy("quadkey").agg(
+        F.count("*").alias("n_docs")
     )
 
 
@@ -87,13 +85,11 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _geo_docs(spark, sf_dir).filter(F.col("quadkey").isNotNull())
-    return partition.partition_plan(g, oracles.MAX_PER_FILE)
+    return partition.partition_plan(_geo_docs(spark, sf_dir), oracles.MAX_PER_FILE)
 
 
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _geo_docs(spark, sf_dir).filter(F.col("quadkey").isNotNull())
-    b = g.select("doc_id", "quadkey", "lon", "lat")
+    b = _geo_docs(spark, sf_dir).select("doc_id", "quadkey", "lon", "lat")
     return knn.knn(spark, b, oracles.knn_queries(), k=oracles.KNN_K).withColumn(
         "rank", F.col("rank").cast("long")
     )

@@ -126,11 +126,11 @@ def main() -> None:
         aoi_op.aoi_query(t, aoi).select(F.count("*")).collect()
 
     def q_partition_plan():
-        g = enrich.add_geo_columns(docs).filter(F.col("quadkey").isNotNull())
+        g = enrich.add_geo_columns(docs, drop_nongeo=True)
         partition.partition_plan(g, 10000).select(F.count("*")).collect()
 
     def q_knn():
-        g = enrich.add_geo_columns(docs).filter(F.col("quadkey").isNotNull())
+        g = enrich.add_geo_columns(docs, drop_nongeo=True)
         b = g.select("doc_id", "quadkey", "lon", "lat")
         knn.knn(spark, b, oracles.knn_queries(), k=5).select(F.count("*")).collect()
 

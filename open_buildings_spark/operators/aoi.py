@@ -43,18 +43,27 @@ def aoi_query(
 
     df = docs
     pre_enriched = "quadkey" in df.columns
+    within = make_within_aoi(aoi_feature)
     if pre_enriched:
+        # stored-table path: native prefix filter prunes files/row-groups
+        # BEFORE any python; the within kernel refines survivors only
         df = df.filter(quadkey_prefix_filter(F.col("quadkey"), prefix))
         if "wkt" not in df.columns:
             df = extract_geometry(df)
-    else:
-        df = add_geo_columns(df)
-        df = df.filter(F.col("quadkey").isNotNull())
-        df = df.filter(quadkey_prefix_filter(F.col("quadkey"), prefix))
+        if country_iso is not None and "country_iso" in df.columns:
+            # partition-column equality predicate -> partition pruning
+            df = df.filter(F.col("country_iso") == country_iso)
+        return df.filter(F.col("wkt").isNotNull()).filter(within(F.col("wkt")))
 
+    # raw-table path: ONE boolean python eval in the filter (wkt-only Arrow
+    # transfer — the nested spans column never enters python), then full
+    # enrichment of the tiny survivor set. The quadkey prefix test is
+    # subsumed by ST_Within here (the prefix tile covers the AOI bbox), so
+    # no filter ever references an enriched column — which would split the
+    # struct UDF into two evals and parse every WKT twice.
+    df = extract_geometry(df)
+    df = df.filter(F.col("wkt").isNotNull()).filter(within(F.col("wkt")))
+    df = add_geo_columns(df)
     if country_iso is not None and "country_iso" in df.columns:
-        # partition-column equality predicate -> partition pruning
         df = df.filter(F.col("country_iso") == country_iso)
-
-    within = make_within_aoi(aoi_feature)
-    return df.filter(F.col("wkt").isNotNull()).filter(within(F.col("wkt")))
+    return df

