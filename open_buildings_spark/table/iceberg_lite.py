@@ -139,14 +139,43 @@ def write_partitioned(
                 cond = cond & (F.col(k) == r[k])
             cell_col = F.when(cond, r["cell"]).otherwise(cell_col)
         sub = sub.withColumn("cell", cell_col)
+        # Salted repartitioning for over-dense cells (north_rule): a z12
+        # cell denser than max_per_file cannot be split spatially any
+        # further (the reference would loop forever on it), so its rows are
+        # sharded across ceil(n/max_per_file) writer tasks by a doc-hash
+        # salt — bounding BOTH the task size (no straggler writes a
+        # megacity alone) and the output file size. Normal cells get
+        # salt 0 and behave exactly as before.
+        salt_col = F.lit(0)
+        for r in group:
+            if r["n_rows"] > max_per_file:
+                shards = -(-r["n_rows"] // max_per_file)
+                cond = F.col("cell") == r["cell"]
+                for k in keys:
+                    cond = cond & (F.col(k) == r[k])
+                salt_col = F.when(
+                    cond, F.pmod(F.hash(F.col("doc_id")), F.lit(shards))
+                ).otherwise(salt_col)
+        sub = sub.withColumn("_salt", salt_col)
+        # explicit partition count: ceil(rows/max_per_file) writer tasks at
+        # minimum — an explicit repartition(n, ...) is exempt from AQE
+        # partition coalescing, which would otherwise merge the salt shards
+        # right back into one oversized task
+        shuffle_parts = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        n_writers = max(shuffle_parts, -(-sum(r["n_rows"] for r in group) // max_per_file))
         (
-            sub.repartition(F.col("cell"), *[F.col(k) for k in keys])
+            sub.repartition(
+                n_writers, F.col("cell"), F.col("_salt"), *[F.col(k) for k in keys]
+            )
             # sort by (partition cols, quadkey): the dynamic-partition writer
             # requires rows grouped by partition cols and would inject its
             # own quadkey-destroying sort otherwise; this way one sort gives
             # both the grouping and the reference's ORDER BY quadkey
             # clustering (overture/partition.py:149,182)
             .sortWithinPartitions(*keys, "cell", "quadkey")
+            .drop("_salt")
             .write.mode("overwrite")
             # dynamic overwrite: a resumed run rewrites only the cells it
             # recomputes; a previously half-written (uncommitted) cell dir

@@ -95,3 +95,31 @@ def test_metrics_exposed(spark, enriched, tmp_path):
     assert m["rows_written"] == enriched.count()
     assert m["n_partitions"] == len(m["partitions"])
     assert all(v > 0 for v in m["partitions"].values())
+
+
+def test_overdense_cell_salted_into_multiple_files(spark, enriched, tmp_path):
+    """north_rule: dense-city z12 cells beyond max_per_file are sharded by a
+    doc-hash salt across writer tasks — multiple bounded files per cell dir
+    instead of one oversized straggler file; rows stay quadkey-sorted within
+    each file and the read-back is lossless."""
+    root = str(tmp_path / "tbl")
+    # sf0.001 has no z12 cell over 50 rows — funnel a third of the docs into
+    # one synthetic megacity cell (deterministic by doc_id hash)
+    dense_df = enriched.withColumn(
+        "quadkey",
+        F.when(
+            F.pmod(F.hash("doc_id"), F.lit(3)) == 0, F.lit("300113001130")
+        ).otherwise(F.col("quadkey")),
+    )
+    m = tbl.write_partitioned(dense_df, root, max_per_file=50)
+    dense = [p for p in m["partitions"] if p["n_rows"] > 50]
+    assert dense, "fixture should contain at least one over-cap z12 cell"
+    total = dense_df.count()
+    assert tbl.read_table(spark, root).count() == total
+    for p in dense:
+        assert len(p["files"]) > 1, p
+        for f in p["files"]:
+            pdf = spark.read.parquet(os.path.join(root, f)).select("quadkey").toPandas()
+            # each shard well under the unsalted cell size, sorted within
+            assert len(pdf) < p["n_rows"]
+            assert (pdf.quadkey.sort_values().values == pdf.quadkey.values).all()
