@@ -214,6 +214,11 @@ def _q_media_decode(spark, sf_dir):
     return multimodal.media_feature_table(docs)
 
 
+def _q_frame_sample(spark, sf_dir):
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    return multimodal.sample_frames(docs).select("doc_id", "media_ref", "frame_idx")
+
+
 def _q_windowed_agg(spark, sf_dir):
     return events_ops.windowed_counts_batch(spark, sf_dir)
 
@@ -290,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_neardup": _q_embedding_neardup,
         # multimodal + events
         "m_media_decode": _q_media_decode,
+        "m_frame_sample": _q_frame_sample,
         "e_windowed_agg": _q_windowed_agg,
         "e_sessionize": _q_sessionize,
         # generic analytics over the star schema

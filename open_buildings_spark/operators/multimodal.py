@@ -122,3 +122,91 @@ def media_feature_table(docs: DataFrame) -> DataFrame:
         "width",
         "height",
     )
+
+
+def resize_media(decoded: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Resize plumbing over a decoded-media table (doc_id, media_bytes,
+    width, height, ...): mapInArrow batches, binary in -> binary out with
+    new dims. The pixel resample itself is the stub (a real tile pipeline
+    swaps in PIL.Image.resize); batch shape, schema, and pass-through of
+    the other columns are the real thing.
+    """
+    in_names = decoded.columns
+    bytes_idx = in_names.index("media_bytes")
+    schema = StructType(
+        [f for f in decoded.schema.fields if f.name not in ("width", "height")]
+        + [StructField("width", IntegerType()), StructField("height", IntegerType())]
+    )
+    out_names = [f.name for f in schema.fields]
+    keep_idx = [i for i, n in enumerate(in_names) if n not in ("width", "height")]
+
+    def resize_batches(batches):
+        for rb in batches:
+            n = rb.num_rows
+            blobs = rb.column(bytes_idx).to_pylist()
+            # stub resample: deterministic re-hash standing in for the
+            # per-item native resize; output length scales with out dims
+            out_len = max(4, (out_w * out_h) // 1024)
+            resized = [
+                hashlib.md5(b + bytes([out_w % 256, out_h % 256])).digest()[:out_len]
+                for b in blobs
+            ]
+            cols = [rb.column(i) for i in keep_idx]
+            # replace media_bytes in place (same position among kept cols)
+            mb_pos = out_names.index("media_bytes")
+            cols[mb_pos] = pa.array(resized, type=pa.binary())
+            cols += [
+                pa.array(np.full(n, out_w, dtype=np.int32), type=pa.int32()),
+                pa.array(np.full(n, out_h, dtype=np.int32), type=pa.int32()),
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names=out_names)
+
+    return decoded.mapInArrow(resize_batches, schema)
+
+
+def sample_frames(docs: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: treat each media span as a short clip whose
+    frame count is derived deterministically from the ref (1..8); emit one
+    row per sampled frame (doc_id, media_ref, frame_idx, frame_bytes) —
+    the 1→N Arrow explode shape a real ffmpeg frame sampler produces.
+    """
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    ref = F.when(F.size(media) > 0, F.element_at(media, 1)["media_ref"])
+    df = (
+        docs.withColumn("media_ref", ref)
+        .filter(F.col("media_ref").isNotNull())
+        .select("doc_id", "media_ref")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("media_ref", StringType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def frame_batches(batches):
+        for rb in batches:
+            doc_ids = rb.column(0).to_pylist()
+            refs = rb.column(1).to_pylist()
+            o_doc, o_ref, o_idx, o_bytes = [], [], [], []
+            for d, r in zip(doc_ids, refs):
+                h = hashlib.md5(r.encode()).digest()
+                n_frames = (h[0] % 8) + 1
+                for i in range(0, n_frames, every_n):
+                    o_doc.append(d)
+                    o_ref.append(r)
+                    o_idx.append(i)
+                    o_bytes.append(hashlib.md5(h + bytes([i])).digest())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o_doc, type=pa.string()),
+                    pa.array(o_ref, type=pa.string()),
+                    pa.array(o_idx, type=pa.int32()),
+                    pa.array(o_bytes, type=pa.binary()),
+                ],
+                names=[f.name for f in schema.fields],
+            )
+
+    return df.mapInArrow(frame_batches, schema)

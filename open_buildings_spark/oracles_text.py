@@ -306,6 +306,19 @@ SELECT doc_id, qk_media AS media_qk,
 FROM bld WHERE has_geom
 """
 
+    # frame sampling: clip length = (first md5 digest byte % 8) + 1, frames
+    # at stride 2 (operators.multimodal.sample_frames' deterministic rule)
+    sqls["m_frame_sample"] = f"""
+WITH {bld},
+f AS (
+  SELECT doc_id, {ref} AS media_ref,
+         CAST(({_hex_bigint(f"substr(md5({ref}), 1, 2)")} % 8) + 1 AS INT) AS n_frames
+  FROM bld WHERE has_geom
+)
+SELECT doc_id, media_ref, CAST(u.i AS INT) AS frame_idx
+FROM f, LATERAL (SELECT unnest(range(0, f.n_frames, 2)) AS i) u
+"""
+
     # ---------------- events -----------------
 
     sqls["e_windowed_agg"] = """

@@ -88,3 +88,36 @@ def test_media_docs_only(spark, docs):
         F.exists("spans", lambda s: s["kind"] == F.lit("media"))
     ).count()
     assert multimodal.decode_media(docs).count() == n_media
+
+
+def test_resize_media_shape_and_determinism(spark, docs):
+    from open_buildings_spark.operators import multimodal
+
+    d = multimodal.decode_media(docs)
+    r1 = multimodal.resize_media(d, 64, 64)
+    rows = r1.orderBy("doc_id").limit(5).collect()
+    assert rows and all(row["width"] == 64 and row["height"] == 64 for row in rows)
+    # byte payload differs from the source and is deterministic across runs
+    again = {x["doc_id"]: bytes(x["media_bytes"])
+             for x in multimodal.resize_media(d, 64, 64).orderBy("doc_id").limit(5).collect()}
+    src = {x["doc_id"]: bytes(x["media_bytes"]) for x in d.orderBy("doc_id").limit(5).collect()}
+    for row in rows:
+        assert bytes(row["media_bytes"]) == again[row["doc_id"]]
+        assert bytes(row["media_bytes"]) != src[row["doc_id"]]
+
+
+def test_sample_frames_one_to_n(spark, docs):
+    import hashlib
+
+    from open_buildings_spark.operators import multimodal
+
+    frames = multimodal.sample_frames(docs, every_n=2)
+    pdf = frames.toPandas()
+    assert len(pdf) > 0
+    # frame counts per doc match the deterministic clip-length rule
+    one = pdf[pdf.doc_id == pdf.doc_id.iloc[0]]
+    ref = one.media_ref.iloc[0]
+    n_frames = (hashlib.md5(ref.encode()).digest()[0] % 8) + 1
+    assert list(one.frame_idx) == list(range(0, n_frames, 2))
+    # every sampled frame has distinct deterministic bytes
+    assert one.frame_bytes.map(bytes).nunique() == len(one)
