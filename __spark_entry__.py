@@ -64,6 +64,28 @@ def _q_aoi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("doc_id", "quadkey")
 
 
+def _q_aoi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path: same AOI query against the manifest-partitioned table
+    (manifest file prune -> pushed StartsWith -> within refine). The table
+    is built once per sf under /tmp (idempotent via the manifest)."""
+    import os
+
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/ob_spark_entry/table_{sf}_rev{datagen.DATAGEN_REV}"
+    if tbl.current_manifest(root) is None:
+        g = enrich.add_geo_columns(
+            datagen.interleaved_docs(spark, sf_dir), drop_nongeo=True
+        )
+        tbl.write_partitioned(g, root, max_per_file=50_000)
+    from open_buildings_spark.geo.mercator import geojson_to_quadkey
+
+    aoi = datagen.city_aoi()
+    t = tbl.read_table(spark, root, quadkey_prefix=geojson_to_quadkey(aoi))
+    return aoi_op.aoi_query(t, aoi).select("doc_id", "quadkey")
+
+
 def _q_country_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datagen.interleaved_docs(spark, sf_dir)
     clist = [
@@ -270,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_enrich_quadkey": _q_enrich_quadkey,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
+        "g_aoi_table": _q_aoi_table,
         "g_country_join": _q_country_join,
         "g_tile_assignment": _q_tile_assignment,
         "g_tile_rollup": _q_tile_rollup,

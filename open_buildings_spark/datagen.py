@@ -46,6 +46,10 @@ from pyspark.sql import functions as F
 
 from .geo import mercator
 
+# bump whenever the derivation arithmetic changes: cached derived tables
+# (e.g. /tmp/ob_spark_entry) are keyed on this so stale caches can't serve
+DATAGEN_REV = 1
+
 ZOOM = 12
 NTILES = 1 << ZOOM
 

@@ -104,6 +104,9 @@ SELECT doc_id, qk AS quadkey FROM fp
 WHERE fminx >= {w} AND fmaxx <= {e} AND fminy >= {s} AND fmaxy <= {n}
 """
 
+    # stored-table serving path returns the same row set as the raw scan
+    sqls["g_aoi_table"] = sqls["g_aoi_query"]
+
     sqls["g_country_join"] = f"""
 WITH {bld},
 fp AS (SELECT doc_id, {_fp_bounds()} FROM bld WHERE has_geom)
