@@ -267,3 +267,39 @@ def test_cell_index_provider_abstraction():
     assert vec[0] == c
     with pytest.raises(ImportError):
         cell_index("h3")  # not installed in this environment
+
+
+def test_parse_mixed_batch_preserves_geom_order_invariant():
+    """The fast-path/general-path merge must keep rings sorted by geometry
+    with coords contiguous per geometry — reduceat-based kernels group
+    vertices by geom_coord_offsets and silently compute garbage otherwise
+    (regression: the block-assembly rewrite briefly broke this)."""
+    import numpy as np
+    import pandas as pd
+
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+
+    s = pd.Series(
+        [
+            "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+            "MULTIPOLYGON (((10 10, 11 10, 11 11, 10 10)), ((20 20, 21 20, 21 21, 20 20)))",
+            None,
+            "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))",
+            "POINT (3 4)",
+            "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2), (2.2 2.2, 2.8 2.2, 2.8 2.8, 2.2 2.2))",
+        ]
+    )
+    b = parse_wkt_batch(s)
+    assert (np.diff(b.ring_geom) >= 0).all(), "rings must be geom-sorted"
+    # coords contiguous per geom: offsets derived per-geom must tile coords
+    offs = kernels.geom_coord_offsets(b)
+    assert offs[-1] == len(b.coords)
+    # per-geom vertex counts match the rings assigned to each geom
+    sizes = np.diff(b.ring_offsets)
+    for g in range(b.n_geoms):
+        expect = sizes[b.ring_geom == g].sum()
+        assert offs[g + 1] - offs[g] == expect
+    # and the hole flag survived the merge
+    holes = b.ring_is_hole[b.ring_geom == 5]
+    assert list(holes) == [False, True]
