@@ -51,7 +51,7 @@ def knn(
     buildings: DataFrame,
     queries: list[tuple[int, float, float]],
     k: int = 5,
-    initial_ring: int = 2,
+    initial_ring: int = 8,
     max_ring: int = 256,
 ) -> DataFrame:
     """Exact k nearest buildings (haversine meters) per query point.
@@ -59,6 +59,12 @@ def knn(
     ``buildings``: DataFrame with (doc_id, quadkey, lon, lat) — the enriched
     docs table. ``queries``: small list of (query_id, lon, lat), broadcast.
     Returns (query_id, doc_id, rank); ordering ties broken by doc_id.
+
+    ``initial_ring`` is a pure performance knob (exactness holds at any
+    ring via the boundary-margin check): every grow iteration costs a full
+    job round-trip, so starting wider usually wins — measured 11.7s
+    (ring 2, three iterations) vs 3.5s (ring 8, one) on 1.8M docs. Tune
+    down only for extremely dense cells where candidate volume dominates.
     """
     if buildings.storageLevel.useMemory is False:
         buildings = buildings.cache()  # ring growth re-reads the candidates
