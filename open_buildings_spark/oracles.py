@@ -126,7 +126,7 @@ FROM bld WHERE has_geom
     sqls["g_tile_rollup"] = f"""
 WITH {bld}
 SELECT qk AS quadkey, COUNT(*) AS n_docs,
-       SUM(CASE WHEN qk <> qk_media THEN 1 ELSE 0 END) AS n_mismatch
+       CAST(SUM(CASE WHEN qk <> qk_media THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
 FROM bld WHERE has_geom GROUP BY 1
 """
 
@@ -144,7 +144,7 @@ leafpick AS (
   GROUP BY h.c
 )
 SELECT COALESCE(substr(h.c, 1, CAST(lp.lf AS INT)), h.c) AS cell,
-       SUM(h.n) AS n_rows
+       CAST(SUM(h.n) AS BIGINT) AS n_rows
 FROM h12 h LEFT JOIN leafpick lp ON h.c = lp.c
 GROUP BY 1
 """
@@ -202,7 +202,7 @@ FROM fp JOIN aois a
     sqls["e_pivot"] = """
 SELECT event_type,
 """ + ",\n".join(
-        f"       SUM(CASE WHEN date_part('hour', ts) = {h} THEN 1 ELSE 0 END) AS \"{h}\""
+        f"       CAST(SUM(CASE WHEN date_part('hour', ts) = {h} THEN 1 ELSE 0 END) AS BIGINT) AS \"{h}\""
         for h in range(24)
     ) + """
 FROM events GROUP BY event_type

@@ -358,10 +358,10 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+         CAST(SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM o
 )
 SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
