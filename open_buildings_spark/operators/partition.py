@@ -89,19 +89,41 @@ def partition_plan(
     return spark.createDataFrame(out_rows, schema)
 
 
+def tag_cells(
+    df: DataFrame, plan: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Tag each row with its leaf cell via a broadcast HASH equi-join.
+
+    Leaf cells live at quadkey prefix levels 1..MAX_LEVEL, so each row is
+    exploded into its <=12 ancestor prefixes and inner-joined against the
+    (broadcast) plan on ``prefix = cell`` plus key equality. Leaves are
+    prefix-disjoint within a key group, so each covered row matches exactly
+    one plan entry; rows whose cells are absent from ``plan`` (e.g. already
+    committed on resume) simply drop out.
+
+    Scale: plan size affects only the broadcast hash table — never codegen
+    (the old path chained one ``startswith``/``when`` branch per cell, which
+    blows up Catalyst at ~10^5 planet-scale leaves) and never a nested-loop
+    probe (O(rows x cells) compares). Probe cost is O(12 x rows) hash lookups.
+    Extra plan columns (e.g. ``n_rows``) pass through onto each tagged row.
+    """
+    keys = keys or []
+    prefixes = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, {MAX_LEVEL}), l -> substring(quadkey, 1, l))"
+        )
+    )
+    exploded = df.withColumn("cell", F.explode(prefixes))
+    return exploded.join(F.broadcast(plan), on=[*keys, "cell"], how="inner")
+
+
 def apply_partition_plan(
     df: DataFrame, plan: DataFrame, keys: list[str] | None = None
 ) -> DataFrame:
-    """Tag each row with its leaf cell (broadcast prefix-match join) and
-    return the DataFrame hash-partitioned by cell, quadkey-sorted within
-    partitions — the reference's `ORDER BY quadkey` clustered write
-    (overture/partition.py:149,182) without a global sort."""
+    """Tag each row with its leaf cell (broadcast hash join via
+    :func:`tag_cells`) and return the DataFrame hash-partitioned by cell,
+    quadkey-sorted within partitions — the reference's `ORDER BY quadkey`
+    clustered write (overture/partition.py:149,182) without a global sort."""
     keys = keys or []
-    plan_small = F.broadcast(plan.select(*keys, "cell"))
-    cond = [F.col("quadkey").startswith(plan_small["cell"])]
-    for key in keys:
-        cond.append(df[key] == plan_small[key])
-    import functools
-
-    tagged = df.join(plan_small, functools.reduce(lambda a, b: a & b, cond), "left")
+    tagged = tag_cells(df, plan.select(*keys, "cell"), keys)
     return tagged.repartition(F.col("cell")).sortWithinPartitions("quadkey")

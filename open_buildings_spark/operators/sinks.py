@@ -65,45 +65,126 @@ def geo_metadata(geometry_col: str = "geometry", bbox: list | None = None) -> di
     }
 
 
-def fix_geoparquet_metadata(path: str, geometry_col: str = "geometry") -> int:
-    """Rewrite every parquet file under ``path`` with GeoParquet `geo`
-    footer metadata — the reference's `gpq convert` step, in-process.
-    Returns the number of files rewritten."""
+def _rewrite_one_footer(f: str, meta_json: str, geometry_col: str) -> int:
     import pyarrow.parquet as pq
 
+    t = pq.read_table(f)
+    if geometry_col not in t.column_names:
+        return 0
+    existing = t.schema.metadata or {}
+    new_meta = {**existing, b"geo": meta_json.encode()}
+    pq.write_table(
+        t.replace_schema_metadata(new_meta),
+        f + ".tmp",
+        compression="snappy",
+        row_group_size=10_000,  # reference default (cli.py:258)
+    )
+    os.replace(f + ".tmp", f)
+    # drop Hadoop's checksum sidecar — it no longer matches the
+    # rewritten file and would fail subsequent reads
+    crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return 1
+
+
+def fix_geoparquet_metadata(path: str, geometry_col: str = "geometry", spark=None) -> int:
+    """Retrofit GeoParquet `geo` footer metadata onto an EXISTING parquet
+    directory — the reference's `gpq convert` step (overture/partition.py:33-52),
+    in-process. Not on the write path (write_geoparquet emits correct footers
+    in its single pass); this is for tables written by other writers, e.g.
+    the iceberg_lite layer. With ``spark`` given, the per-file rewrite is
+    distributed over the cluster (one task per file batch); without it,
+    a driver-side loop (small fixture dirs only). Returns files rewritten."""
     files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
     meta_json = json.dumps(geo_metadata(geometry_col))
-    n = 0
-    for f in files:
-        t = pq.read_table(f)
-        if geometry_col not in t.column_names:
-            continue
-        existing = t.schema.metadata or {}
-        new_meta = {**existing, b"geo": meta_json.encode()}
-        pq.write_table(
-            t.replace_schema_metadata(new_meta),
-            f + ".tmp",
-            compression="snappy",
-            row_group_size=10_000,  # reference default (cli.py:258)
+    if spark is not None and files:
+        sc = spark.sparkContext
+        return (
+            sc.parallelize(files, min(len(files), 1024))
+            .map(lambda f: _rewrite_one_footer(f, meta_json, geometry_col))
+            .sum()
         )
-        os.replace(f + ".tmp", f)
-        # drop Hadoop's checksum sidecar — it no longer matches the
-        # rewritten file and would fail subsequent reads
-        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
-        if os.path.exists(crc):
-            os.remove(crc)
-        n += 1
-    return n
+    return sum(_rewrite_one_footer(f, meta_json, geometry_col) for f in files)
 
 
 def write_geoparquet(
     df: DataFrame, path: str, wkt_col: str = "wkt", mode: str = "overwrite"
 ) -> int:
-    """WKT df -> GeoParquet directory: WKB conversion + parquet write +
-    footer metadata fixup. Returns files written."""
-    out = add_wkb_column(df, wkt_col).drop(wkt_col)
-    out.write.mode(mode).option("compression", "snappy").parquet(path)
-    return fix_geoparquet_metadata(path)
+    """WKT df -> GeoParquet directory in ONE distributed pass: each task
+    parses WKT -> WKB and writes its own parquet part file with the
+    GeoParquet `geo` footer already in place. The reference achieves the
+    same footer by shelling `gpq convert` over the finished dataset
+    (overture/partition.py:33-52), re-reading every byte; at 100 TB that
+    second pass doubles IO, so the engine writes correct footers first time.
+
+    Commit protocol (Spark's parquet committer can't carry custom footer
+    keys): tasks write part files named by (partitionId, taskAttemptId) via
+    an .inprogress temp + atomic rename; after the job, only files reported
+    by successful tasks are kept, so failed/speculative attempts leave no
+    visible output. Row groups follow Arrow batch size (~10k rows, the
+    reference's row_group_size default, cli.py:258).
+
+    Returns the number of part files written.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq  # noqa: F401  (workers import lazily)
+    from pyspark import TaskContext
+
+    from ..geo.wkt import parse_wkt_batch, wkb_from_batch
+
+    if os.path.exists(path):
+        if mode == "overwrite":
+            shutil.rmtree(path)
+        elif mode in ("error", "errorifexists"):
+            raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+
+    in_names = df.columns
+    idx = in_names.index(wkt_col)
+    keep_idx = [i for i, c in enumerate(in_names) if c != wkt_col]
+    out_names = [in_names[i] for i in keep_idx] + ["geometry"]
+    meta = {b"geo": json.dumps(geo_metadata()).encode()}
+
+    def write_part(batches):
+        import pyarrow.parquet as pq
+
+        tc = TaskContext.get()
+        fname = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.parquet"
+        tmp = os.path.join(path, "." + fname + ".inprogress")
+        writer = None
+        n = 0
+        for rb in batches:
+            wkb = wkb_from_batch(parse_wkt_batch(rb.column(idx).to_pandas()))
+            out = pa.record_batch(
+                [rb.column(i) for i in keep_idx]
+                + [pa.array(wkb, type=pa.binary())],
+                names=out_names,
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    tmp, out.schema.with_metadata(meta), compression="snappy"
+                )
+            writer.write_batch(out)
+            n += out.num_rows
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, os.path.join(path, fname))
+            yield pa.record_batch(
+                [pa.array([fname]), pa.array([n], type=pa.int64())],
+                names=["file", "n_rows"],
+            )
+
+    results = df.mapInArrow(write_part, "file string, n_rows long").collect()
+    kept = {r["file"] for r in results}
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.basename(f) not in kept:
+            os.remove(f)
+    for f in glob.glob(os.path.join(path, ".*.inprogress")):
+        os.remove(f)
+    return len(kept)
 
 
 def to_geojson_features(df: DataFrame, wkt_col: str = "wkt", limit_cols: list | None = None):

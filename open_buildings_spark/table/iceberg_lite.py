@@ -122,41 +122,40 @@ def write_partitioned(
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     commits = 0
+    from ..operators.partition import tag_cells
+
+    spark = df.sparkSession
+    plan_schema = (
+        ", ".join(f"{k} string" for k in keys) + (", " if keys else "")
+    ) + "cell string, n_rows long"
     for group in groups:
-        conds = None
-        for r in group:
-            c = F.col("quadkey").startswith(r["cell"])
-            for k in keys:
-                c = c & (F.col(k) == r[k])
-            conds = c if conds is None else (conds | c)
-        # leaf cells are disjoint prefixes within a key-group, so each row
-        # matches exactly one (keys, cell) entry
-        sub = df.filter(conds)
-        cell_col = F.lit(None).cast("string")
-        for r in group:
-            cond = F.col("quadkey").startswith(r["cell"])
-            for k in keys:
-                cond = cond & (F.col(k) == r[k])
-            cell_col = F.when(cond, r["cell"]).otherwise(cell_col)
-        sub = sub.withColumn("cell", cell_col)
+        # Tag rows with their leaf cell via a broadcast hash equi-join on
+        # quadkey-prefix = cell (tag_cells). The inner join doubles as the
+        # pending-cells filter: rows of already-committed cells match no
+        # plan entry and drop out. Plan size stays out of codegen — the
+        # previous per-cell startswith/when chains were O(#cells) Catalyst
+        # expressions, fatal at planet scale (~10^5-10^6 leaves).
+        group_df = spark.createDataFrame(
+            [tuple(r[k] for k in keys) + (r["cell"], r["n_rows"]) for r in group],
+            plan_schema,
+        )
+        sub = tag_cells(df, group_df, keys)
         # Salted repartitioning for over-dense cells (north_rule): a z12
         # cell denser than max_per_file cannot be split spatially any
         # further (the reference would loop forever on it), so its rows are
         # sharded across ceil(n/max_per_file) writer tasks by a doc-hash
         # salt — bounding BOTH the task size (no straggler writes a
         # megacity alone) and the output file size. Normal cells get
-        # salt 0 and behave exactly as before.
-        salt_col = F.lit(0)
-        for r in group:
-            if r["n_rows"] > max_per_file:
-                shards = -(-r["n_rows"] // max_per_file)
-                cond = F.col("cell") == r["cell"]
-                for k in keys:
-                    cond = cond & (F.col(k) == r[k])
-                salt_col = F.when(
-                    cond, F.pmod(F.hash(F.col("doc_id")), F.lit(shards))
-                ).otherwise(salt_col)
-        sub = sub.withColumn("_salt", salt_col)
+        # salt 0 and behave exactly as before. n_rows rides in from the
+        # plan join, so the salt is one expression, not a per-cell chain.
+        shards = F.ceil(F.col("n_rows") / F.lit(max_per_file)).cast("int")
+        sub = sub.withColumn(
+            "_salt",
+            F.when(
+                F.col("n_rows") > max_per_file,
+                F.pmod(F.hash(F.col("doc_id")), shards),
+            ).otherwise(F.lit(0)),
+        ).drop("n_rows")
         # explicit partition count: ceil(rows/max_per_file) writer tasks at
         # minimum — an explicit repartition(n, ...) is exempt from AQE
         # partition coalescing, which would otherwise merge the salt shards

@@ -123,3 +123,46 @@ def test_overdense_cell_salted_into_multiple_files(spark, enriched, tmp_path):
             # each shard well under the unsalted cell size, sorted within
             assert len(pdf) < p["n_rows"]
             assert (pdf.quadkey.sort_values().values == pdf.quadkey.values).all()
+
+
+def test_many_cells_plan_stays_small_and_write_completes(spark, tmp_path):
+    """Scale guard: a plan with >=5000 leaf cells must not inflate the
+    Catalyst plan (the old per-cell startswith/when chains were O(#cells)
+    expressions — fatal at the planet's ~10^5-10^6 leaves). Cell tagging is
+    a broadcast hash equi-join now, so the optimized plan stays O(1) in
+    plan size, and the full table build completes."""
+    import time
+
+    from open_buildings_spark.operators import partition
+
+    n_cells = 5000
+    # 5000 distinct z12 quadkeys, one row each; max_per_file=1 makes every
+    # shortest-unique prefix a leaf => exactly 5000 leaf cells
+    df = (
+        spark.range(n_cells)
+        .select(
+            F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("doc_id"),
+            F.concat(
+                F.lit("30"),
+                F.lpad(F.conv(F.col("id").cast("string"), 10, 4), 10, "0"),
+            ).alias("quadkey"),
+        )
+        .cache()
+    )
+    plan = partition.partition_plan(df, 1)
+    assert plan.count() == n_cells
+    tagged = partition.tag_cells(df, plan)
+    plan_str = tagged._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_str) < 20_000, (
+        f"optimized plan is {len(plan_str)} chars - O(#cells) expression "
+        "chain leaked back into the tagging path"
+    )
+    assert tagged.count() == n_cells
+
+    root = str(tmp_path / "tbl")
+    t0 = time.time()
+    m = tbl.write_partitioned(df, root, max_per_file=1)
+    assert time.time() - t0 < 240
+    assert len(m["partitions"]) == n_cells
+    assert m["metrics"]["rows_written"] == n_cells
+    assert tbl.read_table(spark, root).count() == n_cells
