@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8
+N_PLANES = 16
+N_BANDS = 2
 DIM = 64
 
 
@@ -54,39 +55,73 @@ def cosine_topk(
     )
 
 
-def lsh_signature(emb: DataFrame) -> DataFrame:
-    """(vec_id, sig): 8-bit random-hyperplane signature — the bucket key.
-    At scale the bucket is the shuffle/partition key; queries probe only
-    their own bucket (and optionally neighboring signatures)."""
+def lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, sig): n_planes-bit random-hyperplane signature.
+
+    Width is a runtime knob, not a compile-time constant: bucket count is
+    2^band_width once banded (see :func:`lsh_bands`), so operators tune the
+    candidate-set size to the corpus (10^9 vectors want >= 20-plane
+    signatures banded into ~16-bit buckets; the old fixed 8 planes capped
+    the table at 256 buckets => Theta(N^2/256) self-joins)."""
     v = _vecd(F.col("embedding"))
     bits = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         w = F.array(*[F.lit(plane_weight(p, d)) for d in range(1, DIM + 1)])
         s = _dot(v, w)
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return emb.select("vec_id", F.concat(*bits).alias("sig"))
 
 
-def ann_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 3) -> DataFrame:
-    """LSH-bucketed ANN: per query vector, top-k among vectors sharing its
-    signature bucket: (query_id, vec_id, rank). Misses across buckets are
-    the documented recall trade-off of the scale path."""
-    sig = lsh_signature(emb)
-    e = emb.join(sig, "vec_id").select(
-        "vec_id", "sig", _vecd(F.col("embedding")).alias("v")
+def lsh_bands(
+    emb: DataFrame, n_planes: int = N_PLANES, n_bands: int = N_BANDS
+) -> DataFrame:
+    """(vec_id, band, bsig): the signature split into ``n_bands`` contiguous
+    bands — standard OR-of-ANDs LSH amplification (same shape as
+    dedup.lsh_candidate_pairs over MinHash). Two vectors are candidates iff
+    they agree on at least one full band; each (band, bsig) bucket is the
+    shuffle key, so bucket size is controlled by band width while recall is
+    recovered by the OR across bands."""
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    width = n_planes // n_bands
+    sig = lsh_signature(emb, n_planes)
+    bands = F.array(
+        *[F.substring("sig", i * width + 1, width) for i in range(n_bands)]
     )
+    return sig.select("vec_id", F.posexplode(bands).alias("band", "bsig"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Banded-LSH ANN: per query vector, top-k among vectors sharing at
+    least one signature band: (query_id, vec_id, rank). Misses across all
+    bands are the documented recall trade-off of the scale path; recall and
+    bucket size tune independently via (n_planes, n_bands)."""
+    bands = lsh_bands(emb, n_planes, n_bands)
+    e = emb.select("vec_id", _vecd(F.col("embedding")).alias("v"))
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("sig").alias("qsig"),
-        F.col("v").alias("qv"),
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cand = e.join(F.broadcast(q), e["sig"] == q["qsig"])
+    qb = bands.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "band", "bsig"
+    )
+    # OR-amplification: a pair sharing several bands appears once
+    cand_ids = (
+        bands.join(F.broadcast(qb), ["band", "bsig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    cand = cand_ids.join(e, "vec_id").join(F.broadcast(q), "query_id")
     sim = _dot(F.col("v"), F.col("qv")) / (
         F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
     )
-    scored = cand.withColumn("sim_r", F.round(sim, 6)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    scored = cand.withColumn("sim_r", F.round(sim, 6))
     w = Window.partitionBy("query_id").orderBy(F.col("sim_r").desc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -95,17 +130,32 @@ def ann_topk_lsh(emb: DataFrame, query_ids: list[int], k: int = 3) -> DataFrame:
     )
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.999) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets:
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.999,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within banded LSH buckets:
     (a, b, sim_r) with rounded cosine >= threshold — the embedding-space
-    analogue of MinHash dedup; bucket join keeps it O(bucket^2), not O(N^2)."""
-    sig = lsh_signature(emb)
-    e = emb.join(sig, "vec_id").select(
-        "vec_id", "sig", _vecd(F.col("embedding")).alias("v")
+    analogue of MinHash dedup. The per-band bucket join keeps candidate
+    generation O(sum bucket^2) instead of O(N^2); near-identical vectors
+    agree on every plane, so any single full band finds them and the OR
+    across bands only adds recall for borderline pairs."""
+    bands = lsh_bands(emb, n_planes, n_bands)
+    a = bands.select(F.col("vec_id").alias("a"), "band", "bsig")
+    b = bands.select(F.col("vec_id").alias("b"), "band", "bsig")
+    pair_ids = (
+        a.join(b, ["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    a = e.select(F.col("vec_id").alias("a"), F.col("sig"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("sig"), F.col("v").alias("vb"))
-    pairs = a.join(b, "sig").filter(F.col("a") < F.col("b"))
+    e = emb.select("vec_id", _vecd(F.col("embedding")).alias("v"))
+    pairs = (
+        pair_ids.join(e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a")
+        .join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+    )
     sim = _dot(F.col("va"), F.col("vb")) / (
         F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
     )

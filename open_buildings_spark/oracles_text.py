@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from . import datagen
 from .operators.dedup import corpus_sql_cte
-from .operators.similarity import DIM, N_PLANES
+from .operators.similarity import DIM, N_BANDS, N_PLANES
 from .operators.textstats import LANG_MARKERS, STOPWORDS
 
 MINHASH_K = 8
@@ -205,18 +205,32 @@ sig AS (
 )
 """.strip()
 
+    band_w = N_PLANES // N_BANDS
+    bands_cte = f"""
+bands AS (
+  SELECT vec_id, b.b AS band,
+         substr(sig, CAST(b.b * {band_w} + 1 AS INT), {band_w}) AS bsig
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b) b
+)
+""".strip()
+
     sqls["s_ann_lsh"] = f"""
 WITH {sig_cte},
-q AS (
-  SELECT e.vec_id AS query_id, s.sig AS qsig, e.embedding AS qe
-  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id WHERE e.vec_id < 5
+{bands_cte},
+qb AS (
+  SELECT vec_id AS query_id, band, bsig FROM bands WHERE vec_id < 5
+),
+cand_ids AS (
+  SELECT DISTINCT qb.query_id, e.vec_id
+  FROM bands e JOIN qb ON qb.band = e.band AND qb.bsig = e.bsig
+  WHERE e.vec_id <> qb.query_id
 ),
 cand AS (
-  SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding, q.qe), 6) AS sim_r
-  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id
-  JOIN q ON q.qsig = s.sig
-  WHERE e.vec_id <> q.query_id
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 6) AS sim_r
+  FROM cand_ids c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.query_id
 ),
 r AS (
   SELECT query_id, vec_id,
@@ -237,11 +251,18 @@ WITH emb_aug AS (
   SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
 ),
 {sig_cte_aug},
-e AS (SELECT emb.vec_id, s.sig, emb.embedding FROM emb_aug emb JOIN sig s ON s.vec_id = emb.vec_id),
+{bands_cte},
+pair_ids AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+),
 pairs AS (
-  SELECT a.vec_id AS a, b.vec_id AS b,
-         round(list_cosine_similarity(a.embedding, b.embedding), 6) AS sim_r
-  FROM e a JOIN e b ON a.sig = b.sig AND a.vec_id < b.vec_id
+  SELECT p.a, p.b,
+         round(list_cosine_similarity(ea.embedding, eb.embedding), 6) AS sim_r
+  FROM pair_ids p
+  JOIN emb_aug ea ON ea.vec_id = p.a
+  JOIN emb_aug eb ON eb.vec_id = p.b
 )
 SELECT a, b, sim_r FROM pairs WHERE sim_r >= 0.999
 """

@@ -73,3 +73,44 @@ def test_lsh_vs_ivf_both_return_k(emb):
     assert set(ivf) == set(QUERY_IDS)
     for q in lsh:  # LSH may drop queries whose bucket is a singleton
         assert 1 <= len(lsh[q]) <= 3
+
+
+def test_lsh_banding_knobs(emb):
+    """Signature width / band count are runtime knobs (the 100 TB scale
+    lever): more planes -> finer buckets; exact duplicates agree on every
+    plane so they are always co-bucketed in some band regardless of width."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as _F
+
+    b84 = similarity.lsh_bands(emb, n_planes=8, n_bands=4)
+    assert b84.select("band").distinct().count() == 4
+    assert b84.select(_F.max(_F.length("bsig"))).first()[0] == 2
+
+    # wider bands refine buckets: a 16-bit bucket is a subset of the
+    # 8-bit bucket given by its prefix, so the max bucket can only shrink
+    big8 = (
+        similarity.lsh_bands(emb, n_planes=8, n_bands=1)
+        .groupBy("band", "bsig").count().agg(_F.max("count")).first()[0]
+    )
+    big16 = (
+        similarity.lsh_bands(emb, n_planes=16, n_bands=1)
+        .groupBy("band", "bsig").count().agg(_F.max("count")).first()[0]
+    )
+    assert big16 <= big8
+
+    with _pt.raises(ValueError):
+        similarity.lsh_bands(emb, n_planes=16, n_bands=3)
+
+    # an injected exact duplicate is found at any signature width
+    dup = emb.filter(_F.col("vec_id") == 7).withColumn(
+        "vec_id", _F.lit(900000).cast(emb.schema["vec_id"].dataType)
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(
+        dup.select("vec_id", "embedding")
+    )
+    for planes, bands in ((8, 2), (16, 2), (32, 4)):
+        got = similarity.embedding_near_dups(
+            aug, threshold=0.999, n_planes=planes, n_bands=bands
+        ).filter((_F.col("a") == 7) & (_F.col("b") == 900000))
+        assert got.count() == 1, (planes, bands)
