@@ -19,6 +19,7 @@ from open_buildings_spark.operators import (
     dedup,
     enrich,
     explode,
+    flatgeobuf,
     knn,
     multimodal,
     partition,
@@ -50,6 +51,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_enrich_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geo_docs(spark, sf_dir).select("doc_id", "quadkey")
+
+
+def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatGeobuf sink parity (S9, the reference's headline benchmark
+    format — download_buildings.py:306-309): write the geo corpus to a
+    single .fgb with the distributed from-spec encoder, read it back with
+    the independent decoder, and re-derive the z12 quadkey from the decoded
+    geometry. Coordinates are f64 end-to-end (flatbuffer doubles +
+    repr-round-trip WKT), so the re-derived quadkeys must equal the
+    original enrichment's — the oracle is the same SQL as g_enrich_quadkey."""
+    import os
+
+    g = _geo_docs(spark, sf_dir).select("doc_id", "wkt")
+    path = (
+        f"/tmp/obs_fgb_rt_r{datagen.DATAGEN_REV}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}.fgb"
+    )
+    flatgeobuf.write_fgb(g, path)
+    back = spark.createDataFrame(flatgeobuf.read_fgb(path))
+    return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
 
 
 def _q_quadkey_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (SURVEY.md §2)
         "g_enrich_quadkey": _q_enrich_quadkey,
+        "g_fgb_roundtrip": _q_fgb_roundtrip,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
         "g_aoi_table": _q_aoi_table,

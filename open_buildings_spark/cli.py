@@ -6,7 +6,7 @@ reference user can run the same commands against this engine:
   python -m open_buildings_spark quad2json 031313131112     (ob tools quad2json)
   python -m open_buildings_spark sql      < aoi.geojson     (ob tools sql)
   python -m open_buildings_spark get-buildings --table T --aoi aoi.geojson \
-         --dst out.json [--format json|parquet|geoparquet] [--country-iso XX]
+         --dst out.json [--format json|parquet|geoparquet|fgb] [--country-iso XX]
   python -m open_buildings_spark enrich    --src docs-parquet --dst table-root
   python -m open_buildings_spark partition --src table-root --max-per-file N
 
@@ -81,9 +81,19 @@ def cmd_get_buildings(args) -> None:
     if n == 0:
         print("No buildings found for the given AOI.", file=sys.stderr)
         return
-    fmt = args.format or ("json" if args.dst.endswith(".json") else "parquet")
+    # format from extension like the reference's driver map
+    # (download_buildings.py:304-311: .json->GeoJSON, .fgb->FlatGeobuf, ...)
+    fmt = args.format or (
+        "json"
+        if args.dst.endswith(".json")
+        else "fgb" if args.dst.endswith(".fgb") else "parquet"
+    )
     if fmt == "json":
         sinks.write_geojson(hit, args.dst)
+    elif fmt == "fgb":
+        from .operators import flatgeobuf
+
+        flatgeobuf.write_fgb(hit.drop("spans"), args.dst)
     elif fmt == "geoparquet":
         sinks.write_geoparquet(hit.drop("spans"), args.dst)
     else:
@@ -167,6 +177,13 @@ def cmd_benchmark(args) -> None:
                     out.withColumnRenamed("geometry", "wkt").limit(args.json_limit),
                     dst + ".json",
                 )
+            elif fmt == "fgb":
+                from .operators import flatgeobuf
+
+                os.makedirs(args.dst, exist_ok=True)
+                flatgeobuf.write_fgb(
+                    out.withColumnRenamed("geometry", "wkt"), dst + ".fgb"
+                )
             else:
                 raise SystemExit(f"unknown format: {fmt}")
             rows.append(
@@ -216,7 +233,7 @@ def main(argv: list[str] | None = None) -> None:
     gb.add_argument("--table", required=True, help="iceberg-lite root or parquet dir")
     gb.add_argument("--aoi", required=True)
     gb.add_argument("--dst", required=True)
-    gb.add_argument("--format", choices=["json", "parquet", "geoparquet"])
+    gb.add_argument("--format", choices=["json", "parquet", "geoparquet", "fgb"])
     gb.add_argument("--country-iso")
     gb.set_defaults(fn=cmd_get_buildings)
 

@@ -1,0 +1,554 @@
+"""FlatGeobuf (FGB) sink + source, implemented from the public spec.
+
+FlatGeobuf is the reference's headline benchmark export format
+(open_buildings/download_buildings.py:306-309 maps ``.fgb`` to GDAL's
+FlatGeobuf driver; README.md:131-143 benchmarks it). No GDAL/pyogrio/
+flatbuffers library exists in this sandbox, so both the FlatBuffers wire
+format and the FGB container are produced from their published
+specifications (https://flatbuffers.dev/ internals doc;
+https://github.com/flatgeobuf/flatgeobuf spec + .fbs schemas). No code is
+copied from either project.
+
+File layout (spec v3):
+  magic bytes ``fgb\\x03fgb\\x01`` (8 bytes)
+  size-prefixed FlatBuffer ``Header`` table
+  optional packed Hilbert R-tree index (we write none: index_node_size=0)
+  size-prefixed FlatBuffer ``Feature`` tables, one per feature
+
+Scale shape: feature ENCODING is distributed (one mapInArrow pass; each
+task emits a blob of size-prefixed features to a scratch file and reports
+count/bbox/geometry-types), and only the final single-file assembly is a
+sequential driver-side byte copy — unavoidable for a single-file export
+format, and exactly what the reference pays when it funnels a dataset
+through one ogr2ogr process. The reader is driver-side (FGB without an
+index is a sequential stream), intended for interop/round-trip checks.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..geo.wkt import (
+    GT_MISSING,
+    GT_POINT,
+    GT_POLYGON,
+    GT_MULTIPOLYGON,
+    multipolygon_wkt,
+    parse_wkt_batch,
+    point_wkt,
+    polygon_wkt,
+)
+
+MAGIC = b"\x66\x67\x62\x03\x66\x67\x62\x01"  # 'fgb' 3 'fgb' 1
+
+# GeometryType enum (FlatGeobuf Header.fbs) — matches WKB codes for the
+# types the engine carries
+GEOM_UNKNOWN = 0
+
+# ColumnType enum (Header.fbs declaration order)
+CT_BOOL = 2
+CT_INT = 5
+CT_LONG = 7
+CT_FLOAT = 9
+CT_DOUBLE = 10
+CT_STRING = 11
+
+
+# --------------------------------------------------------------------------
+# Minimal FlatBuffers builder (wire format from the published internals doc:
+# buffer built back-to-front; tables = soffset32 to a vtable of u16 field
+# offsets; vectors/strings = u32 length + payload; all little-endian).
+# --------------------------------------------------------------------------
+
+
+class _FBBuilder:
+    """Positions are measured as distance-from-END of the growing buffer
+    (the buffer is built by prepending). Alignment relative to the final
+    buffer start holds because the finished length is padded to the largest
+    alignment seen (all alignments are powers of two)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.minalign = 1
+
+    def _pad(self, align: int, extra: int = 0) -> None:
+        if align > self.minalign:
+            self.minalign = align
+        while (len(self.buf) + extra) % align:
+            self.buf[:0] = b"\x00"
+
+    def _place(self, data: bytes) -> int:
+        self.buf[:0] = data
+        return len(self.buf)
+
+    def string(self, s: str) -> int:
+        raw = s.encode("utf-8") + b"\x00"
+        self._pad(4, extra=len(raw))
+        self._place(raw)
+        return self._place(struct.pack("<I", len(raw) - 1))
+
+    def vector(self, fmt: str, elems, elem_size: int) -> int:
+        elems = list(elems)
+        total = len(elems) * elem_size
+        self._pad(4, extra=total)
+        self._pad(elem_size, extra=total)
+        if elems:
+            self._place(struct.pack(f"<{len(elems)}{fmt}", *elems))
+        return self._place(struct.pack("<I", len(elems)))
+
+    def offset_vector(self, positions) -> int:
+        positions = list(positions)
+        self._pad(4, extra=4 * len(positions))
+        for pos in reversed(positions):
+            self._place(struct.pack("<I", len(self.buf) + 4 - pos))
+        return self._place(struct.pack("<I", len(positions)))
+
+    _SCALARS = {
+        "bool": ("B", 1),
+        "u8": ("B", 1),
+        "u16": ("H", 2),
+        "u32": ("I", 4),
+        "i32": ("i", 4),
+        "u64": ("Q", 8),
+        "f64": ("d", 8),
+    }
+
+    def table(self, fields) -> int:
+        """fields: iterable of (slot, kind, value); kind is 'offset' or a
+        scalar kind. Values given are always stored (defaults included)."""
+        obj_start = len(self.buf)
+        slot_pos: dict[int, int] = {}
+        for slot, kind, value in sorted(fields, key=lambda t: -t[0]):
+            if kind == "offset":
+                self._pad(4)
+                slot_pos[slot] = self._place(
+                    struct.pack("<I", len(self.buf) + 4 - value)
+                )
+            else:
+                fmt, size = self._SCALARS[kind]
+                self._pad(size)
+                slot_pos[slot] = self._place(
+                    struct.pack("<" + fmt, int(value) if fmt != "d" else value)
+                )
+        self._pad(4)
+        table_pos = self._place(b"\x00\x00\x00\x00")  # soffset patched below
+        nslots = (max(slot_pos) + 1) if slot_pos else 0
+        vt = [0] * nslots
+        for slot, pos in slot_pos.items():
+            vt[slot] = table_pos - pos
+        self._pad(2)
+        vt_pos = self._place(
+            struct.pack(f"<{2 + nslots}H", 4 + 2 * nslots, table_pos - obj_start, *vt)
+        )
+        idx = len(self.buf) - table_pos
+        self.buf[idx : idx + 4] = struct.pack("<i", vt_pos - table_pos)
+        return table_pos
+
+    def finish(self, root_pos: int) -> bytes:
+        self._pad(self.minalign, extra=4)
+        self._place(struct.pack("<I", len(self.buf) + 4 - root_pos))
+        return bytes(self.buf)
+
+
+# --------------------------------------------------------------------------
+# FGB encoding
+# --------------------------------------------------------------------------
+
+
+def _polygon_geometry(b: _FBBuilder, rings: list[np.ndarray]) -> int:
+    xy = np.concatenate(rings, axis=0).ravel()
+    fields = [(1, "offset", b.vector("d", xy.tolist(), 8)), (6, "u8", GT_POLYGON)]
+    if len(rings) > 1:
+        ends = np.cumsum([len(r) for r in rings])
+        fields.insert(0, (0, "offset", b.vector("I", ends.tolist(), 4)))
+    return b.table(fields)
+
+
+def _geometry_table(b: _FBBuilder, gtype: int, rings) -> int:
+    """rings: list of (coords(K,2), is_hole). MultiPolygon splits parts on
+    shell rings (holes follow their shell, as in wkt.wkb_from_batch)."""
+    if gtype == GT_POINT:
+        x, y = rings[0][0][0]
+        return b.table(
+            [(1, "offset", b.vector("d", [float(x), float(y)], 8)), (6, "u8", GT_POINT)]
+        )
+    if gtype == GT_POLYGON:
+        return _polygon_geometry(b, [c for c, _ in rings])
+    parts: list[list[np.ndarray]] = []
+    for coords, hole in rings:
+        if not hole or not parts:
+            parts.append([coords])
+        else:
+            parts[-1].append(coords)
+    part_pos = [_polygon_geometry(b, p) for p in parts]
+    return b.table(
+        [(6, "u8", GT_MULTIPOLYGON), (7, "offset", b.offset_vector(part_pos))]
+    )
+
+
+def _encode_properties(columns, row) -> bytes:
+    """FGB properties blob: per non-null value, u16 column index + value
+    (strings length-prefixed with u32) — the spec's row encoding."""
+    out = bytearray()
+    for i, (_, ctype) in enumerate(columns):
+        v = row[i]
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        out += struct.pack("<H", i)
+        if ctype == CT_STRING:
+            raw = str(v).encode("utf-8")
+            out += struct.pack("<I", len(raw)) + raw
+        elif ctype == CT_DOUBLE:
+            out += struct.pack("<d", float(v))
+        elif ctype == CT_FLOAT:
+            out += struct.pack("<f", float(v))
+        elif ctype == CT_LONG:
+            out += struct.pack("<q", int(v))
+        elif ctype == CT_INT:
+            out += struct.pack("<i", int(v))
+        elif ctype == CT_BOOL:
+            out += struct.pack("<B", 1 if v else 0)
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported column type {ctype}")
+    return bytes(out)
+
+
+def encode_feature(gtype: int, rings, columns, prop_row) -> bytes:
+    """One size-prefixed Feature flatbuffer."""
+    b = _FBBuilder()
+    fields = [(0, "offset", _geometry_table(b, gtype, rings))]
+    props = _encode_properties(columns, prop_row)
+    if props:
+        fields.append((1, "offset", b.vector("B", props, 1)))
+    fb = b.finish(b.table(fields))
+    return struct.pack("<I", len(fb)) + fb
+
+
+def encode_header(
+    name: str, envelope, geometry_type: int, columns, features_count: int
+) -> bytes:
+    """Size-prefixed Header flatbuffer; index_node_size=0 (no spatial index;
+    the quadkey table layer is the engine's pruning structure), CRS EPSG:4326
+    (FGB files carry lon/lat like the reference's GDAL exports)."""
+    b = _FBBuilder()
+    col_pos = []
+    for cname, ctype in columns:
+        npos = b.string(cname)
+        col_pos.append(b.table([(0, "offset", npos), (1, "u8", ctype)]))
+    crs = b.table([(0, "offset", b.string("EPSG")), (1, "i32", 4326)])
+    fields = [
+        (0, "offset", b.string(name)),
+        (2, "u8", geometry_type),
+        (7, "offset", b.offset_vector(col_pos)),
+        (8, "u64", features_count),
+        (9, "u16", 0),  # index_node_size: default is 16, must store 0
+        (10, "offset", crs),
+    ]
+    if envelope is not None:
+        fields.append((1, "offset", b.vector("d", [float(v) for v in envelope], 8)))
+    fb = b.finish(b.table(fields))
+    return struct.pack("<I", len(fb)) + fb
+
+
+_SPARK_CT = {
+    "string": CT_STRING,
+    "double": CT_DOUBLE,
+    "float": CT_FLOAT,
+    "bigint": CT_LONG,
+    "int": CT_INT,
+    "boolean": CT_BOOL,
+}
+
+
+def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> int:
+    """DataFrame (WKT geometry + scalar columns) -> single FlatGeobuf file.
+
+    Distributed encode: one mapInArrow pass parses WKT and emits each task's
+    features as a blob scratch file plus (count, bbox, gtypes) stats; the
+    driver then writes magic + header and streams the blobs in partition
+    order (deterministic for a deterministic input partitioning). Returns
+    the feature count. Rows with missing/unparseable geometry are skipped,
+    matching the reference's GDAL export of geometry-bearing rows only.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    columns = []
+    for f in df.schema.fields:
+        if f.name == wkt_col:
+            continue
+        st = f.dataType.simpleString()
+        if st not in _SPARK_CT:
+            raise ValueError(f"unsupported FGB column type {st} for {f.name}")
+        columns.append((f.name, _SPARK_CT[st]))
+    col_names = [c for c, _ in columns]
+    widx = df.columns.index(wkt_col)
+    cidx = [df.columns.index(c) for c in col_names]
+
+    out_dir = os.path.dirname(os.path.abspath(path)) or "."
+    work = os.path.join(out_dir, f".{os.path.basename(path)}.parts")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+
+    def enc(batches):
+        tc = TaskContext.get()
+        fname = os.path.join(
+            work, f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.bin"
+        )
+        tmp = fname + ".inprogress"
+        n = 0
+        minx = miny = float("inf")
+        maxx = maxy = float("-inf")
+        gtypes: set[int] = set()
+        with open(tmp, "wb") as fh:
+            for rb in batches:
+                pdf_cols = [rb.column(i).to_pandas() for i in cidx]
+                batch = parse_wkt_batch(rb.column(widx).to_pandas())
+                rings_of: dict[int, list] = {}
+                for r in range(batch.n_rings):
+                    rings_of.setdefault(int(batch.ring_geom[r]), []).append(
+                        (batch.ring(r), bool(batch.ring_is_hole[r]))
+                    )
+                for g in range(batch.n_geoms):
+                    gt = int(batch.gtype[g])
+                    if gt == GT_MISSING:
+                        continue
+                    rings = rings_of.get(g, [])
+                    row = [pc.iloc[g] for pc in pdf_cols]
+                    fh.write(encode_feature(gt, rings, columns, row))
+                    n += 1
+                    gtypes.add(gt)
+                if batch.coords.size:
+                    minx = min(minx, float(batch.coords[:, 0].min()))
+                    maxx = max(maxx, float(batch.coords[:, 0].max()))
+                    miny = min(miny, float(batch.coords[:, 1].min()))
+                    maxy = max(maxy, float(batch.coords[:, 1].max()))
+        os.replace(tmp, fname)
+        yield pa.record_batch(
+            [
+                pa.array([os.path.basename(fname)]),
+                pa.array([n], type=pa.int64()),
+                pa.array([minx if n else None], type=pa.float64()),
+                pa.array([miny if n else None], type=pa.float64()),
+                pa.array([maxx if n else None], type=pa.float64()),
+                pa.array([maxy if n else None], type=pa.float64()),
+                pa.array([",".join(str(t) for t in sorted(gtypes))]),
+            ],
+            names=["file", "n", "minx", "miny", "maxx", "maxy", "gtypes"],
+        )
+
+    stats = df.mapInArrow(
+        enc,
+        "file string, n long, minx double, miny double, "
+        "maxx double, maxy double, gtypes string",
+    ).collect()
+
+    kept = sorted(r["file"] for r in stats)
+    total = sum(r["n"] for r in stats)
+    nonempty = [r for r in stats if r["n"]]
+    envelope = (
+        [
+            min(r["minx"] for r in nonempty),
+            min(r["miny"] for r in nonempty),
+            max(r["maxx"] for r in nonempty),
+            max(r["maxy"] for r in nonempty),
+        ]
+        if nonempty
+        else None
+    )
+    seen_types = {int(t) for r in nonempty for t in r["gtypes"].split(",") if t}
+    gtype = seen_types.pop() if len(seen_types) == 1 else GEOM_UNKNOWN
+
+    header = encode_header(
+        name or os.path.splitext(os.path.basename(path))[0],
+        envelope,
+        gtype,
+        columns,
+        total,
+    )
+    with open(path + ".inprogress", "wb") as out:
+        out.write(MAGIC)
+        out.write(header)
+        for fname in kept:
+            with open(os.path.join(work, fname), "rb") as src:
+                shutil.copyfileobj(src, out)
+    os.replace(path + ".inprogress", path)
+    shutil.rmtree(work)
+    return total
+
+
+# --------------------------------------------------------------------------
+# FGB decoding (generic flatbuffer table walk; used for round-trip checks
+# and as an interop source for files other tools wrote)
+# --------------------------------------------------------------------------
+
+
+def _u16(buf, off):
+    return struct.unpack_from("<H", buf, off)[0]
+
+
+def _u32(buf, off):
+    return struct.unpack_from("<I", buf, off)[0]
+
+
+class _FBTable:
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.vt = pos - struct.unpack_from("<i", buf, pos)[0]
+        self.vsize = _u16(buf, self.vt)
+
+    def _field(self, slot: int) -> int:
+        o = 4 + 2 * slot
+        if o >= self.vsize:
+            return 0
+        rel = _u16(self.buf, self.vt + o)
+        return self.pos + rel if rel else 0
+
+    def scalar(self, slot: int, fmt: str, default):
+        f = self._field(slot)
+        return struct.unpack_from("<" + fmt, self.buf, f)[0] if f else default
+
+    def indirect(self, slot: int) -> int:
+        f = self._field(slot)
+        return f + _u32(self.buf, f) if f else 0
+
+    def string(self, slot: int) -> str | None:
+        p = self.indirect(slot)
+        if not p:
+            return None
+        n = _u32(self.buf, p)
+        return self.buf[p + 4 : p + 4 + n].decode("utf-8")
+
+    def vector(self, slot: int, fmt: str, size: int):
+        p = self.indirect(slot)
+        if not p:
+            return []
+        n = _u32(self.buf, p)
+        return list(struct.unpack_from(f"<{n}{fmt}", self.buf, p + 4))
+
+    def table_vector(self, slot: int):
+        p = self.indirect(slot)
+        if not p:
+            return []
+        n = _u32(self.buf, p)
+        return [
+            _FBTable(self.buf, p + 4 + 4 * i + _u32(self.buf, p + 4 + 4 * i))
+            for i in range(n)
+        ]
+
+
+def _geometry_rings(g: _FBTable):
+    """Geometry table -> list of (K,2) ring arrays (single-part)."""
+    xy = np.asarray(g.vector(1, "d", 8), dtype=np.float64).reshape(-1, 2)
+    ends = g.vector(0, "I", 4)
+    if not ends:
+        return [xy]
+    rings, start = [], 0
+    for e in ends:
+        rings.append(xy[start:e])
+        start = e
+    return rings
+
+
+def _decode_geometry_wkt(g: _FBTable, header_gtype: int) -> str:
+    gt = g.scalar(6, "B", 0) or header_gtype
+    if gt == GT_POINT:
+        xy = g.vector(1, "d", 8)
+        return point_wkt(xy[0], xy[1])
+    if gt == GT_POLYGON:
+        return polygon_wkt(_geometry_rings(g))
+    if gt == GT_MULTIPOLYGON:
+        return multipolygon_wkt([_geometry_rings(p) for p in g.table_vector(7)])
+    raise ValueError(f"unsupported FGB geometry type {gt}")
+
+
+def _decode_properties(buf: bytes, columns) -> dict:
+    out: dict = {}
+    off = 0
+    while off < len(buf):
+        i = struct.unpack_from("<H", buf, off)[0]
+        off += 2
+        cname, ctype = columns[i]
+        if ctype == CT_STRING:
+            n = _u32(buf, off)
+            off += 4
+            out[cname] = buf[off : off + n].decode("utf-8")
+            off += n
+        elif ctype == CT_DOUBLE:
+            out[cname] = struct.unpack_from("<d", buf, off)[0]
+            off += 8
+        elif ctype == CT_FLOAT:
+            out[cname] = struct.unpack_from("<f", buf, off)[0]
+            off += 4
+        elif ctype == CT_LONG:
+            out[cname] = struct.unpack_from("<q", buf, off)[0]
+            off += 8
+        elif ctype == CT_INT:
+            out[cname] = struct.unpack_from("<i", buf, off)[0]
+            off += 4
+        elif ctype == CT_BOOL:
+            out[cname] = bool(buf[off])
+            off += 1
+        else:
+            raise ValueError(f"unsupported column type {ctype} in properties")
+    return out
+
+
+def _index_size(features_count: int, node_size: int) -> int:
+    """Packed Hilbert R-tree byte size (spec: 40-byte nodes, levels from
+    leaves up until a single root)."""
+    n = features_count
+    total = n
+    while n != 1:
+        n = -(-n // node_size)
+        total += n
+    return total * 40
+
+
+def read_fgb(path: str) -> pd.DataFrame:
+    """FGB file -> pandas DataFrame with a ``wkt`` column + properties.
+    Skips any spatial index; sequential feature scan."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    # tolerate other patch versions (byte 7), require 'fgb' + major 3 + 'fgb'
+    if buf[:7] != MAGIC[:7]:
+        raise ValueError(f"{path} is not a FlatGeobuf v3 file")
+    hsize = _u32(buf, 8)
+    header = _FBTable(buf, 12 + _u32(buf, 12))
+    gtype = header.scalar(2, "B", 0)
+    node_size = header.scalar(9, "H", 16)
+    fcount = header.scalar(8, "Q", 0)
+    columns = [
+        (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
+    ]
+    off = 12 + hsize
+    if node_size > 0 and fcount > 0:
+        off += _index_size(fcount, node_size)
+    rows = []
+    while off < len(buf):
+        fsize = _u32(buf, off)
+        fbuf = buf[off + 4 : off + 4 + fsize]
+        off += 4 + fsize
+        feat = _FBTable(fbuf, _u32(fbuf, 0))
+        geom_pos = feat.indirect(0)
+        row = {"wkt": _decode_geometry_wkt(_FBTable(fbuf, geom_pos), gtype)}
+        props = feat.vector(1, "B", 1)
+        if props:
+            row.update(_decode_properties(bytes(props), columns))
+        rows.append(row)
+    cols = ["wkt"] + [c for c, _ in columns]
+    return pd.DataFrame(rows, columns=[c for c in cols if any(c in r for r in rows)] or cols)
+
+
+def fgb_to_df(spark, path: str):
+    """FGB -> Spark DataFrame (driver-side parse, then parallelize — the
+    interop ingestion path; FGB has no splittable layout without an index)."""
+    return spark.createDataFrame(read_fgb(path))

@@ -92,6 +92,11 @@ WITH {bld}
 SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom
 """
 
+    # FGB round-trip must reproduce the exact enrichment quadkeys: the sink
+    # and reader are lossless over f64 coordinates, so the oracle is the
+    # same SQL as g_enrich_quadkey
+    sqls["g_fgb_roundtrip"] = sqls["g_enrich_quadkey"]
+
     sqls["g_quadkey_hist"] = f"""
 WITH {bld}
 SELECT qk AS quadkey, COUNT(*) AS n_docs FROM bld WHERE has_geom GROUP BY 1

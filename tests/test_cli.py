@@ -120,3 +120,32 @@ def test_cli_stac(spark, docs, tmp_path, capsys):
     import os
 
     assert os.path.exists(os.path.join(root, "metadata", "stac", "catalog.json"))
+
+
+def test_cli_get_buildings_fgb(spark, docs, tmp_path, capsys):
+    """`get-buildings --dst x.fgb` writes FlatGeobuf (reference driver map
+    download_buildings.py:306-309) and the output re-parses losslessly."""
+    import json as _json
+
+    from open_buildings_spark import cli, datagen
+    from open_buildings_spark.operators import aoi as aoi_op
+    from open_buildings_spark.operators import enrich, flatgeobuf
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(
+        enrich.add_geo_columns(docs, drop_nongeo=True), root, max_per_file=500
+    )
+    aoi_path = str(tmp_path / "aoi.json")
+    with open(aoi_path, "w") as f:
+        _json.dump(datagen.city_aoi(), f)
+    dst = str(tmp_path / "hits.fgb")
+    cli.main(["get-buildings", "--table", root, "--aoi", aoi_path, "--dst", dst])
+    out = capsys.readouterr().out
+    assert "(fgb)" in out
+    expected = aoi_op.aoi_query(
+        enrich.add_geo_columns(docs, drop_nongeo=True), datagen.city_aoi()
+    ).count()
+    back = flatgeobuf.read_fgb(dst)
+    assert len(back) == expected > 0
+    assert set(back.columns) >= {"wkt", "doc_id", "quadkey"}
