@@ -73,6 +73,21 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
 
 
+def _q_places_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overture places path (points): POINT WKT corpus -> quadkey + country
+    via the same single-parse enrichment (reference
+    overture/places_add_columns.py:26-66). Exercises the codec's Point path
+    (geo/wkt.py GT_POINT) end-to-end under the driver gate; the min-ISO
+    tie-break is live (city 0's west half overlaps countries AA and A0)."""
+    places = datagen.places_df(spark, sf_dir)
+    clist = [
+        (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
+        for iso, (w, s, e, n) in datagen.countries()
+    ]
+    out = enrich.add_places_columns(places.select("place_id", "category", "wkt"), clist)
+    return out.select("place_id", "category", "quadkey", "country_iso")
+
+
 def _q_quadkey_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geo_docs(spark, sf_dir).groupBy("quadkey").agg(
         F.count("*").alias("n_docs")
@@ -312,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial core (SURVEY.md §2)
         "g_enrich_quadkey": _q_enrich_quadkey,
         "g_fgb_roundtrip": _q_fgb_roundtrip,
+        "g_places_enrich": _q_places_enrich,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
         "g_aoi_table": _q_aoi_table,

@@ -306,6 +306,110 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> Dat
     return b.select("doc_id", spans.alias("spans"))
 
 
+PLACE_CATEGORIES = ["eat", "shop", "stay", "fuel", "bank"]
+
+
+def places_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic Overture *places* analogue: one POINT-typed row per
+    customer (the reference's places corpus is point features enriched from
+    bbox midpoints, open_buildings/overture/places_add_columns.py:26-66).
+
+    Same LCG/tile arithmetic as the buildings derivation (shared contract
+    with :func:`places_sql_cte`), so the z12 quadkey of each place is
+    exactly the integer bit-interleave of (tx, ty) — the jitter keeps every
+    point >=0.1 tile from any tile edge.
+
+    Columns: place_id, name, category, wkt ('POINT (x y)'), plus the
+    tx/ty/lon/lat/qk derivation columns for tests.
+    """
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .distinct()
+    )
+    df = c.withColumn("pid", F.col("c_custkey"))
+    df = df.withColumn("h", (F.col("pid") * 1103515245 + 12345) % 2147483648)
+    df = df.withColumn("city", _city_col(F.col("pid")))
+    cx = F.element_at(F.array(*[F.lit(t[0]) for t in CITY_TILES]), F.col("city") + 1)
+    cy = F.element_at(F.array(*[F.lit(t[1]) for t in CITY_TILES]), F.col("city") + 1)
+    df = (
+        df.withColumn("tx", cx + F.col("h") % 64)
+        .withColumn("ty", cy + F.expr("h div 64") % 64)
+        .withColumn("fx", ((F.col("h") % 1000) / 1000.0 - 0.5) * 0.8)
+        .withColumn("fy", ((F.col("h") % 997) / 997.0 - 0.5) * 0.8)
+    )
+    df = df.withColumn("lon", (F.col("tx") + 0.5 + F.col("fx")) / NTILES * 360.0 - 180.0)
+    df = df.withColumn(
+        "lat",
+        F.degrees(
+            F.atan(
+                F.sinh(
+                    F.lit(float(__import__("math").pi))
+                    * (1.0 - 2.0 * (F.col("ty") + 0.5 + F.col("fy")) / NTILES)
+                )
+            )
+        ),
+    )
+    df = (
+        df.withColumn("place_id", F.concat(F.lit("pl-"), F.col("pid").cast("string")))
+        .withColumn("name", F.format_string("place %s", F.col("pid").cast("string")))
+        .withColumn(
+            "category",
+            F.element_at(
+                F.array(*[F.lit(x) for x in PLACE_CATEGORIES]),
+                ((F.col("h") % 5) + 1).cast("int"),
+            ),
+        )
+        .withColumn("qk", _quadkey_col(F.col("tx"), F.col("ty")))
+        .withColumn("wkt", F.format_string("POINT (%.17g %.17g)", F.col("lon"), F.col("lat")))
+    )
+    return df.drop("c_custkey", "fx", "fy")
+
+
+def places_sql_cte() -> str:
+    """DuckDB CTE ``pl`` reproducing :func:`places_df` from customer."""
+    cxs = "CASE city " + " ".join(
+        f"WHEN {i} THEN {t[0]}" for i, t in enumerate(CITY_TILES)
+    ) + " END"
+    cys = "CASE city " + " ".join(
+        f"WHEN {i} THEN {t[1]}" for i, t in enumerate(CITY_TILES)
+    ) + " END"
+    cats = "CASE h % 5 " + " ".join(
+        f"WHEN {i} THEN '{c}'" for i, c in enumerate(PLACE_CATEGORIES)
+    ) + " END"
+    return f"""
+pl_base AS (
+  SELECT DISTINCT c_custkey AS pid,
+         (c_custkey * 1103515245 + 12345) % 2147483648 AS h
+  FROM customer
+),
+pl_h AS (
+  SELECT pid, h,
+         CASE WHEN pid % 10 < 4 THEN 0 WHEN pid % 10 < 6 THEN 1
+              WHEN pid % 10 < 8 THEN 2 WHEN pid % 10 = 8 THEN 3 ELSE 4 END AS city
+  FROM pl_base
+),
+pl_t AS (
+  SELECT pid, h, city,
+         ({cxs}) + h % 64 AS tx,
+         ({cys}) + (h // 64) % 64 AS ty,
+         ((h % 1000) / 1e3 - 5e-1) * 8e-1 AS fx,
+         ((h % 997) / 9.97e2 - 5e-1) * 8e-1 AS fy
+  FROM pl_h
+),
+pl AS (
+  SELECT pid, h, city, tx, ty,
+         'pl-' || CAST(pid AS VARCHAR) AS place_id,
+         {cats} AS category,
+         (tx + 5e-1 + fx) / {NTILES} * 3.6e2 - 1.8e2 AS lon,
+         degrees(atan((exp(pi() * (1e0 - 2e0 * (ty + 5e-1 + fy) / {NTILES}))
+                      - exp(-(pi() * (1e0 - 2e0 * (ty + 5e-1 + fy) / {NTILES})))) / 2e0)) AS lat,
+         {_quadkey_sql('tx', 'ty')} AS qk
+  FROM pl_t
+)
+""".strip()
+
+
 def countries_df(spark: SparkSession) -> DataFrame:
     """Small-side countries table mirroring the reference's schema
     (isocountrycodealpha2 + WKB geometry; open_buildings/overture/

@@ -172,3 +172,16 @@ def add_country_iso_from_table(docs: DataFrame, countries_df: DataFrame) -> Data
         ]
         country_list.append((r["isocountrycodealpha2"], rings))
     return add_country_iso(docs, country_list)
+
+
+def add_places_columns(
+    places: DataFrame, country_list: list[tuple[str, list]] | None = None
+) -> DataFrame:
+    """Overture *places* enrichment (reference
+    open_buildings/overture/places_add_columns.py:26-66): point features get
+    a z12 quadkey from their bbox midpoint (a point IS its own midpoint) and
+    a country by point-in-polygon, both in the SAME single Arrow parse pass
+    as the buildings path — :func:`add_geo_columns` over POINT WKT. The
+    reference runs one correlated UPDATE per column; here both derive from
+    one pandas_udf over just the wkt column."""
+    return add_geo_columns(places, drop_nongeo=True, countries=country_list)

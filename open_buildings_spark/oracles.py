@@ -92,6 +92,17 @@ WITH {bld}
 SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom
 """
 
+    # places are points: country containment is a point-in-rect test and the
+    # quadkey is the integer (tx, ty) interleave (jitter margin guarantees
+    # the float mercator round trip in the engine can't flip a tile)
+    sqls["g_places_enrich"] = f"""
+WITH {datagen.places_sql_cte()}
+SELECT p.place_id, p.category, p.qk AS quadkey, MIN(c.iso) AS country_iso
+FROM pl p LEFT JOIN {countries}
+  ON p.lon >= c.w AND p.lon <= c.e AND p.lat >= c.s AND p.lat <= c.n
+GROUP BY 1, 2, 3
+"""
+
     # FGB round-trip must reproduce the exact enrichment quadkeys: the sink
     # and reader are lossless over f64 coordinates, so the oracle is the
     # same SQL as g_enrich_quadkey

@@ -209,3 +209,35 @@ def test_country_join_min_iso_tiebreak(spark):
     )
     out = {r["doc_id"]: r["country_iso"] for r in enrich.add_country_iso(docs, clist).collect()}
     assert out == {"overlap": "AM", "onlyzz": "ZZ", "nowhere": None}
+
+
+def test_places_point_pipeline(spark, sf_dir):
+    """Overture places path (points): POINT WKT through the single-parse
+    enrichment reproduces the integer-interleave quadkey for every place and
+    assigns countries with the min-ISO tie-break (A0 overlaps AA on city
+    0's west half) — reference overture/places_add_columns.py:26-66."""
+    from open_buildings_spark import datagen
+
+    places = datagen.places_df(spark, sf_dir)
+    clist = [
+        (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
+        for iso, (w, s, e, n) in datagen.countries()
+    ]
+    # enrichment emits its own lon/lat (for a point: the point itself)
+    out = enrich.add_places_columns(
+        places.select("place_id", "qk", "city", "wkt"), clist
+    ).cache()
+    assert out.filter(F.col("quadkey") != F.col("qk")).count() == 0
+    # every place lands in its city's country; west half of city 0 -> A0
+    w, s, e, n = datagen._city_rect(0, margin=0.0)
+    mid = (w + e) / 2.0
+    bad = out.filter(
+        (
+            (F.col("city") == 0)
+            & (F.col("country_iso") != F.when(F.col("lon") <= mid, "A0").otherwise("AA"))
+        )
+        | ((F.col("city") == 1) & (F.col("country_iso") != "BB"))
+        | ((F.col("city") == 4) & (F.col("country_iso") != "EE"))
+    ).count()
+    assert bad == 0
+    assert out.filter(F.col("country_iso") == "A0").count() > 0
