@@ -176,12 +176,20 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
         fast_coords = np.empty((0, 2), dtype=np.float64)
         fast_offs = np.zeros(1, dtype=np.int64)
 
-    # general path (multipolygons, holes, points): per-geom recursive descent
+    # general path (multipolygons, holes, points): per-geom recursive descent.
+    # Parse failures (EMPTY geometries, unsupported types, malformed text)
+    # degrade that ROW to GT_MISSING instead of killing the whole Spark
+    # stage — the reference's shapely/DuckDB path degrades per-row too.
     gen_rings: list = []
     gen_geom: list = []
     gen_hole: list = []
     for gi in np.nonzero(is_str & ~simple_mask)[0]:
-        gtype[gi] = _parse_one(vals[gi], int(gi), gen_rings, gen_geom, gen_hole)
+        n_before = len(gen_rings)
+        try:
+            gtype[gi] = _parse_one(vals[gi], int(gi), gen_rings, gen_geom, gen_hole)
+        except (ValueError, IndexError):
+            del gen_rings[n_before:], gen_geom[n_before:], gen_hole[n_before:]
+            gtype[gi] = GT_MISSING
 
     if gen_rings:
         # merge the two blocks back into geometry order: several kernels

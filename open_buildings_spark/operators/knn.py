@@ -53,6 +53,7 @@ def knn(
     k: int = 5,
     initial_ring: int = 8,
     max_ring: int = 256,
+    anchor_offset_m: float = 0.0,
 ) -> DataFrame:
     """Exact k nearest buildings (haversine meters) per query point.
 
@@ -65,6 +66,17 @@ def knn(
     job round-trip, so starting wider usually wins — measured 11.7s
     (ring 2, three iterations) vs 3.5s (ring 8, one) on 1.8M docs. Tune
     down only for extremely dense cells where candidate volume dominates.
+
+    ``anchor_offset_m``: upper bound (meters) on the distance between a
+    building's quadkey anchor (bbox midpoint) and its ranked point
+    (centroid). Candidates are gathered by anchor tile but ranked by
+    centroid, so a true neighbor whose anchor sits just outside the ring
+    would otherwise be silently missed; the growth criterion therefore
+    requires kth + anchor_offset_m < ring margin. The default 0.0 is exact
+    whenever anchor == ranked point — point corpora, and any footprint
+    whose centroid equals its bbox midpoint (all shapes in the synthetic
+    corpus, including the two-equal-squares multis). For general
+    footprints pass max over the corpus of dist(bbox_midpoint, centroid).
     """
     if buildings.storageLevel.useMemory is False:
         buildings = buildings.cache()  # ring growth re-reads the candidates
@@ -114,7 +126,7 @@ def knn(
         for qid, qlon, qlat in queries:
             cnt, kd = kth.get(qid, (0, None))
             margin = _boundary_margin_m(qlon, qlat, ring)
-            if cnt < k or (kd is not None and kd >= margin):
+            if cnt < k or (kd is not None and kd + anchor_offset_m >= margin):
                 ok = False
                 break
         if ok or ring >= max_ring:

@@ -47,13 +47,9 @@ def polygon_cover_cells(feature: dict, level: int) -> list[str]:
 def _make_within_by_aoi(aois: list[tuple[int, dict]]):
     """pandas UDF testing within against a per-row AOI id (AOIs grouped
     per batch so each AOI's kernel runs vectorized over its rows)."""
-    rings_by_id = {
-        int(aid): [
-            (np.asarray(ring, dtype=np.float64), i > 0)
-            for i, ring in enumerate(feat["geometry"]["coordinates"])
-        ]
-        for aid, feat in aois
-    }
+    from ..udfs import aoi_rings
+
+    rings_by_id = {int(aid): aoi_rings(feat["geometry"]) for aid, feat in aois}
 
     @F.pandas_udf(BooleanType())
     def within_by_aoi(wkt: pd.Series, aoi_id: pd.Series) -> pd.Series:

@@ -72,14 +72,36 @@ def geom_summary(wkt: pd.Series) -> pd.DataFrame:
     )
 
 
+def aoi_rings(geometry: dict) -> list:
+    """GeoJSON Polygon or MultiPolygon AOI -> flat (ring, is_hole) list.
+
+    MultiPolygon parts flatten shell-first per part — the raycast kernels
+    OR shells and subtract holes, which is exact for valid multipolygons
+    (holes lie inside their own shell). Other types raise: the CLI accepts
+    arbitrary AOI GeoJSON (get_buildings --aoi), and silently misreading a
+    MultiPolygon's parts as shell+holes produced wrong rings before."""
+    t = geometry["type"]
+    if t == "Polygon":
+        return [
+            (np.asarray(r, dtype=np.float64), i > 0)
+            for i, r in enumerate(geometry["coordinates"])
+        ]
+    if t == "MultiPolygon":
+        out = []
+        for poly in geometry["coordinates"]:
+            out.extend(
+                (np.asarray(r, dtype=np.float64), i > 0) for i, r in enumerate(poly)
+            )
+        return out
+    raise ValueError(f"unsupported AOI geometry type {t!r} (use Polygon/MultiPolygon)")
+
+
 def make_within_aoi(aoi_feature: dict):
     """Factory: pandas UDF testing ST_Within(geom, AOI) for one AOI polygon
-    (the reference's refinement predicate, download_buildings.py:250).
-    The AOI rings ride in the task closure (broadcast once per executor)."""
-    rings = [
-        (np.asarray(ring, dtype=np.float64), i > 0)
-        for i, ring in enumerate(aoi_feature["geometry"]["coordinates"])
-    ]
+    or multipolygon (the reference's refinement predicate,
+    download_buildings.py:250). The AOI rings ride in the task closure
+    (broadcast once per executor)."""
+    rings = aoi_rings(aoi_feature["geometry"])
 
     @F.pandas_udf(BooleanType())
     def within_aoi(wkt: pd.Series) -> pd.Series:

@@ -303,3 +303,31 @@ def test_parse_mixed_batch_preserves_geom_order_invariant():
     # and the hole flag survived the merge
     holes = b.ring_is_hole[b.ring_geom == 5]
     assert list(holes) == [False, True]
+
+
+def test_parse_wkt_batch_degrades_malformed_rows():
+    """Bad rows (EMPTY, unsupported types, malformed text) become GT_MISSING
+    without poisoning neighbors — the reference's shapely/DuckDB path also
+    degrades per-row rather than failing the batch."""
+    import pandas as pd
+
+    from open_buildings_spark.geo.wkt import GT_MISSING, GT_POLYGON, parse_wkt_batch
+
+    s = pd.Series(
+        [
+            "POLYGON ((0 0, 1 0, 1 1, 0 0))",
+            "POLYGON EMPTY",
+            "GEOMETRYCOLLECTION (POINT (1 2))",
+            "LINESTRING (0 0, 1 1)",
+            "POLYGON ((garbage",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))",
+            None,
+            "",
+        ]
+    )
+    b = parse_wkt_batch(s)
+    assert list(b.gtype) == [GT_POLYGON, GT_MISSING, GT_MISSING, GT_MISSING,
+                             GT_MISSING, 6, GT_MISSING, GT_MISSING]
+    # ring bookkeeping stays consistent: only the good rows own rings
+    assert set(b.ring_geom.tolist()) == {0, 5}
+    assert b.ring_offsets[-1] == len(b.coords)

@@ -241,3 +241,40 @@ def test_places_point_pipeline(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.filter(F.col("country_iso") == "A0").count() > 0
+
+
+def test_multipolygon_aoi_query(spark, docs):
+    """A MultiPolygon AOI (two disjoint rects) returns exactly the union of
+    the per-rect hits — previously its parts were misread as shell+holes."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import aoi as aoi_op
+
+    aois = datagen.multi_aois()[:2]
+    singles = [f for _, f in aois]
+    multi = {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [f["geometry"]["coordinates"] for f in singles],
+        },
+    }
+    n_union = aoi_op.aoi_query(docs, multi).count()
+    n_parts = sum(aoi_op.aoi_query(docs, f).count() for f in singles)
+    assert n_union == n_parts > 0
+
+
+def test_knn_anchor_offset_allowance(spark, docs, buildings_pdf):
+    """anchor_offset_m widens the exactness criterion (kth + offset < ring
+    margin) for corpora whose quadkey anchor diverges from the ranked
+    centroid; results stay identical to the default here because the
+    synthetic shapes have anchor == centroid."""
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    b = g.select("doc_id", "quadkey", "lon", "lat").cache()
+    queries = [(0, buildings_pdf.lon.iloc[0] + 0.01, buildings_pdf.lat.iloc[0] + 0.01)]
+    base = knn.knn(spark, b, queries, k=5).orderBy("rank").toPandas()
+    # a 500 m allowance forces at least one extra ring growth from ring=1
+    wide = knn.knn(
+        spark, b, queries, k=5, initial_ring=1, max_ring=64, anchor_offset_m=500.0
+    ).orderBy("rank").toPandas()
+    assert base.doc_id.tolist() == wide.doc_id.tolist()
