@@ -6,7 +6,7 @@ reference user can run the same commands against this engine:
   python -m open_buildings_spark quad2json 031313131112     (ob tools quad2json)
   python -m open_buildings_spark sql      < aoi.geojson     (ob tools sql)
   python -m open_buildings_spark get-buildings --table T --aoi aoi.geojson \
-         --dst out.json [--format json|parquet|geoparquet|fgb] [--country-iso XX]
+         --dst out.json [--format json|parquet|geoparquet|fgb|gpkg|shp] [--country-iso XX]
   python -m open_buildings_spark enrich    --src docs-parquet --dst table-root
   python -m open_buildings_spark partition --src table-root --max-per-file N
 
@@ -86,7 +86,11 @@ def cmd_get_buildings(args) -> None:
     fmt = args.format or (
         "json"
         if args.dst.endswith(".json")
-        else "fgb" if args.dst.endswith(".fgb") else "parquet"
+        else "fgb"
+        if args.dst.endswith(".fgb")
+        else "gpkg"
+        if args.dst.endswith(".gpkg")
+        else "shp" if args.dst.endswith(".shp") else "parquet"
     )
     if fmt == "json":
         sinks.write_geojson(hit, args.dst)
@@ -94,6 +98,14 @@ def cmd_get_buildings(args) -> None:
         from .operators import flatgeobuf
 
         flatgeobuf.write_fgb(hit.drop("spans"), args.dst)
+    elif fmt == "gpkg":
+        from .operators import gpkg
+
+        gpkg.write_gpkg(hit.drop("spans"), args.dst)
+    elif fmt == "shp":
+        from .operators import shapefile
+
+        shapefile.write_shp(hit.drop("spans"), args.dst)
     elif fmt == "geoparquet":
         sinks.write_geoparquet(hit.drop("spans"), args.dst)
     else:
@@ -184,6 +196,20 @@ def cmd_benchmark(args) -> None:
                 flatgeobuf.write_fgb(
                     out.withColumnRenamed("geometry", "wkt"), dst + ".fgb"
                 )
+            elif fmt == "gpkg":
+                from .operators import gpkg as gpkg_op
+
+                os.makedirs(args.dst, exist_ok=True)
+                gpkg_op.write_gpkg(
+                    out.withColumnRenamed("geometry", "wkt"), dst + ".gpkg"
+                )
+            elif fmt == "shp":
+                from .operators import shapefile as shp_op
+
+                os.makedirs(args.dst, exist_ok=True)
+                shp_op.write_shp(
+                    out.withColumnRenamed("geometry", "wkt"), dst + ".shp"
+                )
             else:
                 raise SystemExit(f"unknown format: {fmt}")
             rows.append(
@@ -233,7 +259,7 @@ def main(argv: list[str] | None = None) -> None:
     gb.add_argument("--table", required=True, help="iceberg-lite root or parquet dir")
     gb.add_argument("--aoi", required=True)
     gb.add_argument("--dst", required=True)
-    gb.add_argument("--format", choices=["json", "parquet", "geoparquet", "fgb"])
+    gb.add_argument("--format", choices=["json", "parquet", "geoparquet", "fgb", "gpkg", "shp"])
     gb.add_argument("--country-iso")
     gb.set_defaults(fn=cmd_get_buildings)
 

@@ -1,0 +1,327 @@
+"""ESRI Shapefile sink + source, implemented from the public spec.
+
+The reference exports .shp through GDAL (open_buildings/
+download_buildings.py:304-311; google/process.py benchmarks it). No GDAL
+exists here; the format is the published ESRI white paper ("ESRI Shapefile
+Technical Description", 1998) plus dBASE III for attributes:
+
+- ``.shp``: 100-byte header (file code 9994 BE, length in 16-bit words,
+  version 1000 LE, shape type, bbox), then per-record BE headers + LE shape
+  payloads. Polygons are type 5 (rings concatenated; outer rings clockwise,
+  holes counter-clockwise — orientation is enforced on write); points are
+  type 1. A shapefile holds ONE shape type; multipolygons share type 5.
+- ``.shx``: same header + (offset, content length) per record.
+- ``.dbf``: dBASE III — field descriptors (name <= 10 chars; C/N types) and
+  fixed-width ASCII records.
+
+Scale shape: like the FGB sink, record ENCODING is distributed (mapInArrow
+to per-task scratch blobs for .shp payloads and .dbf rows); the driver
+assembles the three files (offsets depend on global record order — the
+same single-file funnel GDAL pays). Reader for round-trips/interop.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pandas as pd
+
+SHP_POINT = 1
+SHP_POLYGON = 5
+
+_HEADER_LEN = 100
+
+
+def _ring_signed_area(c: np.ndarray) -> float:
+    x, y = c[:, 0], c[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _oriented(c: np.ndarray, clockwise: bool) -> np.ndarray:
+    """Close the ring and enforce orientation (shapefile: outer CW, hole CCW)."""
+    if not np.array_equal(c[0], c[-1]):
+        c = np.vstack([c, c[0]])
+    area = _ring_signed_area(c[:-1]) if len(c) > 3 else _ring_signed_area(c)
+    is_ccw = area > 0
+    if clockwise == is_ccw:  # wrong way round
+        c = c[::-1]
+    return c
+
+
+def _polygon_record(rings: list[tuple[np.ndarray, bool]]) -> bytes:
+    closed = [_oriented(c, clockwise=not hole) for c, hole in rings]
+    pts = np.concatenate(closed, axis=0)
+    parts = np.cumsum([0] + [len(r) for r in closed[:-1]])
+    return (
+        struct.pack("<i", SHP_POLYGON)
+        + struct.pack(
+            "<dddd",
+            float(pts[:, 0].min()), float(pts[:, 1].min()),
+            float(pts[:, 0].max()), float(pts[:, 1].max()),
+        )
+        + struct.pack("<ii", len(closed), len(pts))
+        + struct.pack(f"<{len(closed)}i", *parts.tolist())
+        + np.ascontiguousarray(pts, dtype="<f8").tobytes()
+    )
+
+
+def _point_record(x: float, y: float) -> bytes:
+    return struct.pack("<i", SHP_POINT) + struct.pack("<dd", x, y)
+
+
+def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
+    """(name<=10, type, length, decimals) per column from Spark types."""
+    out = []
+    for name, st in columns:
+        fname = name[:10]
+        if st == "string":
+            out.append((fname, "C", 80, 0))
+        elif st in ("double", "float"):
+            out.append((fname, "N", 24, 10))
+        elif st in ("bigint", "int"):
+            out.append((fname, "N", 18, 0))
+        elif st == "boolean":
+            out.append((fname, "L", 1, 0))
+        else:
+            raise ValueError(f"unsupported shapefile column type {st} for {name}")
+    return out
+
+
+def _dbf_value(v, ftype: str, length: int, dec: int) -> bytes:
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return b" " * length if ftype != "L" else b"?"
+    if ftype == "C":
+        b = str(v).encode("utf-8", "replace")[:length]
+        return b + b" " * (length - len(b))
+    if ftype == "L":
+        return b"T" if v else b"F"
+    if dec:
+        s = f"{float(v):.{dec}f}"
+    else:
+        s = str(int(v))
+    s = s[:length].rjust(length)
+    return s.encode("ascii")
+
+
+def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
+    """DataFrame (WKT + scalar columns) -> .shp/.shx/.dbf triple at ``path``
+    (pass 'out.shp'; siblings are derived). One shape type per file: POINT
+    corpora write type 1, everything else type 5 (polygon/multipolygon);
+    mixing points with polygons raises, like GDAL's shapefile driver.
+    Null/invalid geometries are skipped. Returns feature count."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from ..geo.wkt import GT_POINT, parse_wkt_batch
+
+    base = path[:-4] if path.endswith(".shp") else path
+    columns = []
+    for f in df.schema.fields:
+        if f.name == wkt_col:
+            continue
+        columns.append((f.name, f.dataType.simpleString()))
+    fields = _dbf_fields(columns)
+    col_names = [c for c, _ in columns]
+    widx = df.columns.index(wkt_col)
+    cidx = [df.columns.index(c) for c in col_names]
+
+    scratch = base + ".shp.parts"
+    if os.path.exists(scratch):
+        shutil.rmtree(scratch)
+
+    def enc(batches):
+        for rb in batches:
+            batch = parse_wkt_batch(rb.column(widx).to_pandas())
+            rings_of: dict[int, list] = {}
+            for r in range(batch.n_rings):
+                rings_of.setdefault(int(batch.ring_geom[r]), []).append(
+                    (batch.ring(r), bool(batch.ring_is_hole[r]))
+                )
+            recs, types, keep = [], [], []
+            for g in range(batch.n_geoms):
+                gt = int(batch.gtype[g])
+                if gt == -1:
+                    continue
+                rings = rings_of.get(g, [])
+                if gt == GT_POINT:
+                    recs.append(_point_record(rings[0][0][0, 0], rings[0][0][0, 1]))
+                    types.append(SHP_POINT)
+                else:
+                    recs.append(_polygon_record(rings))
+                    types.append(SHP_POLYGON)
+                keep.append(g)
+            if not keep:
+                continue
+            idx = pa.array(np.asarray(keep, dtype=np.int64))
+            yield pa.record_batch(
+                [
+                    pa.array(recs, type=pa.binary()),
+                    pa.array(types, type=pa.int32()),
+                ]
+                + [rb.column(i).take(idx) for i in cidx],
+                names=["rec", "stype"] + col_names,
+            )
+
+    out_schema = "rec binary, stype int, " + ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in col_names
+    )
+    df.mapInArrow(enc, out_schema).write.mode("overwrite").parquet(scratch)
+
+    ds = pads.dataset(scratch, format="parquet")
+    shp_records = bytearray()
+    shx_records = bytearray()
+    dbf_records = bytearray()
+    n = 0
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+    shape_type = None
+    offset_words = _HEADER_LEN // 2
+    for rb in ds.to_batches():
+        pdf = rb.to_pandas()
+        for r in pdf.itertuples(index=False):
+            st = int(r.stype)
+            if shape_type is None:
+                shape_type = st
+            elif shape_type != st:
+                shutil.rmtree(scratch)
+                raise ValueError("shapefile cannot mix point and polygon shapes")
+            rec = r.rec
+            n += 1
+            clen = len(rec) // 2
+            shp_records += struct.pack(">ii", n, clen) + rec
+            shx_records += struct.pack(">ii", offset_words, clen)
+            offset_words += 4 + clen
+            if st == SHP_POINT:
+                x, y = struct.unpack_from("<dd", rec, 4)
+                bx0, by0, bx1, by1 = x, y, x, y
+            else:
+                bx0, by0, bx1, by1 = struct.unpack_from("<dddd", rec, 4)
+            minx, miny = min(minx, bx0), min(miny, by0)
+            maxx, maxy = max(maxx, bx1), max(maxy, by1)
+            row = b" "
+            for (fname, ftype, flen, fdec), cn in zip(fields, col_names):
+                row += _dbf_value(getattr(r, cn), ftype, flen, fdec)
+            dbf_records += row
+    shutil.rmtree(scratch)
+    if shape_type is None:
+        shape_type = SHP_POLYGON
+        minx = miny = maxx = maxy = 0.0
+
+    def header(total_words: int) -> bytes:
+        return (
+            struct.pack(">i", 9994)
+            + b"\x00" * 20
+            + struct.pack(">i", total_words)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<dddd", minx, miny, maxx, maxy)
+            + struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)
+        )
+
+    with open(base + ".shp", "wb") as f:
+        f.write(header((_HEADER_LEN + len(shp_records)) // 2))
+        f.write(shp_records)
+    with open(base + ".shx", "wb") as f:
+        f.write(header((_HEADER_LEN + len(shx_records)) // 2))
+        f.write(shx_records)
+
+    rec_size = 1 + sum(fl for _, _, fl, _ in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += bytes([0x03, 95, 5, 30])  # dBASE III, fixed date (deterministic)
+    dbf += struct.pack("<i", n)
+    dbf += struct.pack("<HH", hdr_size, rec_size)
+    dbf += b"\x00" * 20
+    for fname, ftype, flen, fdec in fields:
+        dbf += fname.encode("ascii").ljust(11, b"\x00")
+        dbf += ftype.encode("ascii")
+        dbf += b"\x00" * 4
+        dbf += bytes([flen, fdec])
+        dbf += b"\x00" * 14
+    dbf += b"\x0d"
+    dbf += dbf_records
+    dbf += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(dbf)
+    return n
+
+
+def read_shp(path: str) -> pd.DataFrame:
+    """.shp/.dbf triple -> pandas DataFrame with a ``wkt`` column +
+    attributes (round-trip / interop reader). Polygon rings are grouped by
+    orientation: CW rings open parts, CCW rings are holes of the previous
+    part; multi-part outputs become MULTIPOLYGON."""
+    from ..geo.wkt import multipolygon_wkt, point_wkt, polygon_wkt
+
+    base = path[:-4] if path.endswith(".shp") else path
+    with open(base + ".shp", "rb") as f:
+        buf = f.read()
+    assert struct.unpack_from(">i", buf, 0)[0] == 9994, "not a shapefile"
+    geoms = []
+    off = _HEADER_LEN
+    while off < len(buf):
+        _, clen = struct.unpack_from(">ii", buf, off)
+        off += 8
+        st = struct.unpack_from("<i", buf, off)[0]
+        if st == SHP_POINT:
+            x, y = struct.unpack_from("<dd", buf, off + 4)
+            geoms.append(point_wkt(x, y))
+        elif st == SHP_POLYGON:
+            nparts, npts = struct.unpack_from("<ii", buf, off + 36)
+            parts = struct.unpack_from(f"<{nparts}i", buf, off + 44)
+            pts = np.frombuffer(
+                buf, dtype="<f8", count=npts * 2, offset=off + 44 + 4 * nparts
+            ).reshape(-1, 2)
+            bounds = list(parts) + [npts]
+            polys: list[list[np.ndarray]] = []
+            for i in range(nparts):
+                ring = pts[bounds[i] : bounds[i + 1]]
+                if _ring_signed_area(ring[:-1] if len(ring) > 3 else ring) <= 0:
+                    polys.append([ring])  # CW = outer
+                elif polys:
+                    polys[-1].append(ring)  # CCW = hole of previous outer
+                else:
+                    polys.append([ring])
+            geoms.append(
+                polygon_wkt(polys[0]) if len(polys) == 1 else multipolygon_wkt(polys)
+            )
+        else:
+            raise ValueError(f"unsupported shape type {st}")
+        off += clen * 2
+    # attributes
+    with open(base + ".dbf", "rb") as f:
+        dbuf = f.read()
+    n_rec = struct.unpack_from("<i", dbuf, 4)[0]
+    hdr_size, rec_size = struct.unpack_from("<HH", dbuf, 8)
+    fields = []
+    fo = 32
+    while dbuf[fo] != 0x0D:
+        name = dbuf[fo : fo + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(dbuf[fo + 11])
+        flen = dbuf[fo + 16]
+        fdec = dbuf[fo + 17]
+        fields.append((name, ftype, flen, fdec))
+        fo += 32
+    rows = []
+    for i in range(n_rec):
+        ro = hdr_size + i * rec_size + 1  # skip deletion flag
+        row = {"wkt": geoms[i]}
+        pos = ro
+        for name, ftype, flen, fdec in fields:
+            raw = dbuf[pos : pos + flen]
+            pos += flen
+            txt = raw.decode("utf-8", "replace").strip()
+            if not txt or txt == "?":
+                row[name] = None
+            elif ftype == "C":
+                row[name] = txt
+            elif ftype == "L":
+                row[name] = txt in ("T", "t", "Y", "y")
+            elif fdec:
+                row[name] = float(txt)
+            else:
+                row[name] = int(txt)
+        rows.append(row)
+    return pd.DataFrame(rows)

@@ -1,0 +1,107 @@
+"""GeoPackage sink/source: OGC-spec-level metadata checks + round-trip.
+
+The reference exports .gpkg through GDAL (download_buildings.py:304-311);
+here the writer targets the public OGC 12-128r19 spec over stdlib sqlite3.
+"""
+
+import sqlite3
+import struct
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from open_buildings_spark.operators import enrich, gpkg
+
+
+@pytest.fixture(scope="module")
+def small_geo(spark, docs):
+    return (
+        enrich.add_geo_columns(docs, drop_nongeo=True)
+        .select("doc_id", "wkt", "quadkey", "area_m2")
+        .limit(250)
+    )
+
+
+def test_gpkg_spec_metadata(spark, small_geo, tmp_path):
+    path = str(tmp_path / "out.gpkg")
+    n = gpkg.write_gpkg(small_geo, path, layer="buildings")
+    assert n == 250
+    db = sqlite3.connect(path)
+    try:
+        assert db.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+        assert db.execute("PRAGMA user_version").fetchone()[0] == 10300
+        srs = dict(
+            db.execute(
+                "SELECT srs_id, organization FROM gpkg_spatial_ref_sys"
+            ).fetchall()
+        )
+        assert srs == {-1: "NONE", 0: "NONE", 4326: "EPSG"}
+        row = db.execute(
+            "SELECT table_name, data_type, srs_id, min_x, max_x FROM gpkg_contents"
+        ).fetchone()
+        assert row[0] == "buildings" and row[1] == "features" and row[2] == 4326
+        assert row[3] <= row[4]
+        g = db.execute(
+            "SELECT table_name, column_name, geometry_type_name, z, m "
+            "FROM gpkg_geometry_columns"
+        ).fetchone()
+        assert g == ("buildings", "geom", "POLYGON", 0, 0)
+        assert db.execute('SELECT COUNT(*) FROM "buildings"').fetchone()[0] == 250
+        # GeoPackageBinary header: magic GP, version 0, LE + envelope type 1
+        blob = db.execute('SELECT geom FROM "buildings" LIMIT 1').fetchone()[0]
+        assert blob[:2] == b"GP" and blob[2] == 0 and blob[3] == 0b00000011
+        (srs_id,) = struct.unpack_from("<i", blob, 4)
+        assert srs_id == 4326
+        minx, maxx, miny, maxy = struct.unpack_from("<dddd", blob, 8)
+        assert minx <= maxx and miny <= maxy
+        assert blob[40] == 1  # WKB little-endian marker right after envelope
+    finally:
+        db.close()
+
+
+def test_gpkg_roundtrip_lossless(spark, small_geo, tmp_path):
+    path = str(tmp_path / "rt.gpkg")
+    gpkg.write_gpkg(small_geo, path)
+    back = gpkg.read_gpkg(path).set_index("doc_id").sort_index()
+    orig = small_geo.toPandas().set_index("doc_id").sort_index()
+    assert len(back) == len(orig)
+    assert (back.quadkey == orig.quadkey).all()
+    assert (back.area_m2 == orig.area_m2).all()
+    # geometry exact through WKB: re-derived quadkey equals stored
+    bdf = spark.createDataFrame(back.reset_index()[["doc_id", "wkt"]])
+    re_qk = (
+        enrich.add_geo_columns(bdf, drop_nongeo=True)
+        .toPandas()
+        .set_index("doc_id")
+        .quadkey.sort_index()
+    )
+    assert (re_qk == orig.quadkey).all()
+
+
+def test_gpkg_mixed_types_and_nulls(spark, tmp_path):
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "note": ["a", None, "c", None],
+            "wkt": [
+                "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+                "MULTIPOLYGON (((5 5, 6 5, 6 6, 5 5)), ((7 7, 8 7, 8 8, 7 7)))",
+                "POINT (9.5 -3.25)",
+                None,
+            ],
+        }
+    )
+    path = str(tmp_path / "mixed.gpkg")
+    n = gpkg.write_gpkg(spark.createDataFrame(pdf), path)
+    assert n == 3  # null-geometry row skipped
+    db = sqlite3.connect(path)
+    gtype = db.execute(
+        "SELECT geometry_type_name FROM gpkg_geometry_columns"
+    ).fetchone()[0]
+    db.close()
+    assert gtype == "GEOMETRY"  # mixed layer
+    back = gpkg.read_gpkg(path).set_index("id").sort_index()
+    exp = pdf.dropna(subset=["wkt"]).set_index("id").sort_index()
+    assert list(back.wkt) == list(exp.wkt)
+    assert back.note.iloc[0] == "a" and back.note.iloc[1] is None
