@@ -28,6 +28,7 @@ from open_buildings_spark.operators import (
     tiles,
 )
 from open_buildings_spark.streaming import events as events_ops
+from open_buildings_spark.streaming import geo as geo_stream
 
 
 def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +72,29 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     flatgeobuf.write_fgb(g, path)
     back = spark.createDataFrame(flatgeobuf.read_fgb(path))
     return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
+
+
+def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest parity: the SAME enrichment plan run as a
+    Structured Streaming query (file source, availableNow trigger, memory
+    sink) must produce the batch result exactly — oracle is the
+    g_enrich_quadkey SQL. The reference is batch-only; streaming ingest is
+    the engine's first-class addition (SURVEY §2.8)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    docs_dir = f"/tmp/obs_stream_docs_r{datagen.DATAGEN_REV}_{base}"
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        datagen.interleaved_docs(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(docs_dir)
+    name = f"stream_enrich_{base}"
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    return geo_stream.enrich_stream_to_memory(
+        spark, docs_dir, name, ["doc_id", "quadkey"]
+    )
 
 
 def _q_places_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_enrich_quadkey": _q_enrich_quadkey,
         "g_fgb_roundtrip": _q_fgb_roundtrip,
         "g_places_enrich": _q_places_enrich,
+        "g_stream_enrich": _q_stream_enrich,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
         "g_aoi_table": _q_aoi_table,

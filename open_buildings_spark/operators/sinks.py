@@ -187,12 +187,24 @@ def write_geoparquet(
     return len(kept)
 
 
+GEOJSON_MAX_ROWS = 2_000_000
+
+
 def to_geojson_features(df: DataFrame, wkt_col: str = "wkt", limit_cols: list | None = None):
     """Collect rows as GeoJSON Feature dicts (driver-side; fixture-scale
-    exports only — the reference's .json output path)."""
+    exports only — the reference's .json output path). Guarded: a single
+    text FeatureCollection is not a 100 TB export format, so the collect
+    refuses beyond GEOJSON_MAX_ROWS instead of silently OOMing the driver
+    (use the FlatGeobuf/GeoParquet sinks for large outputs)."""
     from ..geo.wkt import parse_wkt_batch
 
     cols = limit_cols or [c for c in df.columns if c not in (wkt_col, "spans")]
+    n = df.count()
+    if n > GEOJSON_MAX_ROWS:
+        raise ValueError(
+            f"GeoJSON export is driver-side and capped at {GEOJSON_MAX_ROWS} rows "
+            f"(got {n}); write FlatGeobuf or GeoParquet instead"
+        )
     pdf = df.select(*cols, wkt_col).toPandas()
     batch = parse_wkt_batch(pdf[wkt_col])
     feats = []

@@ -103,6 +103,10 @@ FROM pl p LEFT JOIN {countries}
 GROUP BY 1, 2, 3
 """
 
+    # streaming enrichment runs the identical logical plan, so its oracle
+    # is the batch enrichment SQL
+    sqls["g_stream_enrich"] = sqls["g_enrich_quadkey"]
+
     # FGB round-trip must reproduce the exact enrichment quadkeys: the sink
     # and reader are lossless over f64 coordinates, so the oracle is the
     # same SQL as g_enrich_quadkey

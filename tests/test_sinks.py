@@ -129,3 +129,11 @@ def test_stac_catalog_from_manifest(spark, docs, tmp_path):
         coll = json.load(f)
     (bbox,) = coll["extent"]["spatial"]["bbox"]
     assert bbox[0] <= item["bbox"][0] and bbox[2] >= item["bbox"][2]
+
+
+def test_geojson_export_row_cap(spark, small_geo, monkeypatch):
+    """GeoJSON export is a driver-side collect; beyond the cap it must
+    refuse loudly (point users at FGB/GeoParquet) instead of OOMing."""
+    monkeypatch.setattr(sinks, "GEOJSON_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="capped"):
+        sinks.to_geojson_features(small_geo)
