@@ -67,31 +67,50 @@ CT_STRING = 11
 # --------------------------------------------------------------------------
 
 
+_U32 = struct.Struct("<I")
+_I32 = struct.Struct("<i")
+
+
 class _FBBuilder:
     """Positions are measured as distance-from-END of the growing buffer
-    (the buffer is built by prepending). Alignment relative to the final
-    buffer start holds because the finished length is padded to the largest
-    alignment seen (all alignments are powers of two)."""
+    (the buffer is built by prepending into a preallocated block with a
+    head pointer — naive ``buf[:0] = data`` prepends are O(total) each).
+    Alignment relative to the final buffer start holds because the
+    finished length is padded to the largest alignment seen (all
+    alignments are powers of two)."""
 
-    def __init__(self) -> None:
-        self.buf = bytearray()
+    __slots__ = ("buf", "head", "minalign")
+
+    def __init__(self, initial: int = 512) -> None:
+        self.buf = bytearray(initial)
+        self.head = initial
         self.minalign = 1
+
+    def _offset(self) -> int:
+        return len(self.buf) - self.head
+
+    def _place(self, data) -> int:
+        n = len(data)
+        if self.head < n:
+            grow = max(len(self.buf), n)
+            self.buf[:0] = bytes(grow)
+            self.head += grow
+        self.head -= n
+        self.buf[self.head : self.head + n] = data
+        return self._offset()
 
     def _pad(self, align: int, extra: int = 0) -> None:
         if align > self.minalign:
             self.minalign = align
-        while (len(self.buf) + extra) % align:
-            self.buf[:0] = b"\x00"
-
-    def _place(self, data: bytes) -> int:
-        self.buf[:0] = data
-        return len(self.buf)
+        pad = -(self._offset() + extra) % align
+        if pad:
+            self._place(b"\x00" * pad)
 
     def string(self, s: str) -> int:
         raw = s.encode("utf-8") + b"\x00"
         self._pad(4, extra=len(raw))
         self._place(raw)
-        return self._place(struct.pack("<I", len(raw) - 1))
+        return self._place(_U32.pack(len(raw) - 1))
 
     def vector(self, fmt: str, elems, elem_size: int) -> int:
         elems = list(elems)
@@ -100,14 +119,23 @@ class _FBBuilder:
         self._pad(elem_size, extra=total)
         if elems:
             self._place(struct.pack(f"<{len(elems)}{fmt}", *elems))
-        return self._place(struct.pack("<I", len(elems)))
+        return self._place(_U32.pack(len(elems)))
+
+    def f64_vector(self, arr: np.ndarray) -> int:
+        """Double vector straight from a numpy array (no per-element
+        boxing) — the geometry hot path."""
+        data = np.ascontiguousarray(arr, dtype="<f8").tobytes()
+        self._pad(4, extra=len(data))
+        self._pad(8, extra=len(data))
+        self._place(data)
+        return self._place(_U32.pack(len(data) // 8))
 
     def offset_vector(self, positions) -> int:
         positions = list(positions)
         self._pad(4, extra=4 * len(positions))
         for pos in reversed(positions):
-            self._place(struct.pack("<I", len(self.buf) + 4 - pos))
-        return self._place(struct.pack("<I", len(positions)))
+            self._place(_U32.pack(len(self.buf) - self.head + 4 - pos))
+        return self._place(_U32.pack(len(positions)))
 
     _SCALARS = {
         "bool": ("B", 1),
@@ -119,16 +147,21 @@ class _FBBuilder:
         "f64": ("d", 8),
     }
 
+    def byte_vector(self, data: bytes) -> int:
+        self._pad(4, extra=len(data))
+        self._place(data)
+        return self._place(_U32.pack(len(data)))
+
     def table(self, fields) -> int:
         """fields: iterable of (slot, kind, value); kind is 'offset' or a
         scalar kind. Values given are always stored (defaults included)."""
-        obj_start = len(self.buf)
+        obj_start = self._offset()
         slot_pos: dict[int, int] = {}
         for slot, kind, value in sorted(fields, key=lambda t: -t[0]):
             if kind == "offset":
                 self._pad(4)
                 slot_pos[slot] = self._place(
-                    struct.pack("<I", len(self.buf) + 4 - value)
+                    _U32.pack(self._offset() + 4 - value)
                 )
             else:
                 fmt, size = self._SCALARS[kind]
@@ -147,13 +180,13 @@ class _FBBuilder:
             struct.pack(f"<{2 + nslots}H", 4 + 2 * nslots, table_pos - obj_start, *vt)
         )
         idx = len(self.buf) - table_pos
-        self.buf[idx : idx + 4] = struct.pack("<i", vt_pos - table_pos)
+        self.buf[idx : idx + 4] = _I32.pack(vt_pos - table_pos)
         return table_pos
 
     def finish(self, root_pos: int) -> bytes:
         self._pad(self.minalign, extra=4)
-        self._place(struct.pack("<I", len(self.buf) + 4 - root_pos))
-        return bytes(self.buf)
+        self._place(_U32.pack(self._offset() + 4 - root_pos))
+        return bytes(self.buf[self.head :])
 
 
 # --------------------------------------------------------------------------
@@ -162,8 +195,8 @@ class _FBBuilder:
 
 
 def _polygon_geometry(b: _FBBuilder, rings: list[np.ndarray]) -> int:
-    xy = np.concatenate(rings, axis=0).ravel()
-    fields = [(1, "offset", b.vector("d", xy.tolist(), 8)), (6, "u8", GT_POLYGON)]
+    xy = rings[0] if len(rings) == 1 else np.concatenate(rings, axis=0)
+    fields = [(1, "offset", b.f64_vector(xy)), (6, "u8", GT_POLYGON)]
     if len(rings) > 1:
         ends = np.cumsum([len(r) for r in rings])
         fields.insert(0, (0, "offset", b.vector("I", ends.tolist(), 4)))
@@ -174,9 +207,8 @@ def _geometry_table(b: _FBBuilder, gtype: int, rings) -> int:
     """rings: list of (coords(K,2), is_hole). MultiPolygon splits parts on
     shell rings (holes follow their shell, as in wkt.wkb_from_batch)."""
     if gtype == GT_POINT:
-        x, y = rings[0][0][0]
         return b.table(
-            [(1, "offset", b.vector("d", [float(x), float(y)], 8)), (6, "u8", GT_POINT)]
+            [(1, "offset", b.f64_vector(rings[0][0][0])), (6, "u8", GT_POINT)]
         )
     if gtype == GT_POLYGON:
         return _polygon_geometry(b, [c for c, _ in rings])
@@ -219,15 +251,52 @@ def _encode_properties(columns, row) -> bytes:
     return bytes(out)
 
 
-def encode_feature(gtype: int, rings, columns, prop_row) -> bytes:
-    """One size-prefixed Feature flatbuffer."""
+def _encode_feature_slow(gtype: int, rings, props: bytes) -> bytes:
     b = _FBBuilder()
     fields = [(0, "offset", _geometry_table(b, gtype, rings))]
-    props = _encode_properties(columns, prop_row)
     if props:
-        fields.append((1, "offset", b.vector("B", props, 1)))
+        fields.append((1, "offset", b.byte_vector(props)))
     fb = b.finish(b.table(fields))
-    return struct.pack("<I", len(fb)) + fb
+    return _U32.pack(len(fb)) + fb
+
+
+# Template fast path: for a fixed (gtype, xy byte length, props byte
+# length) the feature flatbuffer is byte-identical except the xy doubles
+# and the props payload, so the structural bytes are built ONCE via the
+# generic builder (with sentinel payloads located by scan) and per-row
+# encoding is two bytearray splices. ~6x fewer Python ops on the sink's
+# hot loop; building footprints cluster on a handful of shape keys.
+_TPL_CACHE: dict = {}
+
+
+def _fast_feature(gtype: int, xy_bytes: bytes, props: bytes) -> bytes:
+    key = (gtype, len(xy_bytes), len(props))
+    tpl = _TPL_CACHE.get(key)
+    if tpl is None:
+        sent_xy = np.frombuffer(b"\xab" * len(xy_bytes), dtype="<f8").reshape(-1, 2)
+        sent_props = b"\xcd" * len(props)
+        ref = _encode_feature_slow(gtype, [(sent_xy, False)], sent_props)
+        xy_at = ref.find(b"\xab" * len(xy_bytes))
+        p_at = ref.find(sent_props) if props else -1
+        assert xy_at >= 0 and (not props or p_at >= 0)
+        tpl = (ref, xy_at, p_at)
+        _TPL_CACHE[key] = tpl
+    base, xy_at, p_at = tpl
+    out = bytearray(base)
+    out[xy_at : xy_at + len(xy_bytes)] = xy_bytes
+    if p_at >= 0:
+        out[p_at : p_at + len(props)] = props
+    return bytes(out)
+
+
+def encode_feature(gtype: int, rings, columns, prop_row) -> bytes:
+    """One size-prefixed Feature flatbuffer."""
+    props = _encode_properties(columns, prop_row)
+    if gtype in (GT_POINT, GT_POLYGON) and len(rings) == 1 and len(props) >= 8:
+        return _fast_feature(
+            gtype, np.ascontiguousarray(rings[0][0], dtype="<f8").tobytes(), props
+        )
+    return _encode_feature_slow(gtype, rings, props)
 
 
 def encode_header(
@@ -309,19 +378,25 @@ def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> i
         gtypes: set[int] = set()
         with open(tmp, "wb") as fh:
             for rb in batches:
-                pdf_cols = [rb.column(i).to_pandas() for i in cidx]
+                prop_lists = [rb.column(i).to_pylist() for i in cidx]
                 batch = parse_wkt_batch(rb.column(widx).to_pandas())
-                rings_of: dict[int, list] = {}
-                for r in range(batch.n_rings):
-                    rings_of.setdefault(int(batch.ring_geom[r]), []).append(
-                        (batch.ring(r), bool(batch.ring_is_hole[r]))
-                    )
+                # ring_geom is ascending by construction, so each geometry's
+                # rings are one contiguous slice — no per-row dict building
+                gids = np.arange(batch.n_geoms + 1)
+                bounds = np.searchsorted(batch.ring_geom, gids)
+                ro = batch.ring_offsets
+                coords = batch.coords
+                holes = batch.ring_is_hole
+                gtype_arr = batch.gtype
                 for g in range(batch.n_geoms):
-                    gt = int(batch.gtype[g])
+                    gt = int(gtype_arr[g])
                     if gt == GT_MISSING:
                         continue
-                    rings = rings_of.get(g, [])
-                    row = [pc.iloc[g] for pc in pdf_cols]
+                    rings = [
+                        (coords[ro[r] : ro[r + 1]], bool(holes[r]))
+                        for r in range(bounds[g], bounds[g + 1])
+                    ]
+                    row = [pl[g] for pl in prop_lists]
                     fh.write(encode_feature(gt, rings, columns, row))
                     n += 1
                     gtypes.add(gt)

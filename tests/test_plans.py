@@ -106,3 +106,32 @@ def test_enrich_is_single_python_pass(spark, docs):
         re.M,
     )
     assert len(nodes) == 1, plan
+
+
+def test_tag_cells_is_broadcast_hash_join(spark, docs):
+    """Cell tagging must be a broadcast HASH join on the exploded prefix
+    (equi-condition), never a BroadcastNestedLoopJoin on startswith and
+    never a per-cell expression chain — plan size stays O(1) in #cells."""
+    from open_buildings_spark.operators import partition
+
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    plan_df = partition.partition_plan(g, 500)
+    tagged = partition.tag_cells(g, plan_df)
+    plan = plan_of(tagged)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("StartsWith") == 0
+
+
+def test_banded_lsh_candidates_are_hash_joined(spark, sf_dir):
+    """ANN candidate generation joins band buckets with a hash join (the
+    bucket is the shuffle key); no cartesian/NL join may appear."""
+    from open_buildings_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = similarity.ann_topk_lsh(emb, [0, 1, 2], k=3)
+    plan = plan_of(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
