@@ -135,3 +135,23 @@ def test_banded_lsh_candidates_are_hash_joined(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aoi_bbox_prefilter_runs_before_python(spark, docs):
+    """The first-vertex bbox prefilter is a NATIVE filter below the
+    ArrowEvalPython node, so the within kernel sees only bbox candidates —
+    not the whole scan. (within requires every vertex inside the AOI, so
+    first-vertex-in-bbox excludes nothing valid.)"""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import aoi as aoi_op
+
+    import re
+
+    q = aoi_op.aoi_query(docs, datagen.city_aoi()).select("doc_id")
+    plan = plan_of(q)
+    # numbered-details section: (1) Scan parquet, (2) Filter, ... — node
+    # numbers follow scan order
+    nodes = re.findall(r"^\((\d+)\) (\w+)", plan, flags=re.M)
+    order = {name: int(num) for num, name in reversed(nodes)}
+    assert order["Filter"] < order["ArrowEvalPython"]
+    assert "substring_index" in plan
