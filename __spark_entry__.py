@@ -74,6 +74,43 @@ def _q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
 
 
+def _q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage sink parity (S9): write the geo corpus to a .gpkg (stdlib
+    sqlite3, OGC 12-128r19), read it back with the independent reader, and
+    re-derive the z12 quadkey from the decoded WKB geometry — oracle is the
+    g_enrich_quadkey SQL (f64 exact end-to-end)."""
+    import os
+
+    from open_buildings_spark.operators import gpkg
+
+    g = _geo_docs(spark, sf_dir).select("doc_id", "wkt")
+    path = (
+        f"/tmp/obs_gpkg_rt_r{datagen.DATAGEN_REV}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}.gpkg"
+    )
+    gpkg.write_gpkg(g, path)
+    back = spark.createDataFrame(gpkg.read_gpkg(path))
+    return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
+
+
+def _q_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile sink parity (S9): .shp/.shx/.dbf triple from the published
+    spec; geometry survives the f64 records (ring orientation normalized),
+    so re-derived quadkeys equal the enrichment's — same oracle."""
+    import os
+
+    from open_buildings_spark.operators import shapefile
+
+    g = _geo_docs(spark, sf_dir).select("doc_id", "wkt")
+    path = (
+        f"/tmp/obs_shp_rt_r{datagen.DATAGEN_REV}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}.shp"
+    )
+    shapefile.write_shp(g, path)
+    back = spark.createDataFrame(shapefile.read_shp(path))
+    return enrich.add_geo_columns(back, drop_nongeo=True).select("doc_id", "quadkey")
+
+
 def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest parity: the SAME enrichment plan run as a
     Structured Streaming query (file source, availableNow trigger, memory
@@ -351,6 +388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial core (SURVEY.md §2)
         "g_enrich_quadkey": _q_enrich_quadkey,
         "g_fgb_roundtrip": _q_fgb_roundtrip,
+        "g_gpkg_roundtrip": _q_gpkg_roundtrip,
+        "g_shp_roundtrip": _q_shp_roundtrip,
         "g_places_enrich": _q_places_enrich,
         "g_stream_enrich": _q_stream_enrich,
         "g_quadkey_hist": _q_quadkey_hist,

@@ -111,6 +111,8 @@ GROUP BY 1, 2, 3
     # and reader are lossless over f64 coordinates, so the oracle is the
     # same SQL as g_enrich_quadkey
     sqls["g_fgb_roundtrip"] = sqls["g_enrich_quadkey"]
+    sqls["g_gpkg_roundtrip"] = sqls["g_enrich_quadkey"]
+    sqls["g_shp_roundtrip"] = sqls["g_enrich_quadkey"]
 
     sqls["g_quadkey_hist"] = f"""
 WITH {bld}
