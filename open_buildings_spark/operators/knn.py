@@ -48,12 +48,13 @@ def _boundary_margin_m(qlon: float, qlat: float, ring: int) -> float:
 
 def knn(
     spark: SparkSession,
-    buildings: DataFrame,
+    buildings: DataFrame | None,
     queries: list[tuple[int, float, float]],
     k: int = 5,
     initial_ring: int = 8,
     max_ring: int = 256,
     anchor_offset_m: float = 0.0,
+    table_root: str | None = None,
 ) -> DataFrame:
     """Exact k nearest buildings (haversine meters) per query point.
 
@@ -67,6 +68,13 @@ def knn(
     (ring 2, three iterations) vs 3.5s (ring 8, one) on 1.8M docs. Tune
     down only for extremely dense cells where candidate volume dominates.
 
+    ``table_root``: serving-path mode — ignore ``buildings`` and
+    manifest-prune the scan per ring to the iceberg-lite files overlapping
+    the ring cells. Wins when the table has many cells (planet scale: an
+    AOI-sized kNN touches a handful of files regardless of table size);
+    at small cell counts a cached ``buildings`` DataFrame is faster
+    (pruning can't beat an in-memory table of 10 files).
+
     ``anchor_offset_m``: upper bound (meters) on the distance between a
     building's quadkey anchor (bbox midpoint) and its ranked point
     (centroid). Candidates are gathered by anchor tile but ranked by
@@ -78,7 +86,7 @@ def knn(
     corpus, including the two-equal-squares multis). For general
     footprints pass max over the corpus of dist(bbox_midpoint, centroid).
     """
-    if buildings.storageLevel.useMemory is False:
+    if buildings is not None and buildings.storageLevel.useMemory is False:
         buildings = buildings.cache()  # ring growth re-reads the candidates
     ring = initial_ring
     while True:
@@ -89,7 +97,19 @@ def knn(
         cells_df = spark.createDataFrame(
             cells, "query_id long, qlon double, qlat double, quadkey string"
         )
-        cand = buildings.join(F.broadcast(cells_df), "quadkey")
+        if table_root is not None:
+            # serving path: manifest-prune the scan to files overlapping
+            # THIS ring's cells — an AOI-sized kNN touches a handful of
+            # files regardless of table size (the reference's partitioned
+            # archive gives it the same property for AOI queries)
+            from ..table.iceberg_lite import read_table_cells
+
+            src = read_table_cells(
+                spark, table_root, sorted({c[-1] for c in cells})
+            ).select("doc_id", "quadkey", "lon", "lat")
+        else:
+            src = buildings
+        cand = src.join(F.broadcast(cells_df), "quadkey")
         dist = haversine_m(F.col("lon"), F.col("lat"), F.col("qlon"), F.col("qlat"))
         scored = cand.withColumn("dist_m", dist)
         # two-stage salted top-k: a plain Window.partitionBy(query_id) would

@@ -249,6 +249,33 @@ def read_table(
     return spark.read.parquet(*files)
 
 
+def read_table_cells(
+    spark: SparkSession, root: str, cells: list[str]
+) -> DataFrame:
+    """Manifest-planned scan pruned to partitions overlapping ANY of the
+    given z-cells (cell list from e.g. a kNN ring). A partition matches iff
+    its leaf cell is a prefix of a requested cell or vice versa; matching is
+    a set lookup over all prefixes of the requested cells, so planning is
+    O(#cells x 12 + #partitions) — never a scan."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    want = {c[:k] for c in cells for k in range(1, len(c) + 1)}
+    want.add("")
+    cellset = set(cells)
+    files: list[str] = []
+    for part in m["partitions"]:
+        pc = part["cell"]
+        # leaf above or at a requested cell, or leaf below one (deeper leaf
+        # whose prefix is a requested cell)
+        if pc in want or any(pc[:k] in cellset for k in range(1, len(pc) + 1)):
+            files.extend(os.path.join(root, f) for f in part["files"])
+    if not files:
+        allf = [os.path.join(root, f) for p in m["partitions"] for f in p["files"]]
+        return spark.read.parquet(*allf).limit(0)
+    return spark.read.parquet(*files)
+
+
 def metrics(root: str) -> dict:
     """Per-partition lineage + row-count metrics from the current snapshot."""
     m = current_manifest(root)

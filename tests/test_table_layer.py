@@ -166,3 +166,34 @@ def test_many_cells_plan_stays_small_and_write_completes(spark, tmp_path):
     assert len(m["partitions"]) == n_cells
     assert m["metrics"]["rows_written"] == n_cells
     assert tbl.read_table(spark, root).count() == n_cells
+
+
+def test_knn_manifest_pruned_matches_full_scan(spark, enriched, tmp_path):
+    """kNN with table_root (manifest-pruned per-ring scan) returns exactly
+    the full-scan result; and the pruned plan reads fewer files."""
+    from open_buildings_spark import oracles
+    from open_buildings_spark.operators import knn
+
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    full = tbl.read_table(spark, root).select("doc_id", "quadkey", "lon", "lat")
+    queries = oracles.knn_queries()[:3]
+    a = (
+        knn.knn(spark, full, queries, k=5)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    b = (
+        knn.knn(spark, None, queries, k=5, table_root=root)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert a.equals(b)
+    # pruning is real: the ring cells of 3 queries touch fewer partitions
+    cells = set()
+    for qid, qlon, qlat in queries:
+        cells.update(knn._ring_cells(qlon, qlat, 8))
+    pruned = tbl.read_table_cells(spark, root, sorted(cells))
+    n_pruned = len(pruned.inputFiles())
+    n_full = len(tbl.read_table(spark, root).inputFiles())
+    assert 0 < n_pruned < n_full
