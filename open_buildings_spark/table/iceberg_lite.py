@@ -217,10 +217,20 @@ def write_partitioned(
     return m
 
 
+def manifest_at(root: str, snapshot_id: int) -> dict | None:
+    """Load a specific snapshot's manifest (time travel)."""
+    path = os.path.join(_meta_dir(root), f"v{snapshot_id}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     quadkey_prefix: str | None = None,
+    snapshot_id: int | None = None,
     **key_filters: str,
 ) -> DataFrame:
     """Manifest-planned scan with partition pruning.
@@ -229,10 +239,20 @@ def read_table(
     (cell startswith prefix OR prefix startswith cell). Key equality
     filters prune on manifest partition values. Returns an empty DataFrame
     with no files when everything prunes away.
+
+    ``snapshot_id``: time travel — plan from that snapshot's manifest
+    instead of the current one. Valid across commit-group appends and
+    compactions (both only ADD files); a cell recompute on resume rewrites
+    that cell's directory in place, which orphans the older snapshot's
+    view of that one cell (documented deviation from full Iceberg
+    immutability — the write path reuses Spark's dynamic-overwrite sink).
     """
-    m = current_manifest(root)
+    m = manifest_at(root, snapshot_id) if snapshot_id is not None else current_manifest(root)
     if m is None:
-        raise FileNotFoundError(f"no committed snapshot at {root}")
+        raise FileNotFoundError(
+            f"no committed snapshot at {root}"
+            + (f" (snapshot {snapshot_id})" if snapshot_id is not None else "")
+        )
     files: list[str] = []
     for part in m["partitions"]:
         if quadkey_prefix:
@@ -290,6 +310,162 @@ def metrics(root: str) -> dict:
             p["cell"]: p["n_rows"] for p in m["partitions"]
         },
     }
+
+
+def compact_cells(
+    spark: SparkSession, root: str, max_files: int = 1
+) -> dict:
+    """Small-file compaction: rewrite every cell holding more than
+    ``max_files`` data files into one quadkey-sorted file per cell,
+    committed as a NEW snapshot referencing NEW files (old files are
+    untouched, so prior snapshots keep reading their own view — Iceberg
+    rewrite semantics; reclaim space later with :func:`expire_snapshots`).
+
+    Scale shape: candidate cells compact in parallel (repartition on cell,
+    one pyarrow writer per task walking its cells in clustered order); the
+    driver only swaps manifest entries. Streaming ingests that append many
+    micro-batch files per cell are the intended caller. Keyed tables
+    (partition value columns) are not supported — their key columns live
+    in directory names, not rows.
+    """
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if any(p["values"] for p in m["partitions"]):
+        raise NotImplementedError("compaction of key-partitioned tables")
+    todo = [p for p in m["partitions"] if len(p["files"]) > max_files]
+    if not todo:
+        return m
+    snap = m["snapshot_id"] + 1
+    data_dir = os.path.join(root, "data")
+    files = [os.path.join(root, f) for p in todo for f in p["files"]]
+    src = spark.read.parquet(*files)
+
+    from ..operators.partition import tag_cells
+
+    plan_df = spark.createDataFrame([(p["cell"],) for p in todo], "cell string")
+    tagged = (
+        tag_cells(src, plan_df)
+        .repartition(max(len(todo), 1), "cell")
+        .sortWithinPartitions("cell", "quadkey")
+    )
+
+    def write_part(batches):
+        import pyarrow.parquet as pq
+
+        tc = TaskContext.get()
+        out_rows = []
+        writer = None
+        cur = None
+        fname = None
+        n = 0
+
+        def close():
+            nonlocal writer, n, fname
+            if writer is not None:
+                writer.close()
+                os.replace(
+                    os.path.join(data_dir, "." + fname + ".inprogress"),
+                    os.path.join(data_dir, fname),
+                )
+                out_rows.append((cur, fname, n))
+                writer, n, fname = None, 0, None
+
+        for rb in batches:
+            names = rb.schema.names
+            ci = names.index("cell")
+            cells = rb.column(ci).to_pylist()
+            start = 0
+            for i in range(len(cells) + 1):
+                if i < len(cells) and cells[i] == cells[start]:
+                    continue
+                piece = rb.slice(start, i - start)
+                if cur != cells[start]:
+                    close()
+                    cur = cells[start]
+                    fname = (
+                        f"compact-{snap}-{cur or 'root'}-"
+                        f"{tc.partitionId()}-{tc.taskAttemptId()}.parquet"
+                    )
+                arrays = [piece.column(j) for j in range(piece.num_columns) if j != ci]
+                out = pa.record_batch(
+                    arrays, names=[nm for j, nm in enumerate(names) if j != ci]
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(data_dir, "." + fname + ".inprogress"),
+                        out.schema,
+                        compression="snappy",
+                    )
+                writer.write_batch(out)
+                n += out.num_rows
+                start = i
+        close()
+        for cell, f, cnt in out_rows:
+            yield pa.record_batch(
+                [pa.array([cell]), pa.array([f]), pa.array([cnt], type=pa.int64())],
+                names=["cell", "file", "n_rows"],
+            )
+
+    results = tagged.mapInArrow(
+        write_part, "cell string, file string, n_rows long"
+    ).collect()
+    new_files: dict[str, list] = {}
+    new_counts: dict[str, int] = {}
+    for r in results:
+        new_files.setdefault(r["cell"], []).append(os.path.join("data", r["file"]))
+        new_counts[r["cell"]] = new_counts.get(r["cell"], 0) + r["n_rows"]
+    # sanity: compaction must preserve row counts per cell
+    for p in todo:
+        assert new_counts.get(p["cell"], 0) == p["n_rows"], (
+            p["cell"], new_counts.get(p["cell"]), p["n_rows"],
+        )
+    compacted = set(new_files)
+    parts = [
+        {**p, "files": sorted(new_files[p["cell"]])} if p["cell"] in compacted else p
+        for p in m["partitions"]
+    ]
+    m2 = {
+        "snapshot_id": snap,
+        "parent_id": m["snapshot_id"],
+        "partitions": parts,
+        "metrics": {**m["metrics"], "compacted_cells": len(todo)},
+    }
+    _commit_manifest(root, m2)
+    return m2
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> int:
+    """Delete manifests older than the newest ``keep_last`` snapshots and
+    any data file no kept snapshot references. Returns files deleted."""
+    m = current_manifest(root)
+    if m is None:
+        return 0
+    keep_ids = [m["snapshot_id"] - i for i in range(keep_last)]
+    kept = [manifest_at(root, i) for i in keep_ids]
+    live = {
+        os.path.normpath(os.path.join(root, f))
+        for km in kept
+        if km
+        for p in km["partitions"]
+        for f in p["files"]
+    }
+    deleted = 0
+    for f in glob.glob(os.path.join(root, "data", "**", "*.parquet"), recursive=True):
+        if os.path.normpath(f) not in live:
+            os.remove(f)
+            crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            deleted += 1
+    for mf in glob.glob(os.path.join(_meta_dir(root), "v*.json")):
+        sid = int(os.path.basename(mf)[1:-5])
+        if sid not in keep_ids:
+            os.remove(mf)
+    return deleted
 
 
 def drop_table(root: str) -> None:

@@ -197,3 +197,54 @@ def test_knn_manifest_pruned_matches_full_scan(spark, enriched, tmp_path):
     n_pruned = len(pruned.inputFiles())
     n_full = len(tbl.read_table(spark, root).inputFiles())
     assert 0 < n_pruned < n_full
+
+
+def test_compaction_time_travel_and_expiry(spark, enriched, tmp_path):
+    """Compaction commits a NEW snapshot over NEW files: the previous
+    snapshot still reads its own (pre-compaction) view, read counts are
+    identical at both snapshots, and expire_snapshots reclaims the
+    superseded files."""
+    root = str(tmp_path / "tbl")
+    # salted overdense cell => several files in one cell dir
+    dense_df = enriched.withColumn(
+        "quadkey",
+        F.when(
+            F.pmod(F.hash("doc_id"), F.lit(3)) == 0, F.lit("300113001130")
+        ).otherwise(F.col("quadkey")),
+    )
+    m1 = tbl.write_partitioned(dense_df, root, max_per_file=50)
+    total = dense_df.count()
+    multi = [p for p in m1["partitions"] if len(p["files"]) > 1]
+    assert multi, "need a multi-file cell to compact"
+    n_files_before = sum(len(p["files"]) for p in m1["partitions"])
+
+    m2 = tbl.compact_cells(spark, root, max_files=1)
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
+    assert m2["metrics"]["compacted_cells"] == len(multi)
+    assert all(len(p["files"]) == 1 for p in m2["partitions"])
+    assert sum(p["n_rows"] for p in m2["partitions"]) == total
+    # current read = compacted; time travel = original; same rows
+    assert tbl.read_table(spark, root).count() == total
+    old = tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"])
+    assert old.count() == total
+    assert len(old.inputFiles()) == n_files_before
+    # compacted files keep the quadkey clustering
+    import os
+
+    comp = [f for p in m2["partitions"] for f in p["files"] if "compact-" in f]
+    assert comp
+    pdf = spark.read.parquet(os.path.join(root, comp[0])).select("quadkey").toPandas()
+    assert (pdf.quadkey.sort_values().values == pdf.quadkey.values).all()
+
+    deleted = tbl.expire_snapshots(root, keep_last=1)
+    assert deleted > 0
+    assert tbl.read_table(spark, root).count() == total  # current unaffected
+    assert tbl.manifest_at(root, m1["snapshot_id"]) is None  # old manifest gone
+
+
+def test_compaction_noop_and_keyed_guard(spark, enriched, tmp_path):
+    root = str(tmp_path / "tbl")
+    m1 = tbl.write_partitioned(enriched, root, max_per_file=500)
+    if all(len(p["files"]) <= 1 for p in m1["partitions"]):
+        m2 = tbl.compact_cells(spark, root)
+        assert m2["snapshot_id"] == m1["snapshot_id"]  # no-op, no new snapshot
