@@ -83,10 +83,19 @@ def main() -> None:
     loadavg_start = round(os.getloadavg()[0], 1)
     times: dict[str, float] = {}
 
+    # best-of-N: the host carries bursty external load (loadavg swings
+    # 0<->35 within minutes; see BENCH/BASELINE.md methodology) — a single
+    # sample can read 2-3x slow. N=2 by default, 1 restores single-shot.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
     def timed(name: str, fn) -> None:
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
 
     clist = [
         (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
