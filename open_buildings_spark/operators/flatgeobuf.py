@@ -588,8 +588,32 @@ def _index_size(features_count: int, node_size: int) -> int:
     return total * 40
 
 
-def read_fgb(path: str) -> pd.DataFrame:
-    """FGB file -> pandas DataFrame with a ``wkt`` column + properties.
+# ColumnType -> pandas dtype for header-declared columns: an all-null
+# column must still carry its declared type, or the round-trip schema
+# would depend on data content (nullable pandas dtypes survive Arrow).
+_CT_PD_DTYPE = {
+    CT_BOOL: "boolean",
+    CT_INT: "Int64",
+    CT_LONG: "Int64",
+    CT_FLOAT: "float64",
+    CT_DOUBLE: "float64",
+    CT_STRING: object,
+}
+_CT_SPARK_TYPE = {
+    CT_BOOL: "boolean",
+    CT_INT: "int",
+    CT_LONG: "bigint",
+    CT_FLOAT: "float",
+    CT_DOUBLE: "double",
+    CT_STRING: "string",
+}
+
+
+def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
+    """FGB file -> (pandas DataFrame, header column list). The DataFrame
+    always materializes EVERY header-declared column (None-filled when a
+    property is absent in all rows) with its declared dtype — the schema is
+    a function of the file header, never of data content.
     Skips any spatial index; sequential feature scan."""
     with open(path, "rb") as fh:
         buf = fh.read()
@@ -620,10 +644,27 @@ def read_fgb(path: str) -> pd.DataFrame:
             row.update(_decode_properties(bytes(props), columns))
         rows.append(row)
     cols = ["wkt"] + [c for c, _ in columns]
-    return pd.DataFrame(rows, columns=[c for c in cols if any(c in r for r in rows)] or cols)
+    pdf = pd.DataFrame(rows, columns=cols)
+    for cname, ctype in columns:
+        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE[ctype])
+    return pdf, columns
+
+
+def read_fgb(path: str) -> pd.DataFrame:
+    """FGB file -> pandas DataFrame (see :func:`read_fgb_with_schema`)."""
+    return read_fgb_with_schema(path)[0]
 
 
 def fgb_to_df(spark, path: str):
     """FGB -> Spark DataFrame (driver-side parse, then parallelize — the
-    interop ingestion path; FGB has no splittable layout without an index)."""
-    return spark.createDataFrame(read_fgb(path))
+    interop ingestion path; FGB has no splittable layout without an index).
+    The Spark schema comes from the FGB *header*, so files whose property
+    columns happen to be all-null yield the same schema as populated ones."""
+    pdf, columns = read_fgb_with_schema(path)
+    schema = ", ".join(
+        ["wkt string"] + [f"`{c}` {_CT_SPARK_TYPE[t]}" for c, t in columns]
+    )
+    # plain python objects with None for missing: the nullable pandas
+    # dtypes (pd.NA) trip createDataFrame's non-Arrow fallback
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    return spark.createDataFrame(pdf, schema=schema)

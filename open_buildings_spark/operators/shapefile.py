@@ -82,7 +82,8 @@ def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
         elif st in ("double", "float"):
             out.append((fname, "N", 24, 10))
         elif st in ("bigint", "int"):
-            out.append((fname, "N", 18, 0))
+            # 20 chars fits any int64 incl. sign (-9223372036854775808)
+            out.append((fname, "N", 20, 0))
         elif st == "boolean":
             out.append((fname, "L", 1, 0))
         else:
@@ -102,8 +103,12 @@ def _dbf_value(v, ftype: str, length: int, dec: int) -> bytes:
         s = f"{float(v):.{dec}f}"
     else:
         s = str(int(v))
-    s = s[:length].rjust(length)
-    return s.encode("ascii")
+    if len(s) > length:
+        # never truncate digits — a chopped number is silent corruption
+        raise ValueError(
+            f"value {s!r} does not fit DBF numeric field width {length}"
+        )
+    return s.rjust(length).encode("ascii")
 
 
 def write_shp(df, path: str, wkt_col: str = "wkt") -> int:

@@ -135,11 +135,22 @@ def write_geoparquet(
 
     from ..geo.wkt import parse_wkt_batch, wkb_from_batch
 
+    if mode not in ("overwrite", "error", "errorifexists", "append", "ignore"):
+        raise ValueError(f"unsupported save mode {mode!r}")
+    pre_existing: set[str] = set()
     if os.path.exists(path):
         if mode == "overwrite":
             shutil.rmtree(path)
         elif mode in ("error", "errorifexists"):
             raise FileExistsError(path)
+        elif mode == "ignore":
+            return 0
+        elif mode == "append":
+            # snapshot existing parts: the post-job sweep must not delete them
+            pre_existing = {
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+            }
     os.makedirs(path, exist_ok=True)
 
     in_names = df.columns
@@ -148,11 +159,17 @@ def write_geoparquet(
     out_names = [in_names[i] for i in keep_idx] + ["geometry"]
     meta = {b"geo": json.dumps(geo_metadata()).encode()}
 
+    # job-unique token: taskAttemptId alone is only unique within one
+    # SparkContext; append mode can see parts from earlier sessions
+    import uuid
+
+    job_token = uuid.uuid4().hex[:8]
+
     def write_part(batches):
         import pyarrow.parquet as pq
 
         tc = TaskContext.get()
-        fname = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.parquet"
+        fname = f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}-{job_token}.parquet"
         tmp = os.path.join(path, "." + fname + ".inprogress")
         writer = None
         n = 0
@@ -178,7 +195,7 @@ def write_geoparquet(
             )
 
     results = df.mapInArrow(write_part, "file string, n_rows long").collect()
-    kept = {r["file"] for r in results}
+    kept = {r["file"] for r in results} | pre_existing
     for f in glob.glob(os.path.join(path, "*.parquet")):
         if os.path.basename(f) not in kept:
             os.remove(f)

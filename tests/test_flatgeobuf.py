@@ -139,3 +139,21 @@ def test_fast_feature_template_matches_generic_builder():
     assert encode_feature(GT_POINT, [(pt, False)], cols, row) == _encode_feature_slow(
         GT_POINT, [(pt, False)], props
     )
+
+
+def test_fgb_all_null_column_keeps_schema(spark, tmp_path):
+    # a property column that is null in EVERY row must still appear in the
+    # round-trip schema with its header-declared type
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", None, None)],
+        "wkt string, label string, score bigint",
+    )
+    path = str(tmp_path / "allnull.fgb")
+    fgb.write_fgb(df, path)
+    back = fgb.read_fgb(path)
+    assert list(back.columns) == ["wkt", "label", "score"]
+    sdf = fgb.fgb_to_df(spark, path)
+    assert [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields] == [
+        ("wkt", "string"), ("label", "string"), ("score", "bigint")
+    ]
+    assert sdf.count() == 1

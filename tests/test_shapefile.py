@@ -109,3 +109,22 @@ def test_shp_points_and_mixed_rejected(spark, tmp_path):
     )
     with pytest.raises((ValueError, Exception)):
         shp.write_shp(spark.createDataFrame(mixed), str(tmp_path / "mix.shp"))
+
+
+def test_dbf_bigint_width_and_overflow(spark, tmp_path):
+    from open_buildings_spark.operators import shapefile as shp
+
+    # int64 extremes must survive the DBF round trip un-truncated
+    big = 2**63 - 1
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", big),
+         ("POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))", -(2**63))],
+        "wkt string, id bigint",
+    )
+    path = str(tmp_path / "big.shp")
+    shp.write_shp(df, path)
+    back = shp.read_shp(path)
+    assert sorted(int(v) for v in back["id"]) == [-(2**63), big]
+    # a value wider than its declared field raises instead of truncating
+    with pytest.raises(ValueError):
+        shp._dbf_value(10**25, "N", 20, 0)

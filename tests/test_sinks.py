@@ -137,3 +137,23 @@ def test_geojson_export_row_cap(spark, small_geo, monkeypatch):
     monkeypatch.setattr(sinks, "GEOJSON_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="capped"):
         sinks.to_geojson_features(small_geo)
+
+
+def test_write_geoparquet_save_modes(spark, small_geo, tmp_path):
+    path = str(tmp_path / "gpq_modes")
+    n1 = sinks.write_geoparquet(small_geo, path)
+    n = small_geo.count()
+    # append must preserve pre-existing parts (doubles the row count)
+    sinks.write_geoparquet(small_geo, path, mode="append")
+    assert spark.read.parquet(path).count() == 2 * n
+    # ignore: no-op when the target exists
+    assert sinks.write_geoparquet(small_geo, path, mode="ignore") == 0
+    assert spark.read.parquet(path).count() == 2 * n
+    with pytest.raises(FileExistsError):
+        sinks.write_geoparquet(small_geo, path, mode="error")
+    with pytest.raises(ValueError):
+        sinks.write_geoparquet(small_geo, path, mode="replace")
+    # overwrite resets to one copy
+    sinks.write_geoparquet(small_geo, path, mode="overwrite")
+    assert spark.read.parquet(path).count() == n
+    assert n1 > 0
