@@ -230,6 +230,20 @@ def _q_multi_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "aoi_id")
 
 
+def _q_big_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big distributed spatial join (SURVEY §2.3 J1's large-AOI-side
+    shape): docs x a 15k-polygon AOI *DataFrame* (datagen.big_aois_df —
+    one rect per orders row, ~1.5M at sf1). Distributed cell cover +
+    shuffle hash equi-join on cell + grouped Arrow refine; nothing
+    broadcast, nothing enumerated at the driver."""
+    from open_buildings_spark.operators import spatial_join
+
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    aois = datagen.big_aois_df(spark, sf_dir).select("aoi_id", "wkt")
+    out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
+    return out.select("doc_id", "aoi_id")
+
+
 def _q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -403,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_explode_parts": _q_explode_parts,
         "g_span_kinds": _q_span_kinds,
         "g_multi_aoi": _q_multi_aoi,
+        "g_big_aoi_join": _q_big_aoi_join,
         "e_pivot": _q_event_pivot,
         # training-data pipeline: dedup + text analysis
         "t_exact_dedup": _q_exact_dedup,

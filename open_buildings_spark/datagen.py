@@ -258,11 +258,9 @@ def derive_buildings(spark: SparkSession, sf_dir: str, replicas: int = 1) -> Dat
 
 def _quadkey_col(tx: Column, ty: Column) -> Column:
     """z12 quadkey string from integer tile coords — pure Column bit math."""
-    parts = []
-    for k in range(ZOOM - 1, -1, -1):
-        d = (F.shiftright(tx, k) % 2) + (F.shiftright(ty, k) % 2) * 2
-        parts.append(d.cast("string"))
-    return F.concat(*parts)
+    from .functions import quadkey_from_tiles_col
+
+    return quadkey_from_tiles_col(tx, ty, ZOOM)
 
 
 def interleaved_docs(spark: SparkSession, sf_dir: str, replicas: int = 1) -> DataFrame:
@@ -410,6 +408,153 @@ pl AS (
 """.strip()
 
 
+def big_aois_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGE AOI table for the big-big spatial join (one rect per ``orders``
+    row: ~15k at sf0.01, ~1.5M at sf1 — far beyond what a driver could
+    enumerate): each AOI is a z12-aligned sub-rectangle (1..4 x 1..4 z12
+    tiles) of a single absolute z10 tile inside one city block, all edges
+    inset 1e-6 deg so nothing sits exactly on a tile boundary.
+
+    Shared arithmetic contract with :func:`big_aois_sql_cte` (keep in sync):
+
+        aid  = o_orderkey (distinct)
+        h    = (aid * 48271 + 11) % 2147483648    -- different LCG than bld
+        city = same skew mapping as buildings (40% city 0)
+        x10  = ((ctx+3) div 4) + h % 14           -- absolute z10 tile fully
+        y10  = ((cty+3) div 4) + (h div 14) % 14     inside the 64x64 block
+        g    = h div 196
+        wx   = 1 + g % 4        ; wy = 1 + (g div 4) % 4
+        ox   = (g div 16) % (5-wx); oy = (g div 80) % (5-wy)
+        z12 tile span: x in [4*x10+ox, +wx), y in [4*y10+oy, +wy)
+
+    Because each AOI lies inside ONE z10 tile, a doc within it shares that
+    tile's quadkey prefix — the oracle's equi-join key.
+
+    Columns: aoi_id, wkt, plus derivation columns (qk10, bounds) for tests.
+    """
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .distinct()
+    )
+    df = o.withColumn("aoi_id", F.col("o_orderkey"))
+    df = df.withColumn("h", (F.col("aoi_id") * 48271 + 11) % 2147483648)
+    df = df.withColumn("city", _city_col(F.col("aoi_id")))
+    cx = F.element_at(F.array(*[F.lit(t[0]) for t in CITY_TILES]), F.col("city") + 1)
+    cy = F.element_at(F.array(*[F.lit(t[1]) for t in CITY_TILES]), F.col("city") + 1)
+    # ((c+3) - (c+3)%4) / 4 == (c+3) div 4: exact in doubles (multiple of 4)
+    df = (
+        df.withColumn("x10", ((cx + 3) - (cx + 3) % 4) / 4 + F.col("h") % 14)
+        .withColumn(
+            "y10", ((cy + 3) - (cy + 3) % 4) / 4 + F.expr("h div 14") % 14
+        )
+        .withColumn("g", F.expr("h div 196"))
+    )
+    df = df.withColumn("x10", F.col("x10").cast("long")).withColumn(
+        "y10", F.col("y10").cast("long")
+    )
+    df = (
+        df.withColumn("wx", 1 + F.col("g") % 4)
+        .withColumn("wy", 1 + F.expr("g div 4") % 4)
+        .withColumn("ox", F.expr("g div 16") % (5 - F.col("wx")))
+        .withColumn("oy", F.expr("g div 80") % (5 - F.col("wy")))
+    )
+    df = (
+        df.withColumn("sx", 4 * F.col("x10") + F.col("ox"))
+        .withColumn("ex", F.col("sx") + F.col("wx"))
+        .withColumn("sy", 4 * F.col("y10") + F.col("oy"))
+        .withColumn("ey", F.col("sy") + F.col("wy"))
+    )
+    lat_of = lambda t: F.degrees(  # noqa: E731
+        F.atan(
+            F.sinh(
+                F.lit(float(__import__("math").pi)) * (1.0 - 2.0 * t / NTILES)
+            )
+        )
+    )
+    df = (
+        df.withColumn("aw", F.col("sx") / NTILES * 360.0 - 180.0 + 1e-6)
+        .withColumn("ae", F.col("ex") / NTILES * 360.0 - 180.0 - 1e-6)
+        .withColumn("an", lat_of(F.col("sy")) - 1e-6)
+        .withColumn("as_", lat_of(F.col("ey")) + 1e-6)
+        .withColumn("qk10", _quadkey_col_z(F.col("x10"), F.col("y10"), 10))
+    )
+    ring = (
+        "%1$.17g %3$.17g, %2$.17g %3$.17g, %2$.17g %4$.17g, "
+        "%1$.17g %4$.17g, %1$.17g %3$.17g"
+    )
+    df = df.withColumn(
+        "wkt",
+        F.format_string(
+            f"POLYGON (({ring}))",
+            F.col("aw"), F.col("ae"), F.col("as_"), F.col("an"),
+        ),
+    )
+    return df.drop("o_orderkey", "g", "ox", "oy")
+
+
+def _quadkey_col_z(tx: Column, ty: Column, zoom: int) -> Column:
+    from .functions import quadkey_from_tiles_col
+
+    return quadkey_from_tiles_col(tx, ty, zoom)
+
+
+def big_aois_sql_cte() -> str:
+    """DuckDB CTE ``aoi`` reproducing :func:`big_aois_df` from orders."""
+    cxs = "CASE city " + " ".join(
+        f"WHEN {i} THEN {t[0]}" for i, t in enumerate(CITY_TILES)
+    ) + " END"
+    cys = "CASE city " + " ".join(
+        f"WHEN {i} THEN {t[1]}" for i, t in enumerate(CITY_TILES)
+    ) + " END"
+    lat_of = (
+        lambda t: f"degrees(atan((exp(pi() * (1e0 - 2e0 * {t} / {NTILES}))"
+        f" - exp(-(pi() * (1e0 - 2e0 * {t} / {NTILES})))) / 2e0))"
+    )
+    return f"""
+aoi_base AS (
+  SELECT DISTINCT o_orderkey AS aid,
+         (o_orderkey * 48271 + 11) % 2147483648 AS h
+  FROM orders
+),
+aoi_h AS (
+  SELECT aid, h,
+         CASE WHEN aid % 10 < 4 THEN 0 WHEN aid % 10 < 6 THEN 1
+              WHEN aid % 10 < 8 THEN 2 WHEN aid % 10 = 8 THEN 3 ELSE 4 END AS city
+  FROM aoi_base
+),
+aoi_t AS (
+  SELECT aid, h,
+         ((({cxs}) + 3) - (({cxs}) + 3) % 4) // 4 + h % 14 AS x10,
+         ((({cys}) + 3) - (({cys}) + 3) % 4) // 4 + (h // 14) % 14 AS y10,
+         h // 196 AS g
+  FROM aoi_h
+),
+aoi_w AS (
+  SELECT aid, x10, y10,
+         1 + g % 4 AS wx, 1 + (g // 4) % 4 AS wy,
+         (g // 16) % (5 - (1 + g % 4)) AS ox,
+         (g // 80) % (5 - (1 + (g // 4) % 4)) AS oy
+  FROM aoi_t
+),
+aoi_s AS (
+  SELECT aid, x10, y10,
+         4 * x10 + ox AS sx, 4 * x10 + ox + wx AS ex,
+         4 * y10 + oy AS sy, 4 * y10 + oy + wy AS ey
+  FROM aoi_w
+),
+aoi AS (
+  SELECT aid AS aoi_id,
+         {_quadkey_sql('x10', 'y10', 10)} AS qk10,
+         sx / {NTILES} * 3.6e2 - 1.8e2 + 1e-6 AS aw,
+         ex / {NTILES} * 3.6e2 - 1.8e2 - 1e-6 AS ae,
+         {lat_of('sy')} - 1e-6 AS an,
+         {lat_of('ey')} + 1e-6 AS asx
+  FROM aoi_s
+)
+""".strip()
+
+
 def countries_df(spark: SparkSession) -> DataFrame:
     """Small-side countries table mirroring the reference's schema
     (isocountrycodealpha2 + WKB geometry; open_buildings/overture/
@@ -430,10 +575,10 @@ def countries_df(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _quadkey_sql(tx: str, ty: str) -> str:
+def _quadkey_sql(tx: str, ty: str, zoom: int = ZOOM) -> str:
     parts = [
         f"CAST((({tx} >> {k}) & 1) + 2 * (({ty} >> {k}) & 1) AS VARCHAR)"
-        for k in range(ZOOM - 1, -1, -1)
+        for k in range(zoom - 1, -1, -1)
     ]
     return " || ".join(parts)
 

@@ -33,6 +33,16 @@ def cell_at(qk: Column, level: int) -> Column:
     return F.substring(qk, 1, level)
 
 
+def quadkey_from_tiles_col(tx: Column, ty: Column, zoom: int) -> Column:
+    """Quadkey string from integer tile columns at ``zoom`` — pure JVM bit
+    interleave (one digit per level, MSB first), whole-stage-codegen'd."""
+    parts = []
+    for k in range(zoom - 1, -1, -1):
+        d = (F.shiftright(tx, k) % 2) + (F.shiftright(ty, k) % 2) * 2
+        parts.append(d.cast("string"))
+    return F.concat(*parts)
+
+
 def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
     """Great-circle distance in meters (mean-sphere radius), pure Column expr.
 

@@ -26,21 +26,15 @@ from ..udfs import make_within_aoi
 from .enrich import add_geo_columns, extract_geometry
 
 
-def first_vertex_in_bbox(aoi_feature: dict):
-    """Exact-safe NATIVE prefilter for ST_Within(geom, AOI): within requires
-    EVERY vertex inside the AOI, so the geometry's first vertex must lie in
-    the AOI's bbox — a necessary condition with zero false exclusions. The
-    first vertex is extracted with JVM string ops (first comma chunk after
-    the last '('; WKT doubles are %.17g so the string->double cast is
-    exact), ~10x cheaper than shipping the row through Arrow to the parse
-    kernel. Typical AOIs prune >99% of a raw scan here, leaving the Python
-    refine a candidate set close to the final hit set."""
-    w, s, e, n = mercator.geometry_bounds(aoi_feature["geometry"])
-    # first comma chunk, after the last '('; POINTs have no comma so a
-    # trailing ')' may remain — translate strips it
+def first_vertex_xy(wkt_col: str = "wkt"):
+    """(fx, fy) native Column exprs: the WKT's first vertex, extracted with
+    JVM string ops (first comma chunk after the last '('; WKT doubles are
+    %.17g so the string->double cast is exact) — ~10x cheaper than shipping
+    the row through Arrow to the parse kernel. POINTs have no comma so a
+    trailing ')' may remain — translate strips it."""
     first = F.split(
         F.translate(
-            F.substring_index(F.substring_index(F.col("wkt"), ",", 1), "(", -1),
+            F.substring_index(F.substring_index(F.col(wkt_col), ",", 1), "(", -1),
             ")",
             "",
         ),
@@ -48,6 +42,17 @@ def first_vertex_in_bbox(aoi_feature: dict):
     )
     fx = F.element_at(first, 1).cast("double")
     fy = F.element_at(first, 2).cast("double")
+    return fx, fy
+
+
+def first_vertex_in_bbox(aoi_feature: dict):
+    """Exact-safe NATIVE prefilter for ST_Within(geom, AOI): within requires
+    EVERY vertex inside the AOI, so the geometry's first vertex must lie in
+    the AOI's bbox — a necessary condition with zero false exclusions.
+    Typical AOIs prune >99% of a raw scan here, leaving the Python refine a
+    candidate set close to the final hit set."""
+    w, s, e, n = mercator.geometry_bounds(aoi_feature["geometry"])
+    fx, fy = first_vertex_xy()
     return (fx >= w) & (fx <= e) & (fy >= s) & (fy <= n)
 
 

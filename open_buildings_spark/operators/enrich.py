@@ -43,6 +43,7 @@ def add_geo_columns(
     keep_bbox: bool = False,
     drop_nongeo: bool = False,
     countries: list[tuple[str, list]] | None = None,
+    deterministic: bool = True,
 ) -> DataFrame:
     """quadkey (z12, bbox-midpoint anchor — reference semantics), centroid
     lon/lat, equal-area m^2; docs without geometry get NULLs but are KEPT
@@ -64,6 +65,13 @@ def add_geo_columns(
 
     Pass ``countries`` to also assign ``country_iso`` in the SAME parse pass
     (the reference's add_columns computes quadkey and country together).
+
+    ``deterministic=False`` marks the UDF nondeterministic (it is in fact
+    pure — the flag only pins the plan): equi-JOINS on a UDF-derived key
+    (e.g. cell = substring(quadkey)) inject an ``isnotnull(key)`` filter
+    that Catalyst pushes below the projection, splitting the eval into TWO
+    ArrowEvalPython nodes — every WKT parses twice. Join consumers
+    (spatial_join) set this; plain projection consumers keep the default.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -134,6 +142,8 @@ def add_geo_columns(
             )
         return pd.DataFrame(out)
 
+    if not deterministic:
+        geo_struct = geo_struct.asNondeterministic()
     out = df.withColumn("_geo", geo_struct(F.col("wkt")))
     return out.select("*", "_geo.*").drop("_geo")
 

@@ -5,16 +5,23 @@ AOI query) or a correlated UPDATE against a tiny countries table. The
 engine generalizes both to the classic cell-cover equi-join:
 
   1. explode each AOI polygon to its covering quadkey cells at a chosen
-     level (driver-side — AOI tables are small; for AOI tables too large
-     to enumerate at the driver, the same expansion runs as a Spark job),
-  2. broadcast-join docs on the cell key (substring of the stored quadkey
-     — no geometry touched yet, fully JVM-side),
+     level,
+  2. join docs on the cell key (substring of the stored quadkey — no
+     geometry touched yet, fully JVM-side),
   3. exact ST_Within refinement per AOI on the surviving candidates only
      (one Arrow batch pass, AOIs grouped within each batch).
 
-This is the engine's scalable join shape: the shuffle-free broadcast path
-for small AOI sets, and a plain shuffle equi-join on `cell` when both
-sides are large.
+Two physical shapes, picked by the caller:
+
+- :func:`aoi_join` — SMALL AOI side (a python list): cells enumerate at
+  the driver and broadcast; docs never shuffle. The classic broadcast
+  spatial join (countries, a handful of query AOIs).
+- :func:`aoi_join_big` — BIG-BIG: the AOI side is itself a DataFrame
+  (millions of polygons). The cell cover is computed as a distributed
+  Arrow pass + native explode, both sides shuffle on `cell` (hash
+  equi-join, nothing broadcast, no per-AOI expression chains — plan size
+  is O(1) in the AOI count), and refinement runs on join-carried AOI
+  geometry, grouped by AOI within each Arrow batch.
 """
 
 from __future__ import annotations
@@ -85,16 +92,96 @@ def aoi_join(
     ]
     cells_df = spark.createDataFrame(cells, "aoi_id int, cell string")
 
-    df = docs
-    if "quadkey" not in df.columns:
-        # native wkt pre-filter only — a quadkey filter here would reference
-        # the enrichment UDF's output and split it into two python evals
-        df = add_geo_columns(df, drop_nongeo=True)
-    else:
-        if "wkt" not in df.columns:
-            df = extract_geometry(df)
-        df = df.filter(F.col("quadkey").isNotNull())  # stored column: native
+    df = _prepare_docs(docs)
     df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
     cand = df.join(F.broadcast(cells_df), "cell")
     refine = _make_within_by_aoi(aois)
     return cand.filter(refine(F.col("wkt"), F.col("aoi_id"))).drop("cell")
+
+
+def _prepare_docs(docs: DataFrame) -> DataFrame:
+    """quadkey+wkt columns via the single-parse enrichment (or native
+    filters when the table is already enriched)."""
+    df = docs
+    if "quadkey" not in df.columns:
+        # native wkt pre-filter only, and a nondeterministic-marked eval:
+        # the cell equi-join injects isnotnull(cell) on the UDF-derived key,
+        # which would otherwise be pushed below the projection and split the
+        # enrichment into two python evals (every WKT parsed twice)
+        df = add_geo_columns(df, drop_nongeo=True, deterministic=False)
+    else:
+        if "wkt" not in df.columns:
+            df = extract_geometry(df)
+        df = df.filter(F.col("quadkey").isNotNull())  # stored column: native
+    return df
+
+
+def aoi_join_big(
+    docs: DataFrame,
+    aois: DataFrame,
+    cover_level: int = 10,
+    id_col: str = "aoi_id",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """Big-big distributed spatial join: rows of ``docs`` ST_Within any
+    polygon of the ``aois`` DataFrame, tagged with that polygon's id (a doc
+    inside k AOIs appears k times). Neither side is collected, broadcast,
+    or enumerated at the driver — this is the shape for millions of AOIs
+    against 10^12 docs (SURVEY §2.3 J1's "plain shuffle equi-join on cell
+    when both sides are large"; reference analogue: the countries UPDATE,
+    overture/add_columns.py:58-63, which caps out at ~200 polygons).
+
+    Plan shape (scale audit):
+      1. AOI side: ONE Arrow pass computes each polygon's bbox + covering
+         tile range at ``cover_level``; a native sequence()+explode emits
+         (cell, aoi) rows with the quadkey built by JVM bit math. Cover
+         rows per AOI = its bbox tile count at ``cover_level`` — pick the
+         level so typical AOIs cover 1..tens of cells.
+      2. hash shuffle equi-join on `cell` (shuffle_hash hint: no broadcast,
+         no sort; AQE handles skewed cells). Plan size is O(1) in the AOI
+         count — no per-AOI expression chains.
+      3. candidates prefilter NATIVELY on the join-carried AOI bbox (a
+         within geometry's first vertex must lie in it — zero false
+         exclusions), so the Arrow refine sees a near-final candidate set.
+      4. exact ST_Within refine per (doc, its AOI) pair: grouped by AOI
+         inside each batch, one vectorized raycast kernel per AOI run
+         (O(batch) total, not O(batch x AOIs)).
+
+    ``aois`` needs (id_col, wkt_col). Output = docs columns + ``aoi_id``.
+    """
+    from ..functions import quadkey_from_tiles_col
+    from ..udfs import make_aoi_cover, make_within_pairs
+    from .aoi import first_vertex_xy
+
+    cover = make_aoi_cover(cover_level)
+    a = (
+        aois.select(
+            F.col(id_col).alias("aoi_id"), F.col(wkt_col).alias("_aoi_wkt")
+        )
+        .filter(F.col("_aoi_wkt").isNotNull())
+        .withColumn("_cov", cover(F.col("_aoi_wkt")))
+        .select("aoi_id", "_aoi_wkt", "_cov.*")
+        .filter(F.col("x0") >= 0)
+    )
+    cells = (
+        a.withColumn("_ctx", F.explode(F.sequence("x0", "x1")))
+        .withColumn("_cty", F.explode(F.sequence("y0", "y1")))
+        .withColumn(
+            "cell", quadkey_from_tiles_col(F.col("_ctx"), F.col("_cty"), cover_level)
+        )
+        .select("aoi_id", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy", "cell")
+    )
+
+    df = _prepare_docs(docs)
+    df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
+    cand = df.join(cells.hint("shuffle_hash"), "cell")
+    fx, fy = first_vertex_xy()
+    cand = cand.filter(
+        (fx >= F.col("aminx"))
+        & (fx <= F.col("amaxx"))
+        & (fy >= F.col("aminy"))
+        & (fy <= F.col("amaxy"))
+    )
+    within = make_within_pairs()
+    out = cand.filter(within(F.col("wkt"), F.col("_aoi_wkt")))
+    return out.drop("cell", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy")

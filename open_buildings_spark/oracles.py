@@ -221,6 +221,18 @@ FROM fp JOIN aois a
   ON fp.fminx >= a.aw AND fp.fmaxx <= a.ae AND fp.fminy >= a.asx AND fp.fmaxy <= a.an
 """
 
+    # big-big join: every AOI sits inside ONE z10 tile (datagen contract),
+    # so a doc within it shares that tile's quadkey prefix — hash equi-join
+    # on qk10, then bbox containment (ST_Within for axis-aligned rects)
+    sqls["g_big_aoi_join"] = f"""
+WITH {bld},
+{datagen.big_aois_sql_cte()},
+fp AS (SELECT doc_id, substr(qk, 1, 10) AS qk10, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT fp.doc_id, a.aoi_id
+FROM fp JOIN aoi a ON fp.qk10 = a.qk10
+WHERE fp.fminx >= a.aw AND fp.fmaxx <= a.ae AND fp.fminy >= a.asx AND fp.fmaxy <= a.an
+"""
+
     sqls["e_pivot"] = """
 SELECT event_type,
 """ + ",\n".join(

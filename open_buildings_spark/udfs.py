@@ -165,6 +165,137 @@ def make_country_assign(country_list: list[tuple[str, list]]):
     return country_assign
 
 
+AOI_COVER_TYPE = StructType(
+    [
+        StructField("aminx", DoubleType()),
+        StructField("aminy", DoubleType()),
+        StructField("amaxx", DoubleType()),
+        StructField("amaxy", DoubleType()),
+        StructField("x0", IntegerType()),
+        StructField("y0", IntegerType()),
+        StructField("x1", IntegerType()),
+        StructField("y1", IntegerType()),
+    ]
+)
+
+
+def make_aoi_cover(level: int):
+    """Factory: pandas UDF computing each AOI polygon's bbox and covering
+    tile range at ``level`` — the distributed half of the big-big spatial
+    join's cell cover (one Arrow pass over the AOI side, no driver loop).
+    Invalid/missing geometries get x0 = -1 (filter them natively)."""
+
+    @F.pandas_udf(AOI_COVER_TYPE)
+    def aoi_cover(wkt: pd.Series) -> pd.DataFrame:
+        batch = parse_wkt_batch(wkt)
+        bb = kernels.bboxes(batch)
+        w = np.maximum(bb[:, 0], -180.0)
+        s = np.maximum(bb[:, 1], -mercator.MERCATOR_LAT_LIMIT)
+        e = np.minimum(bb[:, 2], 180.0)
+        n = np.minimum(bb[:, 3], mercator.MERCATOR_LAT_LIMIT)
+        # same tie-break epsilons as the scalar bbox_tile_range
+        x0, y0 = mercator.tiles_np(w, n, level)
+        x1, y1 = mercator.tiles_np(e - mercator.LL_EPSILON, s + mercator.LL_EPSILON, level)
+        bad = batch.gtype == -1
+        x0[bad] = -1
+        return pd.DataFrame(
+            {
+                "aminx": bb[:, 0],
+                "aminy": bb[:, 1],
+                "amaxx": bb[:, 2],
+                "amaxy": bb[:, 3],
+                "x0": x0.astype(np.int32),
+                "y0": y0.astype(np.int32),
+                "x1": x1.astype(np.int32),
+                "y1": y1.astype(np.int32),
+            }
+        )
+
+    # pure, but marked nondeterministic to pin the plan: the caller filters
+    # on x0/bbox outputs, and a pushed filter would split this into TWO
+    # ArrowEvalPython nodes (every AOI parsed twice)
+    return aoi_cover.asNondeterministic()
+
+
+def make_within_pairs():
+    """Pandas UDF testing ST_Within(geom, aoi) per ROW PAIR (wkt, aoi_wkt) —
+    the refinement step of the big-big spatial join, where each candidate
+    row carries its own AOI's geometry out of the cell equi-join.
+
+    Vectorization shape: within each Arrow batch, rows are grouped by AOI
+    (factorize + stable argsort), each unique AOI's WKT parses once, and one
+    vectorized raycast kernel runs per AOI over a contiguous O(run)-cost
+    gather (no O(batch) work per AOI — thousands of distinct AOIs per batch
+    stay linear)."""
+
+    @F.pandas_udf(BooleanType())
+    def within_pairs(wkt: pd.Series, aoi_wkt: pd.Series) -> pd.Series:
+        n = len(wkt)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return pd.Series(out)
+        codes, uniques = pd.factorize(aoi_wkt)
+        batch = parse_wkt_batch(wkt)
+        ab = parse_wkt_batch(pd.Series(list(uniques), dtype=object))
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
+        bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+        for u in range(len(uniques)):
+            lo, hi = bounds[u], bounds[u + 1]
+            if lo == hi or ab.gtype[u] == -1:
+                continue
+            idx = order[lo:hi]  # ascending (stable sort) — _gather_batch needs it
+            rings = [
+                (ab.ring(j), bool(ab.ring_is_hole[j])) for j in ab.geom_rings(u)
+            ]
+            if not rings:
+                continue
+            sub = _gather_batch(batch, idx, ring_start)
+            m = kernels.within_mask(sub, rings)
+            m[sub.gtype == -1] = False
+            out[idx] = m
+        return pd.Series(out)
+
+    return within_pairs
+
+
+def _gather_batch(batch, idx: np.ndarray, ring_start: np.ndarray):
+    """GeomBatch restricted to sorted geometry indices ``idx`` in O(selected)
+    (vs :func:`_subset_batch`'s O(batch) np.isin): ``ring_geom`` is ascending
+    by construction (parsers emit geoms in order), so geom g's rings occupy
+    the contiguous range [ring_start[g], ring_start[g+1])."""
+    from .geo.wkt import GeomBatch
+
+    idx = np.asarray(idx, dtype=np.int64)
+    starts = ring_start[idx]
+    counts = ring_start[idx + 1] - starts
+    total = int(counts.sum())
+    if total:
+        roff = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        ring_idx = np.repeat(starts - roff, counts) + np.arange(total)
+    else:
+        ring_idx = np.empty(0, dtype=np.int64)
+    sizes = np.diff(batch.ring_offsets)
+    ksizes = sizes[ring_idx]
+    ncoords = int(ksizes.sum())
+    if ncoords:
+        cstarts = batch.ring_offsets[ring_idx]
+        coff = np.concatenate([[0], np.cumsum(ksizes)[:-1]])
+        coord_idx = np.repeat(cstarts - coff, ksizes) + np.arange(ncoords)
+        coords = batch.coords[coord_idx]
+    else:
+        coords = batch.coords[:0]
+    offsets = np.concatenate([[0], np.cumsum(ksizes)]).astype(np.int64)
+    return GeomBatch(
+        coords=coords,
+        ring_offsets=offsets,
+        ring_geom=np.repeat(np.arange(len(idx), dtype=np.int32), counts),
+        ring_is_hole=batch.ring_is_hole[ring_idx],
+        gtype=batch.gtype[idx],
+    )
+
+
 def _subset_batch(batch, idx: np.ndarray):
     """GeomBatch restricted to geometry indices ``idx`` (sorted, order
     preserved) — fully vectorized gather, no per-ring Python."""

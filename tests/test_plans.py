@@ -155,3 +155,41 @@ def test_aoi_bbox_prefilter_runs_before_python(spark, docs):
     order = {name: int(num) for num, name in reversed(nodes)}
     assert order["Filter"] < order["ArrowEvalPython"]
     assert "substring_index" in plan
+
+
+def test_big_aoi_join_is_shuffle_join_no_broadcast(spark, docs, sf_dir):
+    """The big-big spatial join must shuffle BOTH sides on the cell key:
+    no broadcast anywhere (neither side fits memory at planet scale), no
+    nested-loop/cartesian join, and the plan size must be O(1) in the AOI
+    count (cells are data rows, never expression chains)."""
+    import re
+
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import spatial_join
+
+    aois = datagen.big_aois_df(spark, sf_dir).select("aoi_id", "wkt")
+    out = spatial_join.aoi_join_big(docs, aois, cover_level=12).select(
+        "doc_id", "aoi_id"
+    )
+    plan = plan_of(out)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # plan size independent of AOI count: 1000x fewer AOIs -> same node count
+    few = spatial_join.aoi_join_big(
+        docs, aois.filter(F.col("aoi_id") % 1000 == 0), cover_level=12
+    ).select("doc_id", "aoi_id")
+    many = spatial_join.aoi_join_big(
+        docs, aois.filter(F.col("aoi_id") % 1 == 0), cover_level=12
+    ).select("doc_id", "aoi_id")
+    count_nodes = lambda p: len(re.findall(r"^\(\d+\) ", p, re.M))  # noqa: E731
+    assert count_nodes(plan_of(many)) == count_nodes(plan_of(few))
+
+    # exactly 3 python evals: docs enrichment, AOI cover, pair refine —
+    # none duplicated by filter pushdown
+    nodes = re.findall(
+        r"^\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython)", plan, re.M
+    )
+    assert len(nodes) == 3, plan

@@ -278,3 +278,68 @@ def test_knn_anchor_offset_allowance(spark, docs, buildings_pdf):
         spark, b, queries, k=5, initial_ring=1, max_ring=64, anchor_offset_m=500.0
     ).orderBy("rank").toPandas()
     assert base.doc_id.tolist() == wide.doc_id.tolist()
+
+
+def test_big_aoi_join_matches_broadcast_path(spark, docs):
+    """aoi_join_big (distributed cover + shuffle join + pair refine) must
+    return the exact row set of aoi_join (driver cells + broadcast) on the
+    same AOIs — including a polygon WITH A HOLE and an AOI pair that
+    overlaps (docs in both appear once per AOI)."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import spatial_join
+
+    feats = datagen.multi_aois()[:3]  # two dense AOIs + one overlapping
+
+    def to_wkt(f):
+        rings = f["geometry"]["coordinates"]
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+            for ring in rings
+        ) + ")"
+
+    # add a donut AOI: AOI 1's rect with a centered hole — buildings inside
+    # the hole must NOT match
+    base = feats[0][1]["geometry"]["coordinates"][0]
+    xs = [p[0] for p in base]
+    ys = [p[1] for p in base]
+    w, e, s, n = min(xs), max(xs), min(ys), max(ys)
+    mw, me = w + (e - w) * 0.3, w + (e - w) * 0.7
+    ms, mn = s + (n - s) * 0.3, s + (n - s) * 0.7
+    donut_feat = {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [
+                base,
+                [[mw, ms], [me, ms], [me, mn], [mw, mn], [mw, ms]],
+            ],
+        },
+    }
+    all_feats = [(aid, f) for aid, f in feats] + [(99, donut_feat)]
+    wkt_rows = [
+        (aid, to_wkt(f)) for aid, f in all_feats
+    ]
+    aois_df = spark.createDataFrame(wkt_rows, "aoi_id int, wkt string")
+
+    big = (
+        spatial_join.aoi_join_big(docs, aois_df, cover_level=12)
+        .select("doc_id", "aoi_id")
+        .toPandas()
+        .sort_values(["doc_id", "aoi_id"])
+        .reset_index(drop=True)
+    )
+    small = (
+        spatial_join.aoi_join(docs, all_feats, cover_level=10)
+        .select("doc_id", "aoi_id")
+        .toPandas()
+        .sort_values(["doc_id", "aoi_id"])
+        .reset_index(drop=True)
+    )
+    assert len(big) == len(small) > 0
+    assert (big.doc_id.to_numpy() == small.doc_id.to_numpy()).all()
+    assert (big.aoi_id.to_numpy() == small.aoi_id.to_numpy()).all()
+    # the donut excludes its hole: strictly fewer hits than the full rect
+    n_donut = int((big.aoi_id == 99).sum())
+    n_full = int((big.aoi_id == feats[0][0]).sum())
+    assert 0 < n_donut < n_full
