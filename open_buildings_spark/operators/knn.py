@@ -11,6 +11,8 @@ result equals brute force (verified against the DuckDB oracle).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -21,6 +23,58 @@ ZOOM = 12
 # conservative meters-per-degree lower bounds for the ring-boundary distance
 _M_PER_DEG_LAT = 110574.0
 _M_PER_DEG_LON_EQ = 111320.0
+
+
+def corpus_anchor_offset_m(buildings: DataFrame) -> float:
+    """Upper bound (meters) on dist(quadkey anchor, ranked point) over the
+    corpus — the safety margin kNN ring growth needs for exactness on
+    footprints whose centroid differs from their bbox midpoint.
+
+    One native aggregate, no Python:
+
+    - **tight** when bbox columns are stored (``minx..maxy`` + lon/lat):
+      max haversine(bbox midpoint, centroid) — the exact quantity;
+    - **conservative** otherwise (quadkey + lon/lat): the anchor lies
+      inside tile(quadkey) by construction, so per row
+      dist(anchor, centroid) <= max corner distance of that tile from the
+      centroid. The tile coords come from the quadkey string natively
+      (translate '0123'->x/y bit strings, conv base 2). A 5% slack covers
+      the corner-vs-edge maximization of the geodesic rectangle. For point
+      corpora this still reports ~a tile diagonal — at z12 a few km, far
+      below any ring margin, so it never costs a growth iteration.
+    """
+    cols = set(buildings.columns)
+    if {"minx", "miny", "maxx", "maxy", "lon", "lat"} <= cols:
+        d = haversine_m(
+            (F.col("minx") + F.col("maxx")) / 2.0,
+            (F.col("miny") + F.col("maxy")) / 2.0,
+            F.col("lon"),
+            F.col("lat"),
+        )
+        row = buildings.agg(F.max(d).alias("m")).collect()[0]
+        return float(row["m"] or 0.0)
+    if {"quadkey", "lon", "lat"} <= cols:
+        z2 = float(1 << ZOOM)
+        tx = F.conv(F.translate(F.col("quadkey"), "0123", "0101"), 2, 10).cast("long")
+        ty = F.conv(F.translate(F.col("quadkey"), "0123", "0011"), 2, 10).cast("long")
+        west = tx / z2 * 360.0 - 180.0
+        east = (tx + 1) / z2 * 360.0 - 180.0
+        pi = float(math.pi)
+        north = F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * ty / z2))))
+        south = F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * (ty + 1) / z2))))
+        d = F.greatest(
+            *[
+                haversine_m(cx, cy, F.col("lon"), F.col("lat"))
+                for cx in (west, east)
+                for cy in (south, north)
+            ]
+        )
+        row = buildings.agg(F.max(d).alias("m")).collect()[0]
+        return float(row["m"] or 0.0) * 1.05
+    raise ValueError(
+        "anchor_offset_m='auto' needs (minx,miny,maxx,maxy,lon,lat) or "
+        "(quadkey,lon,lat) columns to bound the anchor-centroid offset"
+    )
 
 
 def _ring_cells(qlon: float, qlat: float, ring: int) -> list[str]:
@@ -53,7 +107,7 @@ def knn(
     k: int = 5,
     initial_ring: int = 8,
     max_ring: int = 256,
-    anchor_offset_m: float = 0.0,
+    anchor_offset_m: float | str = "auto",
     table_root: str | None = None,
 ) -> DataFrame:
     """Exact k nearest buildings (haversine meters) per query point.
@@ -80,14 +134,29 @@ def knn(
     (centroid). Candidates are gathered by anchor tile but ranked by
     centroid, so a true neighbor whose anchor sits just outside the ring
     would otherwise be silently missed; the growth criterion therefore
-    requires kth + anchor_offset_m < ring margin. The default 0.0 is exact
-    whenever anchor == ranked point — point corpora, and any footprint
-    whose centroid equals its bbox midpoint (all shapes in the synthetic
-    corpus, including the two-equal-squares multis). For general
-    footprints pass max over the corpus of dist(bbox_midpoint, centroid).
+    requires kth + anchor_offset_m < ring margin. The default ``"auto"``
+    derives the bound from the corpus itself (one native aggregate,
+    :func:`corpus_anchor_offset_m`) or, in ``table_root`` mode, reads the
+    ``max_anchor_offset_m`` metric the table writer stored in the manifest
+    — exact-by-default for arbitrary footprints. Pass an explicit float
+    (e.g. 0.0 for point corpora) to skip the aggregate.
     """
     if buildings is not None and buildings.storageLevel.useMemory is False:
         buildings = buildings.cache()  # ring growth re-reads the candidates
+    if anchor_offset_m == "auto":
+        if table_root is not None:
+            from ..table.iceberg_lite import current_manifest, read_table
+
+            m = current_manifest(table_root)
+            stored = (m or {}).get("metrics", {}).get("max_anchor_offset_m")
+            if stored is not None:
+                anchor_offset_m = float(stored)
+            else:
+                # fallback: one column-pruned pass over the table (planet
+                # tables should store the metric at write time instead)
+                anchor_offset_m = corpus_anchor_offset_m(read_table(spark, table_root))
+        else:
+            anchor_offset_m = corpus_anchor_offset_m(buildings)
     ring = initial_ring
     while True:
         cells = []

@@ -80,6 +80,7 @@ def write_partitioned(
     keys: list[str] | None = None,
     cells_per_commit: int = 0,
     fail_after_commits: int = -1,
+    store_anchor_offset: bool = True,
 ) -> dict:
     """Adaptive-cell partitioned write with manifest commits.
 
@@ -214,6 +215,22 @@ def write_partitioned(
         commits += 1
         if fail_after_commits >= 0 and commits >= fail_after_commits:
             raise RuntimeError(f"injected failure after {commits} commits")
+    if store_anchor_offset:
+        data_cols = set(df.columns) - set(keys) - {"cell"}
+        if {"quadkey", "lon", "lat"} <= data_cols:
+            # kNN exactness metric (corpus_anchor_offset_m): one
+            # column-pruned scan of the files just written, stored in the
+            # manifest so serving-path kNN never rescans the table for it
+            files = [
+                os.path.join(root, f) for p in m["partitions"] for f in p["files"]
+            ]
+            if files:
+                from ..operators.knn import corpus_anchor_offset_m
+
+                m["metrics"]["max_anchor_offset_m"] = corpus_anchor_offset_m(
+                    spark.read.parquet(*files)
+                )
+                _commit_manifest(root, m)  # same snapshot id, metric added
     return m
 
 

@@ -343,3 +343,64 @@ def test_big_aoi_join_matches_broadcast_path(spark, docs):
     n_donut = int((big.aoi_id == 99).sum())
     n_full = int((big.aoi_id == feats[0][0]).sum())
     assert 0 < n_donut < n_full
+
+
+def test_knn_auto_offset_exact_on_asymmetric_footprints(spark):
+    """Corpus where centroid != bbox midpoint: a flag-shaped footprint has
+    its area centroid ~50 m from the query but its quadkey anchor (bbox
+    midpoint) ~1.7 tiles away. With anchor_offset_m=0 and a small initial
+    ring the termination check wrongly passes and the neighbor is silently
+    dropped; the 'auto' default derives the corpus bound and returns the
+    brute-force result."""
+    import numpy as np
+
+    from open_buildings_spark.geo import mercator
+
+    qx = mercator.tile_bounds(2200, 1800, 12)[0] + 0.044  # ~tile center
+    qy = (mercator.tile_bounds(2200, 1800, 12)[1] + mercator.tile_bounds(2200, 1800, 12)[3]) / 2
+
+    def square(cx, cy, r=1e-4):
+        pts = [(cx - r, cy - r), (cx + r, cy - r), (cx + r, cy + r), (cx - r, cy + r), (cx - r, cy - r)]
+        return "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in pts) + "))"
+
+    rows = []
+    # five compact squares 150-500 m from the query, same tile
+    for i, (dx, dy) in enumerate([(0.002, 0), (0, 0.003), (-0.003, 0.001), (0.004, 0.002), (-0.002, -0.004)]):
+        rows.append((f"sq-{i}", square(qx + dx, qy + dy)))
+    # flag shape: 100 m square at the query + a 0.3-deg hair-thin east tail
+    a, t = 5e-4, 1e-8
+    flag = [
+        (qx - a, qy - a), (qx + 0.3, qy - a), (qx + 0.3, qy - a + t),
+        (qx + a, qy - a + t), (qx + a, qy + a), (qx - a, qy + a), (qx - a, qy - a),
+    ]
+    rows.append(("flag", "POLYGON ((" + ", ".join(f"{x!r} {y!r}" for x, y in flag) + "))"))
+    df = spark.createDataFrame(rows, "doc_id string, wkt string")
+    g = enrich.add_geo_columns(df, drop_nongeo=True)
+    b = g.select("doc_id", "quadkey", "lon", "lat").cache()
+    pdf = b.toPandas()
+    # anchor tile of the flag differs from its centroid tile (the setup's
+    # whole point) — assert so the fixture can't silently degrade
+    flag_qk = pdf[pdf.doc_id == "flag"].quadkey.iloc[0]
+    assert flag_qk != mercator.lat_lon_to_quadkey(qy, qx, 12)
+
+    # brute force over the 6 docs
+    def hav(lon, lat):
+        R = 6371008.8
+        p1, p2 = np.radians(lat), np.radians(qy)
+        dl = np.radians(lon - qx)
+        x = np.sin((p2 - p1) / 2) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+        return 2 * R * np.arcsin(np.sqrt(x))
+
+    pdf["d"] = hav(pdf.lon.to_numpy(), pdf.lat.to_numpy())
+    want = pdf.sort_values(["d", "doc_id"]).doc_id.head(5).tolist()
+    assert "flag" in want
+
+    queries = [(0, qx, qy)]
+    missed = knn.knn(
+        spark, b, queries, k=5, initial_ring=1, anchor_offset_m=0.0
+    ).orderBy("rank").toPandas()
+    assert "flag" not in missed.doc_id.tolist()  # the silent miss
+    exact = knn.knn(
+        spark, b, queries, k=5, initial_ring=1, anchor_offset_m="auto"
+    ).orderBy("rank").toPandas()
+    assert exact.doc_id.tolist() == want

@@ -248,3 +248,18 @@ def test_compaction_noop_and_keyed_guard(spark, enriched, tmp_path):
     if all(len(p["files"]) <= 1 for p in m1["partitions"]):
         m2 = tbl.compact_cells(spark, root)
         assert m2["snapshot_id"] == m1["snapshot_id"]  # no-op, no new snapshot
+
+
+def test_manifest_stores_anchor_offset_metric(spark, docs, tmp_path):
+    """write_partitioned stores max_anchor_offset_m; serving-path kNN
+    ('auto') consumes it from the manifest without rescanning the table."""
+    from open_buildings_spark.operators import knn as knn_op
+
+    root = str(tmp_path / "tbl_off")
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    m = tbl.write_partitioned(g, root, max_per_file=500)
+    off = m["metrics"]["max_anchor_offset_m"]
+    # conservative bound: positive, bounded by ~1.05x a z12 tile diagonal
+    assert 0 < off < 16000
+    # persisted, and time-travel/compaction chains carry it forward
+    assert tbl.current_manifest(root)["metrics"]["max_anchor_offset_m"] == off
