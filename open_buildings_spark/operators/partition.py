@@ -31,24 +31,101 @@ def cell_histogram(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     )
 
 
+COARSE_LEVEL = 8
+
+
+def hier_histogram(
+    df: DataFrame,
+    max_per_file: int,
+    keys: list[str] | None = None,
+    coarse_level: int = COARSE_LEVEL,
+):
+    """Driver-memory-bounded histogram for the partition planner.
+
+    One shuffle over the DATA builds the (cached, distributed) z12
+    aggregate; the driver then collects
+      1. the z{coarse_level} rollup (a tiny second shuffle over the cached
+         aggregate, never the data), and
+      2. z12 rows ONLY inside over-cap coarse cells
+    so collected rows = O(4^coarse + over-cap cells x 4^(12-coarse))
+    instead of every z12 cell x key value (a planet-scale table with
+    mostly-sparse geography collects a small fraction of its z12 cells).
+
+    Returns (pandas DataFrame with columns keys... qk n — ``qk`` of length
+    coarse_level for under-cap regions, 12 inside over-cap ones — ,
+    n_collected). Regions are represented EITHER by their coarse row OR by
+    their z12 rows, never both, so prefix-range sums over the mixed rows
+    are exact.
+    """
+    import pandas as pd
+
+    keys = keys or []
+    agg12 = cell_histogram(df, keys).persist()
+    try:
+        h8 = (
+            agg12.groupBy(
+                *keys, F.substring("qk12", 1, coarse_level).alias("qk")
+            )
+            .agg(F.sum("n").alias("n"))
+            .toPandas()
+        )
+        over = h8[h8["n"] > max_per_file]
+        if len(over):
+            # InSet on coarse cells: bounded by 4^coarse (65k at z8) keys,
+            # independent of table size
+            cells8 = sorted(set(over["qk"]))
+            h12 = (
+                agg12.filter(
+                    F.substring("qk12", 1, coarse_level).isin(cells8)
+                )
+                .withColumnRenamed("qk12", "qk")
+                .toPandas()
+            )
+        else:
+            h12 = h8.iloc[0:0].copy()
+    finally:
+        agg12.unpersist()
+    n_collected = len(h8) + len(h12)
+    if len(h12) == 0:
+        return h8, n_collected
+    # keep the coarse row only where that (keys, coarse cell) is UNDER cap
+    # (per key group a coarse cell can be over for one key, under for
+    # another — the isin prefetch is a superset; resolve exactly here)
+    h8 = h8.copy()
+    h12 = h12.copy()
+    h12["_c"] = h12["qk"].str[:coarse_level]
+    over_keys = set(
+        map(tuple, over[[*keys, "qk"]].itertuples(index=False, name=None))
+    )
+    keep8 = ~h8[[*keys, "qk"]].apply(
+        lambda r: tuple(r) in over_keys, axis=1
+    )
+    keep12 = h12[[*keys, "_c"]].apply(lambda r: tuple(r) in over_keys, axis=1)
+    hist = pd.concat(
+        [h8[keep8], h12[keep12].drop(columns="_c")], ignore_index=True
+    )
+    return hist, n_collected
+
+
 def partition_plan(
     df: DataFrame, max_per_file: int, keys: list[str] | None = None
 ) -> DataFrame:
     """Leaf-cell plan: (keys..., cell, n_rows) with reference split semantics.
 
-    One shuffle computes the z12 histogram; the recursion itself runs
-    driver-side in pandas (like the reference's driver-side loop, but on the
-    histogram instead of per-cell COUNT queries). A cell is a LEAF iff its
-    count <= max_per_file and every ancestor is over the cap (or level 1);
-    over-cap level-12 cells become leaves (cap).
+    One data shuffle computes the histogram (hierarchically collected, see
+    :func:`hier_histogram`); the recursion itself runs driver-side in
+    pandas (like the reference's driver-side loop, but on the histogram
+    instead of per-cell COUNT queries). A cell is a LEAF iff its count <=
+    max_per_file and every ancestor is over the cap (or level 1); over-cap
+    level-12 cells become leaves (cap).
 
-    Scale note: the planet has <= 4^12 ≈ 17M z12 cells, so the collected
-    histogram is bounded regardless of table size; for tighter drivers,
-    aggregate at z8 first and recurse into z12 only for over-cap z8 cells.
+    The recursion never needs sub-coarse detail for under-cap coarse cells
+    (an under-cap node is a leaf at or above the coarse level), which is
+    exactly what hier_histogram omits.
     """
     keys = keys or []
     spark = df.sparkSession
-    hist = cell_histogram(df, keys).toPandas()
+    hist, _ = hier_histogram(df, max_per_file, keys)
 
     import numpy as np
 
@@ -58,8 +135,8 @@ def partition_plan(
     ):
         if keys and not isinstance(key_vals, tuple):
             key_vals = (key_vals,)
-        order = np.argsort(grp["qk12"].to_numpy())
-        cells = grp["qk12"].to_numpy()[order]
+        order = np.argsort(grp["qk"].to_numpy())
+        cells = grp["qk"].to_numpy()[order]
         counts = grp["n"].to_numpy()[order]
         csum = np.concatenate([[0], np.cumsum(counts)])
 

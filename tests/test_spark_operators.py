@@ -404,3 +404,36 @@ def test_knn_auto_offset_exact_on_asymmetric_footprints(spark):
         spark, b, queries, k=5, initial_ring=1, anchor_offset_m="auto"
     ).orderBy("rank").toPandas()
     assert exact.doc_id.tolist() == want
+
+
+def test_hier_histogram_bounds_driver_collect(spark):
+    """The planner's driver collect must be a small fraction of the distinct
+    z12 cells on skewed data: coarse rows for under-cap z8 regions, z12
+    detail only inside over-cap ones — and the resulting leaf plan must
+    still partition the corpus exactly (disjoint prefixes, counts sum)."""
+    import itertools
+
+    from open_buildings_spark.operators import partition
+
+    rows = []
+    digits = ["0", "1", "2", "3"]
+    # 256 under-cap z8 cells ('0' + 7 digits), each with 64 z12 cells x 5 rows
+    for combo in itertools.product(digits, repeat=4):
+        z8 = "0" + "".join(combo) + "000"
+        for combo2 in itertools.product(digits, repeat=3):
+            rows.extend((z8 + "0" + "".join(combo2),) for _ in range(5))
+    # one dense z8 cell ('3' * 8): 256 z12 cells x 16 rows -> over cap
+    for combo in itertools.product(digits, repeat=4):
+        rows.extend(("33333333" + "".join(combo),) for _ in range(16))
+    rows = [r for r in rows]
+    df = spark.createDataFrame(rows, "quadkey string")
+    n_z12 = df.select("quadkey").distinct().count()
+    cap = 1000
+    hist, n_collected = partition.hier_histogram(df, cap)
+    assert n_collected < 0.3 * n_z12, (n_collected, n_z12)
+    plan = partition.partition_plan(df, cap).toPandas()
+    # leaves disjoint by prefix and counts sum to the corpus
+    assert plan.n_rows.sum() == df.count()
+    cells = sorted(plan.cell.tolist())
+    for a, b in zip(cells, cells[1:]):
+        assert not b.startswith(a), (a, b)
