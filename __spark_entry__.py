@@ -279,6 +279,13 @@ def _q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_dedup(dedup.augment_corpus(spark, sf_dir))
 
 
+def _q_neardup_clusters(spark, sf_dir):
+    """Near-dup canonicalization: LSH pair graph -> connected components ->
+    (doc_id, canonical_id, cluster_size) — the step a real corpus dedup
+    ends with (keep one doc per cluster = doc_id == canonical_id)."""
+    return dedup.neardup_clusters(dedup.augment_corpus(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(dedup.augment_corpus(spark, sf_dir))
 
@@ -422,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: dedup + text analysis
         "t_exact_dedup": _q_exact_dedup,
         "t_minhash_lsh": _q_minhash_lsh,
+        "t_neardup_clusters": _q_neardup_clusters,
         "t_simhash": _q_simhash,
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,

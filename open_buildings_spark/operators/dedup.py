@@ -168,6 +168,85 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
+# near-dup cluster canonicalization (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id, canonical_id): the minimum node id reachable from each node in
+    the undirected pair graph; nodes absent from ``pairs`` keep themselves.
+
+    Pregel-style hash-min label propagation: each round joins labels to the
+    symmetric edge list, takes the per-node min over neighbor labels, and
+    stops when no label shrinks — O(component diameter) rounds of two
+    bounded shuffles (labels ~ |V|, edges ~ 2|E|), with per-round persist so
+    lineage never grows. Near-dup graphs are shallow (dup clusters are
+    near-cliques: diameter 2-3); for adversarially deep graphs swap in the
+    large-star/small-star variant — same join shapes, fewer rounds.
+
+    ``ids``: one column ``id`` (all nodes, so singletons appear).
+    ``pairs``: columns ``a``, ``b``.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = ids.select("id", F.col("id").alias("canonical_id")).persist()
+    labels.count()  # materialize before iterating
+    to_free = []
+    while True:
+        prop = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("canonical_id").alias("nbr_min"))
+        )
+        joined = labels.join(prop, labels["id"] == prop["src"], "left").persist()
+        changed = joined.filter(F.col("nbr_min") < F.col("canonical_id")).count()
+        if changed == 0:
+            joined.unpersist()
+            break
+        new_labels = joined.select(
+            "id",
+            # least() skips nulls: nodes with no (improving) neighbor keep
+            F.least("canonical_id", "nbr_min").alias("canonical_id"),
+        ).persist()
+        new_labels.count()
+        joined.unpersist()
+        to_free.append(labels)
+        labels = new_labels
+    edges.unpersist()
+    for old in to_free:
+        old.unpersist()
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus -> (doc_id, canonical_id, cluster_size): the near-dup analogue
+    of :func:`exact_dedup`'s canonical groups — LSH pairs (verified by exact
+    Jaccard >= threshold) are closed into connected components, each doc is
+    tagged with its component's minimum id, and singletons keep themselves
+    with cluster_size 1. 'Keep one doc per cluster' is then a filter on
+    doc_id = canonical_id."""
+    pairs = minhash_lsh_dedup(df, threshold, k, bands).select("a", "b")
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    labels = connected_components(ids, pairs)
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labels.join(sizes, "canonical_id").select(
+        F.col("id").alias(id_col), "canonical_id", "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

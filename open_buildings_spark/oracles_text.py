@@ -41,8 +41,9 @@ FROM corpus
     band_cases = " ".join(
         f"WHEN {b} THEN md5(mh_{2 * b} || mh_{2 * b + 1})" for b in range(MINHASH_BANDS)
     )
-    sqls["t_minhash_lsh"] = f"""
-WITH {corpus},
+    # shared CTE chain: corpus -> shingles -> minhash -> LSH pairs -> exact
+    # Jaccard (used by t_minhash_lsh and t_neardup_clusters)
+    minhash_ctes = f"""
 toks AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(tk[CAST(u.i AS INT):CAST(u.i + 2 AS INT)], ' ') AS shingle
@@ -70,7 +71,35 @@ jacs AS (
          CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jac
   FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
 )
+""".strip()
+
+    sqls["t_minhash_lsh"] = f"""
+WITH {corpus},
+{minhash_ctes}
 SELECT a, b, jac FROM jacs WHERE jac >= {JACCARD_THRESHOLD}
+"""
+
+    # connected components over the verified near-dup pair graph: transitive
+    # closure via a recursive CTE (fixture graphs are tiny), min reachable
+    # id per node, singletons keep themselves with cluster_size 1
+    sqls["t_neardup_clusters"] = f"""
+WITH RECURSIVE {corpus},
+{minhash_ctes},
+good AS (SELECT a, b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT a AS src, b AS dst FROM good
+  UNION
+  SELECT b AS src, a AS dst FROM good
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+),
+canon AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM canon GROUP BY canonical_id)
+SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
+FROM canon c JOIN csz s USING (canonical_id)
 """
 
     bit_sums = ", ".join(

@@ -437,3 +437,19 @@ def test_hier_histogram_bounds_driver_collect(spark):
     cells = sorted(plan.cell.tolist())
     for a, b in zip(cells, cells[1:]):
         assert not b.startswith(a), (a, b)
+
+
+def test_connected_components_multihop_chain(spark):
+    """Hash-min propagation must close multi-hop chains (diameter > 1), not
+    just direct pairs: chain 1-2-3-4-5 plus pair 10-11 plus singleton 99."""
+    from open_buildings_spark.operators import dedup
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 99]], "id long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in dedup.connected_components(ids, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
