@@ -123,6 +123,11 @@ def write_partitioned(
     data_dir = os.path.join(root, "data")
     os.makedirs(data_dir, exist_ok=True)
     commits = 0
+    # per-snapshot schema (data files only: partition key columns and the
+    # cell live in directory names) — the schema-evolution anchor
+    data_schema = [
+        f.jsonValue() for f in df.schema.fields if f.name not in keys
+    ]
     from ..operators.partition import tag_cells
 
     spark = df.sparkSession
@@ -157,6 +162,19 @@ def write_partitioned(
                 F.pmod(F.hash(F.col("doc_id")), shards),
             ).otherwise(F.lit(0)),
         ).drop("n_rows")
+        # snapshot immutability: files are only ever ADDED (append mode +
+        # job-unique part names); the manifest's per-cell file list is the
+        # diff of the cell dir across the job, so files from an earlier
+        # KILLED (uncommitted) attempt are never referenced — they sit
+        # orphaned until expire_snapshots reclaims them, and every older
+        # snapshot keeps reading exactly the files it committed.
+        pre_files: dict[str, set] = {}
+        for r in group:
+            part_dir = data_dir
+            for k in keys:
+                part_dir = os.path.join(part_dir, f"{k}={r[k]}")
+            part_dir = os.path.join(part_dir, f"cell={r['cell']}")
+            pre_files[part_dir] = set(glob.glob(os.path.join(part_dir, "*.parquet")))
         # explicit partition count: ceil(rows/max_per_file) writer tasks at
         # minimum — an explicit repartition(n, ...) is exempt from AQE
         # partition coalescing, which would otherwise merge the salt shards
@@ -176,11 +194,11 @@ def write_partitioned(
             # clustering (overture/partition.py:149,182)
             .sortWithinPartitions(*keys, "cell", "quadkey")
             .drop("_salt")
-            .write.mode("overwrite")
-            # dynamic overwrite: a resumed run rewrites only the cells it
-            # recomputes; a previously half-written (uncommitted) cell dir
-            # is replaced, never appended to
-            .option("partitionOverwriteMode", "dynamic")
+            # append, never overwrite: Spark's dynamic-partition overwrite
+            # would delete the files older snapshots reference (in-place
+            # rewrite broke time travel across resumes); part names carry
+            # the job UUID so parallel/retried attempts cannot collide
+            .write.mode("append")
             .partitionBy(*keys, "cell")
             .option("compression", "snappy")
             .parquet(data_dir)
@@ -192,7 +210,10 @@ def write_partitioned(
             for k in keys:
                 part_dir = os.path.join(part_dir, f"{k}={r[k]}")
             part_dir = os.path.join(part_dir, f"cell={r['cell']}")
-            files = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+            files = sorted(
+                set(glob.glob(os.path.join(part_dir, "*.parquet")))
+                - pre_files[part_dir]
+            )
             new_parts.append(
                 {
                     "cell": r["cell"],
@@ -204,11 +225,14 @@ def write_partitioned(
         m = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent_id": m["snapshot_id"],
+            "schema": data_schema,
             "partitions": m["partitions"] + new_parts,
             "metrics": {
+                **m["metrics"],
                 "rows_written": m["metrics"]["rows_written"]
                 + sum(r["n_rows"] for r in group),
                 "recomputed_cells": m["metrics"]["recomputed_cells"] + len(group),
+                "max_per_file": max_per_file,
             },
         }
         _commit_manifest(root, m)
@@ -258,11 +282,15 @@ def read_table(
     with no files when everything prunes away.
 
     ``snapshot_id``: time travel — plan from that snapshot's manifest
-    instead of the current one. Valid across commit-group appends and
-    compactions (both only ADD files); a cell recompute on resume rewrites
-    that cell's directory in place, which orphans the older snapshot's
-    view of that one cell (documented deviation from full Iceberg
-    immutability — the write path reuses Spark's dynamic-overwrite sink).
+    instead of the current one. Snapshots are fully immutable: every write
+    path (commit-group appends, resumed recomputes, compactions, schema
+    changes) only ADDS files and commits a new manifest, so any retained
+    snapshot reads exactly the bytes it committed (reclaim superseded
+    files with :func:`expire_snapshots`).
+
+    Reads plan with the SNAPSHOT's schema (schema evolution): files
+    written before a column was added are null-filled for it by the
+    parquet reader, and columns added after the snapshot don't leak in.
     """
     m = manifest_at(root, snapshot_id) if snapshot_id is not None else current_manifest(root)
     if m is None:
@@ -279,11 +307,50 @@ def read_table(
         if any(part["values"].get(k) != v for k, v in key_filters.items()):
             continue
         files.extend(os.path.join(root, f) for f in part["files"])
+    reader = spark.read
+    if m.get("schema"):
+        reader = reader.schema(_schema_struct(m))
     if not files:
         # preserve schema by reading zero rows from the full table
         allf = [os.path.join(root, f) for p in m["partitions"] for f in p["files"]]
-        return spark.read.parquet(*allf).limit(0)
-    return spark.read.parquet(*files)
+        return reader.parquet(*allf).limit(0)
+    return reader.parquet(*files)
+
+
+def _schema_struct(manifest: dict):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson({"type": "struct", "fields": manifest["schema"]})
+
+
+def add_column(root: str, name: str, dtype: str) -> dict:
+    """Schema evolution: ADD COLUMN as a metadata-only snapshot (reference:
+    ``ALTER TABLE ... ADD COLUMN``, overture/add_columns.py:37,55). No data
+    file is touched — the new snapshot carries the widened schema and the
+    same file list; readers null-fill the column for pre-existing files.
+    Older snapshots keep their own schema (time travel shows the table as
+    it was). Backfill happens naturally as cells are rewritten (compaction)
+    or via a new table build; there is no in-place UPDATE by design."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if "schema" not in m:
+        raise ValueError(
+            f"table at {root} predates schema tracking; rewrite it first"
+        )
+    if any(f["name"] == name for f in m["schema"]):
+        raise ValueError(f"column {name!r} already exists")
+    from pyspark.sql.types import StructField, _parse_datatype_string
+
+    field = StructField(name, _parse_datatype_string(dtype), True)
+    m2 = {
+        **m,
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent_id": m["snapshot_id"],
+        "schema": m["schema"] + [field.jsonValue()],
+    }
+    _commit_manifest(root, m2)
+    return m2
 
 
 def read_table_cells(
@@ -307,10 +374,13 @@ def read_table_cells(
         # whose prefix is a requested cell)
         if pc in want or any(pc[:k] in cellset for k in range(1, len(pc) + 1)):
             files.extend(os.path.join(root, f) for f in part["files"])
+    reader = spark.read
+    if m.get("schema"):
+        reader = reader.schema(_schema_struct(m))
     if not files:
         allf = [os.path.join(root, f) for p in m["partitions"] for f in p["files"]]
-        return spark.read.parquet(*allf).limit(0)
-    return spark.read.parquet(*files)
+        return reader.parquet(*allf).limit(0)
+    return reader.parquet(*files)
 
 
 def metrics(root: str) -> dict:
@@ -330,13 +400,23 @@ def metrics(root: str) -> dict:
 
 
 def compact_cells(
-    spark: SparkSession, root: str, max_files: int = 1
+    spark: SparkSession,
+    root: str,
+    max_files: int = 1,
+    max_rows_per_file: int | None = None,
 ) -> dict:
-    """Small-file compaction: rewrite every cell holding more than
-    ``max_files`` data files into one quadkey-sorted file per cell,
-    committed as a NEW snapshot referencing NEW files (old files are
+    """Small-file compaction: rewrite fragmented cells into quadkey-sorted
+    files, committed as a NEW snapshot referencing NEW files (old files are
     untouched, so prior snapshots keep reading their own view — Iceberg
     rewrite semantics; reclaim space later with :func:`expire_snapshots`).
+
+    Output files respect the table's north_rule row cap: by default the
+    writer's ``max_per_file`` (stored in the manifest) re-shards compaction
+    output at that many rows per file, so an over-dense salted cell is
+    NEVER collapsed back into one oversized file/task — a cell whose file
+    count already equals its required shard count is skipped entirely.
+    ``max_rows_per_file`` overrides the cap (None + no stored cap = one
+    file per cell).
 
     Scale shape: candidate cells compact in parallel (repartition on cell,
     one pyarrow writer per task walking its cells in clustered order); the
@@ -353,7 +433,18 @@ def compact_cells(
         raise FileNotFoundError(f"no committed snapshot at {root}")
     if any(p["values"] for p in m["partitions"]):
         raise NotImplementedError("compaction of key-partitioned tables")
-    todo = [p for p in m["partitions"] if len(p["files"]) > max_files]
+    cap = (
+        max_rows_per_file
+        if max_rows_per_file is not None
+        else m.get("metrics", {}).get("max_per_file")
+    )
+
+    def needed(p) -> int:
+        return 1 if not cap else -(-p["n_rows"] // cap)
+
+    todo = [
+        p for p in m["partitions"] if len(p["files"]) > max(max_files, needed(p))
+    ]
     if not todo:
         return m
     snap = m["snapshot_id"] + 1
@@ -379,6 +470,7 @@ def compact_cells(
         cur = None
         fname = None
         n = 0
+        seq = 0
 
         def close():
             nonlocal writer, n, fname
@@ -390,6 +482,19 @@ def compact_cells(
                 )
                 out_rows.append((cur, fname, n))
                 writer, n, fname = None, 0, None
+
+        def open_file(schema):
+            nonlocal writer, fname, seq
+            seq += 1
+            fname = (
+                f"compact-{snap}-{cur or 'root'}-"
+                f"{tc.partitionId()}-{tc.taskAttemptId()}-{seq}.parquet"
+            )
+            writer = pq.ParquetWriter(
+                os.path.join(data_dir, "." + fname + ".inprogress"),
+                schema,
+                compression="snappy",
+            )
 
         for rb in batches:
             names = rb.schema.names
@@ -403,22 +508,26 @@ def compact_cells(
                 if cur != cells[start]:
                     close()
                     cur = cells[start]
-                    fname = (
-                        f"compact-{snap}-{cur or 'root'}-"
-                        f"{tc.partitionId()}-{tc.taskAttemptId()}.parquet"
-                    )
                 arrays = [piece.column(j) for j in range(piece.num_columns) if j != ci]
                 out = pa.record_batch(
                     arrays, names=[nm for j, nm in enumerate(names) if j != ci]
                 )
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(data_dir, "." + fname + ".inprogress"),
-                        out.schema,
-                        compression="snappy",
+                # roll files at the row cap (north_rule: no oversized
+                # output file, even when one task compacts a dense cell)
+                off = 0
+                while off < out.num_rows:
+                    if writer is None:
+                        open_file(out.schema)
+                    take = (
+                        out.num_rows - off
+                        if not cap
+                        else min(cap - n, out.num_rows - off)
                     )
-                writer.write_batch(out)
-                n += out.num_rows
+                    writer.write_batch(out.slice(off, take))
+                    n += take
+                    off += take
+                    if cap and n >= cap:
+                        close()
                 start = i
         close()
         for cell, f, cnt in out_rows:
@@ -446,6 +555,7 @@ def compact_cells(
         for p in m["partitions"]
     ]
     m2 = {
+        **{k: v for k, v in m.items() if k == "schema"},
         "snapshot_id": snap,
         "parent_id": m["snapshot_id"],
         "partitions": parts,

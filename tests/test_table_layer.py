@@ -203,7 +203,9 @@ def test_compaction_time_travel_and_expiry(spark, enriched, tmp_path):
     """Compaction commits a NEW snapshot over NEW files: the previous
     snapshot still reads its own (pre-compaction) view, read counts are
     identical at both snapshots, and expire_snapshots reclaims the
-    superseded files."""
+    superseded files. Output files respect the row cap (re-shard, never
+    one oversized file per dense cell), and a cell already at its
+    north_rule shard count is skipped by default."""
     root = str(tmp_path / "tbl")
     # salted overdense cell => several files in one cell dir
     dense_df = enriched.withColumn(
@@ -218,19 +220,30 @@ def test_compaction_time_travel_and_expiry(spark, enriched, tmp_path):
     assert multi, "need a multi-file cell to compact"
     n_files_before = sum(len(p["files"]) for p in m1["partitions"])
 
-    m2 = tbl.compact_cells(spark, root, max_files=1)
+    # default compaction must SKIP the salted cells: their file count
+    # already equals the north_rule shard count (ADVICE: never collapse a
+    # deliberately-sharded megacity cell back into one file/task)
+    assert tbl.compact_cells(spark, root)["snapshot_id"] == m1["snapshot_id"]
+
+    # a looser explicit cap re-shards: ceil(n/200) files, each <= 200 rows
+    cap = 200
+    m2 = tbl.compact_cells(spark, root, max_files=1, max_rows_per_file=cap)
     assert m2["snapshot_id"] == m1["snapshot_id"] + 1
     assert m2["metrics"]["compacted_cells"] == len(multi)
-    assert all(len(p["files"]) == 1 for p in m2["partitions"])
+    for p in m2["partitions"]:
+        assert len(p["files"]) == max(1, -(-p["n_rows"] // cap)), p
     assert sum(p["n_rows"] for p in m2["partitions"]) == total
+    for p in m2["partitions"]:
+        if len(p["files"]) > 1:
+            for f in p["files"]:
+                n = spark.read.parquet(os.path.join(root, f)).count()
+                assert n <= cap
     # current read = compacted; time travel = original; same rows
     assert tbl.read_table(spark, root).count() == total
     old = tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"])
     assert old.count() == total
     assert len(old.inputFiles()) == n_files_before
     # compacted files keep the quadkey clustering
-    import os
-
     comp = [f for p in m2["partitions"] for f in p["files"] if "compact-" in f]
     assert comp
     pdf = spark.read.parquet(os.path.join(root, comp[0])).select("quadkey").toPandas()
@@ -263,3 +276,61 @@ def test_manifest_stores_anchor_offset_metric(spark, docs, tmp_path):
     assert 0 < off < 16000
     # persisted, and time-travel/compaction chains carry it forward
     assert tbl.current_manifest(root)["metrics"]["max_anchor_offset_m"] == off
+
+
+def test_resume_preserves_prior_snapshot_immutability(spark, enriched, tmp_path):
+    """A killed build leaves committed snapshot N; resuming appends new
+    files and commits N+1 — and time travel to N afterwards still reads
+    EXACTLY the pre-kill rows (the old in-place dynamic overwrite orphaned
+    snapshot N's view of recomputed cells)."""
+    root = str(tmp_path / "tbl")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        tbl.write_partitioned(
+            enriched, root, max_per_file=500, cells_per_commit=2, fail_after_commits=1
+        )
+    m1 = tbl.current_manifest(root)
+    pre_rows = tbl.read_table(spark, root).count()
+    pre_ids = {
+        r["doc_id"] for r in tbl.read_table(spark, root).select("doc_id").collect()
+    }
+    assert len(m1["partitions"]) == 2 and pre_rows > 0
+
+    m2 = tbl.write_partitioned(enriched, root, max_per_file=500, cells_per_commit=2)
+    assert m2["snapshot_id"] > m1["snapshot_id"]
+    assert tbl.read_table(spark, root).count() == enriched.count()
+    # the pre-kill snapshot is still fully readable, row for row
+    old = tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"])
+    assert old.count() == pre_rows
+    assert {r["doc_id"] for r in old.select("doc_id").collect()} == pre_ids
+    # expiry reclaims any uncommitted-orphan and superseded files safely
+    tbl.expire_snapshots(root, keep_last=1)
+    assert tbl.read_table(spark, root).count() == enriched.count()
+
+
+def test_schema_evolution_add_column(spark, enriched, tmp_path):
+    """add_column commits a metadata-only snapshot: old files are untouched,
+    the current read null-fills the new column, the old snapshot keeps the
+    old schema, and the AOI serving path still works on the evolved table."""
+    root = str(tmp_path / "tbl")
+    m1 = tbl.write_partitioned(enriched, root, max_per_file=500)
+    n = enriched.count()
+    m2 = tbl.add_column(root, "country_iso", "string")
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
+    cur = tbl.read_table(spark, root)
+    assert "country_iso" in cur.columns
+    assert cur.count() == n
+    assert cur.filter(F.col("country_iso").isNull()).count() == n  # null-filled
+    old = tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"])
+    assert "country_iso" not in old.columns
+    assert old.count() == n
+    # same files in both snapshots: metadata-only evolution
+    assert m2["partitions"] == m1["partitions"]
+    with pytest.raises(ValueError, match="already exists"):
+        tbl.add_column(root, "country_iso", "string")
+    # evolved table still serves the AOI query (schema-aware manifest scan)
+    from open_buildings_spark.geo.mercator import geojson_to_quadkey
+    from open_buildings_spark.operators import aoi as aoi_op
+
+    aoi = datagen.city_aoi()
+    t = tbl.read_table(spark, root, quadkey_prefix=geojson_to_quadkey(aoi))
+    assert aoi_op.aoi_query(t, aoi).count() > 0
