@@ -367,6 +367,36 @@ def _q_sessionize(spark, sf_dir):
     return events_ops.sessionize_batch(spark, sf_dir)
 
 
+_SESS_STREAM_SEQ = iter(range(10**6))
+
+
+def _q_sessionize_stream(spark, sf_dir):
+    """Stateful streaming sessionizer (applyInPandasWithState) under the
+    oracle gate: events materialized as time-range-ordered files (mtimes
+    staggered so the file source replays them in event-time order — the
+    per-key in-order arrival any production log gives), availableNow into a
+    memory sink. Oracle = batch sessions minus each user's final open one."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ev_dir = f"/tmp/obs_stream_events_r{datagen.DATAGEN_REV}_{base}"
+    if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartitionByRange(8, "ts", "event_id").write.mode("overwrite").parquet(
+            ev_dir
+        )
+    # file-source replay order is (modTime, path): stagger mtimes to match
+    # the lexicographic = time-range order
+    parts = sorted(
+        f for f in os.listdir(ev_dir) if f.endswith(".parquet")
+    )
+    t0 = os.path.getmtime(os.path.join(ev_dir, parts[0])) if parts else 0
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(ev_dir, f), (t0 + i, t0 + i))
+    name = f"sess_stream_{base}_{next(_SESS_STREAM_SEQ)}"
+    return events_ops.sessionize_stream_to_memory(spark, ev_dir, sf_dir, name)
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregate: map-side-combinable, one shuffle."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -446,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": _q_frame_sample,
         "e_windowed_agg": _q_windowed_agg,
         "e_sessionize": _q_sessionize,
+        "e_sessionize_stream": _q_sessionize_stream,
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
         "h_top_customers": _q_top_customers,

@@ -417,4 +417,30 @@ s AS (
 SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
 FROM s GROUP BY 1, 2
 """
+
+    # streaming twin (applyInPandasWithState, append mode): emits exactly
+    # the CLOSED sessions — every session except each user's final one,
+    # which stays open in state when the availableNow stream ends
+    sqls["e_sessionize_stream"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+),
+sess AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, session_id, n_events, t_start, t_end
+FROM sess
+WHERE session_id < (SELECT MAX(session_id) FROM sess s2 WHERE s2.user_id = sess.user_id)
+"""
     return sqls

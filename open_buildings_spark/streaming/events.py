@@ -103,12 +103,20 @@ def sessionize_batch(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) ->
 
 
 def sessionize_stream_stateful(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, src_dir: str | None = None
 ) -> DataFrame:
     """Custom stateful streaming sessionization via applyInPandasWithState:
     open sessions ride in per-user state; a session is emitted when the
-    inactivity gap passes (or on timeout). Demonstrates the engine's custom
-    stateful-operator surface; correctness vs the batch twin in tests."""
+    inactivity gap passes (append mode emits CLOSED sessions; each user's
+    final session stays in state). Demonstrates the engine's custom
+    stateful-operator surface; correctness vs the batch twin in tests and
+    the e_sessionize_stream driver oracle.
+
+    ``src_dir``: stream from a different parquet directory than the schema
+    source — e.g. a time-ordered multi-file copy, so micro-batches arrive
+    in event-time order per user across batches (the stateful operator,
+    like any per-key sessionizer, assumes per-key in-order arrival; a
+    production stream gets this from the log's per-key ordering)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -116,7 +124,7 @@ def sessionize_stream_stateful(
     stream = (
         spark.readStream.schema(ev_schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(sf_dir)
+        .parquet(src_dir or sf_dir)
     )
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -154,4 +162,29 @@ def sessionize_stream_stateful(
 
     return stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def sessionize_stream_to_memory(
+    spark: SparkSession, src_dir: str, sf_dir: str, name: str
+) -> DataFrame:
+    """Run the stateful sessionizer to completion (availableNow) into a
+    memory sink and return the result table — the driver-gate entry point.
+    Emits the CLOSED sessions (batch result minus each user's final open
+    session); timestamps cast back to NTZ for parity with the batch twin."""
+    out = sessionize_stream_stateful(spark, sf_dir, src_dir=src_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.col("t_start").cast("timestamp_ntz").alias("t_start"),
+        F.col("t_end").cast("timestamp_ntz").alias("t_end"),
     )
