@@ -218,6 +218,35 @@ def main() -> None:
 
         ev.windowed_counts_batch(spark, sf_dir).select(F.count("*")).collect()
 
+    def q_gpkg_export():
+        from open_buildings_spark.operators import gpkg
+        from open_buildings_spark.table import iceberg_lite as tbl
+
+        t = tbl.read_table(spark, table_root).select("doc_id", "wkt", "quadkey")
+        gpkg.write_gpkg(t, "/tmp/ob_spark_bench/export.gpkg")
+
+    def q_shp_export():
+        from open_buildings_spark.operators import shapefile
+        from open_buildings_spark.table import iceberg_lite as tbl
+
+        t = tbl.read_table(spark, table_root).select("doc_id", "wkt", "quadkey")
+        shapefile.write_shp(t, "/tmp/ob_spark_bench/export.shp")
+
+    def q_big_aoi_join():
+        # big-big spatial join: docs x a 1-in-20 subset of the big AOI table
+        # (the full sf0.1 AOI side yields ~100M result rows — a data-volume
+        # artifact of the dense synthetic fixture, not a harder plan; the
+        # subset keeps the bench measuring the join machinery)
+        from open_buildings_spark.operators import spatial_join
+
+        aois = (
+            datagen.big_aois_df(spark, sf_dir)
+            .filter(F.col("aoi_id") % 20 == 0)
+            .select("aoi_id", "wkt")
+        )
+        out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
+        out.select(F.count("*")).collect()
+
     all_queries = {
         "join_tiles": q_join_tiles,
         "aoi_query": q_aoi,
@@ -229,11 +258,14 @@ def main() -> None:
         "cosine_topk": q_cosine_topk,
         "windowed_agg": q_windowed_agg,
         "fgb_export": q_fgb_export,
+        "gpkg_export": q_gpkg_export,
+        "shp_export": q_shp_export,
+        "big_aoi_join": q_big_aoi_join,
         "convert_csv": q_convert_csv,
     }
     selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [n for n in selected.split(",") if n] or list(all_queries)
-    if "aoi_table" in names or "knn" in names or "fgb_export" in names:
+    if {"aoi_table", "knn", "fgb_export", "gpkg_export", "shp_export"} & set(names):
         _ensure_table()  # one-time build outside the timed window
     if "convert_csv" in names:
         _ensure_csv()
