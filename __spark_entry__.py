@@ -40,6 +40,13 @@ def _geo_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich.add_geo_columns(docs, drop_nongeo=True)
 
 
+def _geo_docs_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same enrichment but keeping bbox columns (minx..maxy) — lets
+    knn_join's auto anchor-offset use the tight bbox-midpoint bound."""
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    return enrich.add_geo_columns(docs, keep_bbox=True, drop_nongeo=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: AOI query (get_buildings) over the sf0.001 docs table."""
     docs = datagen.interleaved_docs(spark, "/root/testdata/sf0.001")
@@ -214,6 +221,22 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed kNN JOIN — both sides tables (places x docs), the
+    table-scale generalization of g_knn's driver-side query list: every
+    place finds its KNN_JOIN_K nearest building centroids within
+    KNN_JOIN_RADIUS_M via a native cell-cover explode + shuffle equi-join
+    (nothing collected or broadcast; oracle = brute-force cross join)."""
+    b = _geo_docs_bbox(spark, sf_dir).select(
+        "doc_id", "quadkey", "lon", "lat", "minx", "miny", "maxx", "maxy"
+    )
+    p = datagen.places_df(spark, sf_dir).select("place_id", "lon", "lat")
+    out = knn.knn_join(
+        p, b, k=oracles.KNN_JOIN_K, radius_m=oracles.KNN_JOIN_RADIUS_M
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = datagen.interleaved_docs(spark, sf_dir)
     parts = explode.explode_multipolygons(docs)
@@ -349,6 +372,41 @@ def _q_embedding_neardup(spark, sf_dir):
     return similarity.embedding_near_dups(emb.unionByName(dups))
 
 
+def _q_embedding_clusters(spark, sf_dir):
+    """Embedding near-dup canonicalization: cosine pair graph -> connected
+    components -> (vec_id, canonical_id, cluster_size) — same dup-injected
+    corpus as s_embedding_neardup, same closure as t_neardup_clusters."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return similarity.embedding_neardup_clusters(emb.unionByName(dups))
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: 40 docs per predicted language,
+    ranked by (md5(doc_id), doc_id) — the reproducible fixed-quota draw a
+    training-mix pipeline uses instead of df.sample()."""
+    from open_buildings_spark.operators import sampling
+
+    docs = _docs_table(spark, sf_dir)
+    lang = textstats.langid(docs)
+    out = sampling.stratified_sample(
+        docs.join(lang, "doc_id"), "lang_pred", 40
+    )
+    return out.select(
+        "doc_id", "lang_pred", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def _q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split keyed on md5(doc_id) — membership
+    is a pure function of the id (stable under corpus growth)."""
+    from open_buildings_spark.operators import sampling
+
+    return sampling.hash_split(_docs_table(spark, sf_dir)).select("doc_id", "split")
+
+
 def _q_media_decode(spark, sf_dir):
     docs = datagen.interleaved_docs(spark, sf_dir)
     return multimodal.media_feature_table(docs)
@@ -451,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_tile_rollup": _q_tile_rollup,
         "g_partition_plan": _q_partition_plan,
         "g_knn": _q_knn,
+        "g_knn_join": _q_knn_join,
         "g_explode_parts": _q_explode_parts,
         "g_span_kinds": _q_span_kinds,
         "g_multi_aoi": _q_multi_aoi,
@@ -466,11 +525,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": _q_quality,
         "t_langid": _q_langid,
         "t_fingerprint": _q_fingerprint,
+        "t_stratified_sample": _q_stratified_sample,
+        "t_hash_split": _q_hash_split,
         # similarity search over embeddings
         "s_cosine_topk": _q_cosine_topk,
         "s_ann_lsh": _q_ann_lsh,
         "s_ann_ivf": _q_ann_ivf,
         "s_embedding_neardup": _q_embedding_neardup,
+        "s_embedding_clusters": _q_embedding_clusters,
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "m_frame_sample": _q_frame_sample,

@@ -221,3 +221,123 @@ def knn(
         if ok or ring >= max_ring:
             return topk.drop("dist_m")
         ring *= 4
+
+
+# ---------------------------------------------------------------------------
+# Distributed kNN JOIN — both sides are tables
+# ---------------------------------------------------------------------------
+
+# conservative meters-per-degree on the haversine sphere (actual pi*R/180 =
+# 111195): dividing by the SMALLER constant yields a LARGER degree margin,
+# so the cover can only over-include tiles, never drop a true neighbor
+_M_PER_DEG_SAFE = 111000.0
+_MAX_ABS_LAT = 85.05  # web-mercator clip
+
+
+def _tile_x_col(lon, zoom: int):
+    n = 1 << zoom
+    t = F.floor((lon + 180.0) / 360.0 * n).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(t, F.lit(n - 1).cast("long")))
+
+
+def _tile_y_col(lat, zoom: int):
+    n = 1 << zoom
+    y01 = (1.0 - F.asinh(F.tan(F.radians(lat))) / math.pi) / 2.0
+    t = F.floor(y01 * n).cast("long")
+    return F.greatest(F.lit(0).cast("long"), F.least(t, F.lit(n - 1).cast("long")))
+
+
+def knn_join(
+    points: DataFrame,
+    docs: DataFrame,
+    k: int = 3,
+    radius_m: float = 3000.0,
+    point_id: str = "place_id",
+    anchor_offset_m: float | str = "auto",
+    salts: int = 16,
+) -> DataFrame:
+    """Distributed radius-bounded kNN JOIN: for EVERY row of ``points`` the
+    ``k`` nearest rows of ``docs`` (haversine meters, centroid-ranked) within
+    ``radius_m`` — both sides DataFrames, neither collected nor broadcast.
+    This generalizes :func:`knn` (driver-side query list, absent in the
+    reference, which only serves one-AOI downloads) to the table-x-table
+    shape a feature-enrichment pipeline needs: millions of POIs against a
+    planet footprint archive.
+
+    Plan shape (scale audit):
+      1. points side: each point natively computes the z12 tile range of its
+         radius disc (degree margins from conservative sphere constants, so
+         the cover can only over-include) and explodes to those cells —
+         plan size O(1) in the point count, cover rows per point =
+         ceil(2r/tile)^2 (~4 cells at r=3 km).
+      2. hash shuffle equi-join cells x docs on the z12 quadkey (shuffle_hash
+         hint: no sort, no broadcast; AQE splits skewed megacity cells).
+      3. native haversine + radius filter, then the same two-stage salted
+         top-k as :func:`knn`, partitioned by point id — a dense cell never
+         funnels one point's candidates into a single reducer.
+
+    Exactness: a doc whose centroid lies within ``radius_m`` has its quadkey
+    anchor within radius_m + anchor_offset_m (``"auto"`` = one corpus
+    aggregate, :func:`corpus_anchor_offset_m`), and the cover bbox contains
+    every anchor tile within that margin — so the k results per point equal
+    brute force over the radius (points with fewer than k docs in range
+    return fewer rows; grow ``radius_m`` for unbounded kNN semantics).
+
+    ``points`` needs (point_id, lon, lat); ``docs`` needs
+    (doc_id, quadkey[z12], lon, lat). Returns (point_id, doc_id, rank).
+    """
+    keep = [
+        c
+        for c in ("doc_id", "quadkey", "lon", "lat", "minx", "miny", "maxx", "maxy")
+        if c in docs.columns
+    ]
+    docs = docs.select(*keep)
+    if docs.storageLevel.useMemory is False:
+        # the auto-offset aggregate and the join would otherwise each re-run
+        # the upstream plan (for parse-enriched corpora that is the whole
+        # Arrow parse pass); cache the pruned projection once
+        docs = docs.cache()
+    if anchor_offset_m == "auto":
+        anchor_offset_m = corpus_anchor_offset_m(docs)
+    margin_m = float(radius_m) + float(anchor_offset_m) + 1.0
+    dlat = margin_m / _M_PER_DEG_SAFE  # python float: same margin for all rows
+    lat_edge = F.least(F.abs(F.col("_plat")) + dlat, F.lit(_MAX_ABS_LAT))
+    dlon = F.lit(margin_m) / (_M_PER_DEG_SAFE * F.cos(F.radians(lat_edge)))
+
+    from ..functions import quadkey_from_tiles_col
+
+    p = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col("lon").alias("_plon"),
+        F.col("lat").alias("_plat"),
+    )
+    p = (
+        p.withColumn("_x0", _tile_x_col(F.col("_plon") - dlon, ZOOM))
+        .withColumn("_x1", _tile_x_col(F.col("_plon") + dlon, ZOOM))
+        .withColumn("_y0", _tile_y_col(F.col("_plat") + dlat, ZOOM))
+        .withColumn("_y1", _tile_y_col(F.col("_plat") - dlat, ZOOM))
+    )
+    cells = (
+        p.withColumn("_ctx", F.explode(F.sequence("_x0", "_x1")))
+        .withColumn("_cty", F.explode(F.sequence("_y0", "_y1")))
+        .withColumn("quadkey", quadkey_from_tiles_col(F.col("_ctx"), F.col("_cty"), ZOOM))
+        .select("_pid", "_plon", "_plat", "quadkey")
+    )
+    d = docs.select("doc_id", "quadkey", "lon", "lat")
+    cand = d.join(cells.hint("shuffle_hash"), "quadkey")
+    dist = haversine_m(F.col("lon"), F.col("lat"), F.col("_plon"), F.col("_plat"))
+    scored = cand.withColumn("_dist", dist).filter(F.col("_dist") <= radius_m)
+    w1 = Window.partitionBy("_pid", "_salt").orderBy(
+        F.col("_dist").asc(), F.col("doc_id").asc()
+    )
+    local = (
+        scored.withColumn("_salt", F.pmod(F.hash(F.col("doc_id")), F.lit(salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("_dist").asc(), F.col("doc_id").asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("_pid").alias(point_id), "doc_id", "rank")
+    )

@@ -252,3 +252,26 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def embedding_neardup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.999,
+    n_planes: int = N_PLANES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Embedding near-dup canonicalization: close the verified cosine pair
+    graph of :func:`embedding_near_dups` into connected components (same
+    hash-min label propagation as text near-dups, dedup.connected_components)
+    and tag every vector with its component's minimum id —
+    (vec_id, canonical_id, cluster_size), singletons keep themselves.
+    'Keep one vector per cluster' is then the filter vec_id = canonical_id."""
+    from .dedup import connected_components
+
+    pairs = embedding_near_dups(emb, threshold, n_planes, n_bands).select("a", "b")
+    ids = emb.select(F.col("vec_id").alias("id")).distinct()
+    labels = connected_components(ids, pairs)
+    sizes = labels.groupBy("canonical_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "canonical_id").select(
+        F.col("id").alias("vec_id"), "canonical_id", "cluster_size"
+    )

@@ -15,6 +15,8 @@ from .functions import haversine_sql
 
 MAX_PER_FILE = 100
 KNN_K = 5
+KNN_JOIN_K = 3
+KNN_JOIN_RADIUS_M = 3000.0
 
 # EPSG:6933 constants (keep in sync with geo.kernels)
 _A = 6378137.0
@@ -184,6 +186,30 @@ r AS (
   FROM d
 )
 SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {KNN_K}
+"""
+
+    # kNN JOIN (both sides tables): brute-force places x docs with the
+    # identical haversine, radius filter BEFORE ranking (k nearest within r)
+    hav_pl = haversine_sql(
+        "CASE WHEN b.is_multi THEN b.lon + 3e0 * b.r ELSE b.lon END",
+        "b.lat",
+        "p.lon",
+        "p.lat",
+    )
+    sqls["g_knn_join"] = f"""
+WITH {bld},
+{datagen.places_sql_cte()},
+d AS (
+  SELECT p.place_id, b.doc_id, {hav_pl} AS dist
+  FROM bld b CROSS JOIN pl p WHERE b.has_geom
+),
+f AS (SELECT * FROM d WHERE dist <= {_d(KNN_JOIN_RADIUS_M)}),
+r AS (
+  SELECT place_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY place_id ORDER BY dist, doc_id) AS rank
+  FROM f
+)
+SELECT place_id, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {KNN_JOIN_K}
 """
 
     # explode: part 0 = square at lon, part 1 (multi only) = square at lon+6r

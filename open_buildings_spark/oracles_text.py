@@ -186,6 +186,37 @@ scored AS (SELECT doc_id, {score_cols} FROM toks)
 SELECT doc_id, {pred} AS lang_pred FROM scored
 """
 
+    # stratified sample: 40 docs per predicted language, ranked by
+    # (md5(doc_id), doc_id) — mirrors operators.sampling.stratified_sample
+    sqls["t_stratified_sample"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM toks),
+lang AS (SELECT doc_id, {pred} AS lang_pred FROM scored),
+h AS (
+  SELECT l.doc_id, l.lang_pred, md5(CAST(l.doc_id AS VARCHAR)) AS hh
+  FROM lang l
+),
+r AS (
+  SELECT doc_id, lang_pred,
+         ROW_NUMBER() OVER (PARTITION BY lang_pred ORDER BY hh, doc_id) AS sample_rank
+  FROM h
+)
+SELECT doc_id, lang_pred, CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 40
+"""
+
+    from .operators.sampling import TRAIN_PER_4096, VAL_PER_4096
+
+    t_edge = format(TRAIN_PER_4096, "03x")
+    v_edge = format(TRAIN_PER_4096 + VAL_PER_4096, "03x")
+    sqls["t_hash_split"] = f"""
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{t_edge}' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{v_edge}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
     sqls["t_fingerprint"] = """
 WITH g AS (
   SELECT doc_id,
@@ -294,6 +325,44 @@ pairs AS (
   JOIN emb_aug eb ON eb.vec_id = p.b
 )
 SELECT a, b, sim_r FROM pairs WHERE sim_r >= 0.999
+"""
+
+    # embedding near-dup canonicalization: transitive closure of the
+    # verified cosine pair graph (recursive CTE, mirrors t_neardup_clusters)
+    sqls["s_embedding_clusters"] = f"""
+WITH RECURSIVE emb_aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+),
+{sig_cte_aug},
+{bands_cte},
+pair_ids AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+),
+good AS (
+  SELECT p.a, p.b
+  FROM pair_ids p
+  JOIN emb_aug ea ON ea.vec_id = p.a
+  JOIN emb_aug eb ON eb.vec_id = p.b
+  WHERE round(list_cosine_similarity(ea.embedding, eb.embedding), 6) >= 0.999
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM good
+  UNION
+  SELECT b AS src, a AS dst FROM good
+),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM emb_aug
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+),
+canon AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM canon GROUP BY canonical_id)
+SELECT c.id AS vec_id, c.canonical_id, s.cluster_size
+FROM canon c JOIN csz s USING (canonical_id)
 """
 
     # IVF: centroid c = embedding of vec_id c*STRIDE (deterministic sample

@@ -453,3 +453,87 @@ def test_connected_components_multihop_chain(spark):
         for r in dedup.connected_components(ids, pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_knn_join_matches_brute_force(spark):
+    """knn_join (table x table) equals brute-force crossJoin ranking on a
+    synthetic grid, including a doc whose anchor tile differs from its
+    ranked centroid (nonzero anchor offset) and a point with fewer than k
+    docs in radius."""
+    from open_buildings_spark.functions import haversine_m
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import knn as knn_op
+    from pyspark.sql import Window
+
+    # docs scattered around tile (2466, 2062) at z12; lat/lon from tile math
+    base_tx, base_ty = 2466.0, 2062.0
+    rows = []
+    for i in range(40):
+        ftx = base_tx + (i % 8) * 0.37 + 0.13
+        fty = base_ty + (i // 8) * 0.41 + 0.11
+        lon = ftx / 4096.0 * 360.0 - 180.0
+        import math as _m
+
+        lat = _m.degrees(_m.atan(_m.sinh(_m.pi * (1 - 2 * fty / 4096.0))))
+        qk = mercator.quadkey_from_tile(int(ftx), int(fty), 12)
+        rows.append((i, qk, lon, lat))
+    docs = spark.createDataFrame(rows, "doc_id long, quadkey string, lon double, lat double")
+    pts = spark.createDataFrame(
+        [(100, rows[5][2], rows[5][3]), (200, rows[30][2] + 0.5, rows[30][3])],
+        "place_id long, lon double, lat double",
+    )
+    radius = 20000.0
+    got = knn_op.knn_join(pts, docs, k=4, radius_m=radius, anchor_offset_m=2000.0)
+    got_rows = {(r["place_id"], r["doc_id"], r["rank"]) for r in got.collect()}
+
+    d = docs.crossJoin(
+        pts.select(
+            F.col("place_id"), F.col("lon").alias("plon"), F.col("lat").alias("plat")
+        )
+    ).withColumn(
+        "dist", haversine_m(F.col("lon"), F.col("lat"), F.col("plon"), F.col("plat"))
+    )
+    w = Window.partitionBy("place_id").orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    exp = (
+        d.filter(F.col("dist") <= radius)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+    )
+    exp_rows = {(r["place_id"], r["doc_id"], r["rank"]) for r in exp.collect()}
+    assert got_rows == exp_rows
+    assert len(exp_rows) > 0
+
+
+def test_stratified_sample_deterministic_and_capped(spark):
+    from open_buildings_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(200)], "doc_id long, stratum string"
+    )
+    a = sampling.stratified_sample(df, "stratum", 10)
+    b = sampling.stratified_sample(df.repartition(7), "stratum", 10)
+    ra = sorted((r["stratum"], r["sample_rank"], r["doc_id"]) for r in a.collect())
+    rb = sorted((r["stratum"], r["sample_rank"], r["doc_id"]) for r in b.collect())
+    assert ra == rb  # layout-independent
+    per = a.groupBy("stratum").count().collect()
+    assert all(r["count"] == 10 for r in per)
+    ranks = [r["sample_rank"] for r in a.filter(F.col("stratum") == "s0").collect()]
+    assert sorted(ranks) == list(range(1, 11))
+
+
+def test_hash_split_stable_membership(spark):
+    """A doc's split never changes when the corpus shrinks (pure function
+    of the id), and fractions land near 90/5/5."""
+    from open_buildings_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    full = {r["doc_id"]: r["split"] for r in sampling.hash_split(df).collect()}
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(df.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    n = len(full)
+    tr = sum(1 for v in full.values() if v == "train") / n
+    va = sum(1 for v in full.values() if v == "val") / n
+    assert 0.85 < tr < 0.95 and 0.02 < va < 0.08
