@@ -232,6 +232,21 @@ def main() -> None:
         t = tbl.read_table(spark, table_root).select("doc_id", "wkt", "quadkey")
         shapefile.write_shp(t, "/tmp/ob_spark_bench/export.shp")
 
+    def q_knn_join():
+        # distributed kNN JOIN (both sides tables): every place x its 3
+        # nearest stored buildings within 3 km; anchor offset read from the
+        # table manifest metric (written at enrich time) — no extra pass
+        from open_buildings_spark.table import iceberg_lite as tbl
+
+        stored = (tbl.current_manifest(table_root) or {}).get("metrics", {}).get(
+            "max_anchor_offset_m", 0.0
+        )
+        t = tbl.read_table(spark, table_root).select("doc_id", "quadkey", "lon", "lat")
+        p = datagen.places_df(spark, sf_dir).select("place_id", "lon", "lat")
+        knn.knn_join(
+            p, t, k=3, radius_m=3000.0, anchor_offset_m=float(stored)
+        ).select(F.count("*")).collect()
+
     def q_big_aoi_join():
         # big-big spatial join: docs x a 1-in-20 subset of the big AOI table
         # (the full sf0.1 AOI side yields ~100M result rows — a data-volume
@@ -261,11 +276,14 @@ def main() -> None:
         "gpkg_export": q_gpkg_export,
         "shp_export": q_shp_export,
         "big_aoi_join": q_big_aoi_join,
+        "knn_join": q_knn_join,
         "convert_csv": q_convert_csv,
     }
     selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [n for n in selected.split(",") if n] or list(all_queries)
-    if {"aoi_table", "knn", "fgb_export", "gpkg_export", "shp_export"} & set(names):
+    if {"aoi_table", "knn", "knn_join", "fgb_export", "gpkg_export", "shp_export"} & set(
+        names
+    ):
         _ensure_table()  # one-time build outside the timed window
     if "convert_csv" in names:
         _ensure_csv()
