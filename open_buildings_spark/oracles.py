@@ -106,8 +106,10 @@ GROUP BY 1, 2, 3
 """
 
     # streaming enrichment runs the identical logical plan, so its oracle
-    # is the batch enrichment SQL
+    # is the batch enrichment SQL; the table ingest (foreachBatch ->
+    # append_rows) must land the same rows in the manifest table
     sqls["g_stream_enrich"] = sqls["g_enrich_quadkey"]
+    sqls["g_stream_table"] = sqls["g_enrich_quadkey"]
 
     # FGB round-trip must reproduce the exact enrichment quadkeys: the sink
     # and reader are lossless over f64 coordinates, so the oracle is the
@@ -130,6 +132,12 @@ WHERE fminx >= {w} AND fmaxx <= {e} AND fminy >= {s} AND fmaxy <= {n}
 
     # stored-table serving path returns the same row set as the raw scan
     sqls["g_aoi_table"] = sqls["g_aoi_query"]
+
+    # pure-SQL surface (sqlapi.register): the same flagship AOI query and
+    # quadkey enrichment expressed as spark.sql over ob_* functions must
+    # return the identical row sets
+    sqls["g_sql_aoi"] = sqls["g_aoi_query"]
+    sqls["g_sql_enrich"] = sqls["g_enrich_quadkey"]
 
     sqls["g_country_join"] = f"""
 WITH {bld},

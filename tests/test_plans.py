@@ -157,6 +157,35 @@ def test_aoi_bbox_prefilter_runs_before_python(spark, docs):
     assert "substring_index" in plan
 
 
+def test_sql_aoi_plan_pushes_prefix_single_python_eval(spark, docs, tmp_path):
+    """The pure-SQL AOI query over a table view must get the same physical
+    plan as the DataFrame serving path: the LIKE prefix compiles to a pushed
+    StartsWith on the parquet scan, and ob_within is the ONLY python eval."""
+    import re
+
+    from open_buildings_spark import sqlapi
+
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(
+        enrich.add_geo_columns(docs, drop_nongeo=True), root, max_per_file=5000
+    )
+    sqlapi.register(spark)
+    sqlapi.create_view(spark, root, "v_plan_test")
+    q = spark.sql(
+        "SELECT doc_id, quadkey FROM v_plan_test "
+        "WHERE quadkey LIKE '3001%' "
+        "AND ob_within(wkt, 'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')"
+    )
+    plan = plan_of(q)
+    assert "StringStartsWith(quadkey,3001)" in plan
+    nodes = re.findall(
+        r"^\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython|MapInPandas)",
+        plan,
+        re.M,
+    )
+    assert len(nodes) == 1, plan
+
+
 def test_big_aoi_join_is_shuffle_join_no_broadcast(spark, docs, sf_dir):
     """The big-big spatial join must shuffle BOTH sides on the cell key:
     no broadcast anywhere (neither side fits memory at planet scale), no
