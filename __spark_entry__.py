@@ -141,6 +141,31 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the manifest table layer: foreachBatch ->
+    iceberg_lite.append_rows (exactly-once via the checkpoint + batch-id
+    guard), bootstrap batch via write_partitioned. The final table must
+    equal the batch enrichment exactly — oracle = g_enrich_quadkey. With
+    maxFilesPerTrigger=4 over 8 staged files this runs >=2 micro-batches,
+    so both the bootstrap and the append path execute."""
+    import os
+
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    docs_dir = f"/tmp/obs_stream_docs_r{datagen.DATAGEN_REV}_{base}"
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        datagen.interleaved_docs(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(docs_dir)
+    root = f"/tmp/obs_stream_table_r{datagen.DATAGEN_REV}_{base}"
+    q = geo_stream.ingest_to_table(
+        spark, docs_dir, root, root + "_ckpt", max_per_file=20_000
+    )
+    q.awaitTermination()
+    return tbl.read_table(spark, root).select("doc_id", "quadkey")
+
+
 def _q_places_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overture places path (points): POINT WKT corpus -> quadkey + country
     via the same single-parse enrichment (reference
@@ -168,10 +193,9 @@ def _q_aoi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select("doc_id", "quadkey")
 
 
-def _q_aoi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serving path: same AOI query against the manifest-partitioned table
-    (manifest file prune -> pushed StartsWith -> within refine). The table
-    is built once per sf under /tmp (idempotent via the manifest)."""
+def _ensure_entry_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf, idempotent via the manifest) the enriched
+    manifest-partitioned table under /tmp and return its root."""
     import os
 
     from open_buildings_spark.table import iceberg_lite as tbl
@@ -183,11 +207,61 @@ def _q_aoi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             datagen.interleaved_docs(spark, sf_dir), drop_nongeo=True
         )
         tbl.write_partitioned(g, root, max_per_file=50_000)
+    return root
+
+
+def _q_aoi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving path: same AOI query against the manifest-partitioned table
+    (manifest file prune -> pushed StartsWith -> within refine)."""
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    root = _ensure_entry_table(spark, sf_dir)
     from open_buildings_spark.geo.mercator import geojson_to_quadkey
 
     aoi = datagen.city_aoi()
     t = tbl.read_table(spark, root, quadkey_prefix=geojson_to_quadkey(aoi))
     return aoi_op.aoi_query(t, aoi).select("doc_id", "quadkey")
+
+
+def _q_sql_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface: the flagship AOI query expressed as ``spark.sql``
+    over a table view + the registered ``ob_*`` functions (sqlapi) — the
+    entry point a reference user has today, since the reference drives
+    everything through DuckDB SQL strings (download_buildings.py:91-118).
+    quadkey is a real stored column here, so the LIKE prefix pushes down to
+    the parquet scan and ob_within is the only Python eval (one
+    ArrowEvalPython over prefix survivors — the same plan shape as the
+    DataFrame serving path). Oracle = g_aoi_query."""
+    from open_buildings_spark import sqlapi
+    from open_buildings_spark.geo.mercator import geojson_to_quadkey
+    from open_buildings_spark.geo.wkt import geojson_geometry_to_wkt
+
+    sqlapi.register(spark)
+    root = _ensure_entry_table(spark, sf_dir)
+    sqlapi.create_view(spark, root, "buildings_sql")
+    feat = datagen.city_aoi()
+    qk = geojson_to_quadkey(feat)
+    aoi_wkt = geojson_geometry_to_wkt(feat["geometry"])
+    return spark.sql(
+        f"""
+        SELECT doc_id, quadkey FROM buildings_sql
+        WHERE quadkey LIKE '{qk}%' AND ob_within(wkt, '{aoi_wkt}')
+        """
+    )
+
+
+def _q_sql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL enrichment: ``ob_quadkey(wkt)`` must reproduce the struct
+    pandas-UDF path's quadkeys exactly (oracle = g_enrich_quadkey)."""
+    from open_buildings_spark import sqlapi
+
+    sqlapi.register(spark)
+    docs = enrich.extract_geometry(datagen.interleaved_docs(spark, sf_dir))
+    docs.select("doc_id", "wkt").createOrReplaceTempView("docs_raw_sql")
+    return spark.sql(
+        "SELECT doc_id, ob_quadkey(wkt) AS quadkey FROM docs_raw_sql "
+        "WHERE wkt IS NOT NULL"
+    )
 
 
 def _q_country_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,9 +575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_shp_roundtrip": _q_shp_roundtrip,
         "g_places_enrich": _q_places_enrich,
         "g_stream_enrich": _q_stream_enrich,
+        "g_stream_table": _q_stream_table,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
         "g_aoi_table": _q_aoi_table,
+        "g_sql_aoi": _q_sql_aoi,
+        "g_sql_enrich": _q_sql_enrich,
         "g_country_join": _q_country_join,
         "g_tile_assignment": _q_tile_assignment,
         "g_tile_rollup": _q_tile_rollup,

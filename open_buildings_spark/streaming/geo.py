@@ -70,6 +70,51 @@ def ingest_to_parquet(
     )
 
 
+def ingest_to_table(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    max_per_file: int = 200_000,
+    max_files_per_trigger: int = 4,
+):
+    """Stream docs straight into the MANIFEST table (not a plain file sink):
+    each micro-batch appends through ``iceberg_lite.append_rows`` inside
+    ``foreachBatch``, so the destination is the same snapshot-versioned,
+    manifest-pruned table the batch builder writes — time travel, compaction
+    and serving-path kNN/AOI all work on a live ingest.
+
+    Exactly-once: the checkpoint replays unacknowledged micro-batches after
+    a crash, and ``append_rows``' ``batch_id`` guard makes the replay a
+    no-op when the table commit already landed (single-writer semantics).
+    A first batch against an empty root bootstraps via ``write_partitioned``
+    (which also plans the initial leaf cells). Returns the streaming query
+    (caller awaits termination).
+    """
+    from ..table import iceberg_lite as tbl
+
+    out = enrich_stream(spark, docs_dir, max_files_per_trigger)
+
+    def commit_batch(bdf, batch_id: int) -> None:
+        if tbl.current_manifest(table_root) is None:
+            m = tbl.write_partitioned(bdf, table_root, max_per_file=max_per_file)
+            # stamp the batch id into the bootstrap snapshot (same-id metric
+            # patch): a crash between this commit and the checkpoint ack
+            # replays batch 0, and append_rows' guard must see it as done
+            m["metrics"]["last_append_batch_id"] = batch_id
+            tbl._commit_manifest(table_root, m)
+        else:
+            tbl.append_rows(bdf, table_root, batch_id=batch_id,
+                            max_per_file=max_per_file)
+
+    return (
+        out.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_stream_to_memory(
     spark: SparkSession, docs_dir: str, name: str, select_cols: list[str]
 ) -> DataFrame:

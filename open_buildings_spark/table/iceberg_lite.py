@@ -258,6 +258,156 @@ def write_partitioned(
     return m
 
 
+def append_rows(
+    df: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    max_per_file: int | None = None,
+) -> dict:
+    """Append NEW rows to an existing (unkeyed) table as a new snapshot —
+    the streaming-ingest write path (:mod:`..streaming.geo.ingest_to_table`
+    calls this from ``foreachBatch``). ``write_partitioned`` is a *build*
+    primitive: it skips already-committed cells entirely (resume), silently
+    dropping late rows that land in them; appends instead ROUTE every row:
+
+    - rows covered by an existing leaf cell append files to that cell
+      (longest-prefix routing via the same broadcast hash equi-join as
+      ``tag_cells`` — plan size O(1) in cell count);
+    - rows outside every existing leaf (new geography) open their z12
+      quadkey as a new leaf cell. z12 cells are never proper prefixes of
+      leaves, so the routing plan stays prefix-disjoint and each row
+      matches exactly one entry.
+
+    Snapshot immutability holds: files are only ever ADDED (job-unique part
+    names, pre/post directory diff per touched cell), the manifest diff is
+    per-cell ``files`` + ``n_rows``, and older snapshots keep reading
+    exactly their own files. Fragmentation from many micro-batches is
+    reclaimed by :func:`compact_cells`.
+
+    ``batch_id`` makes replays idempotent (exactly-once for a single
+    streaming writer): if ``batch_id <= metrics['last_append_batch_id']``
+    the micro-batch already committed — a crashed run whose checkpoint
+    lagged its table commit re-delivers the batch and this no-ops. A
+    mid-append crash leaves only unreferenced files (expire_snapshots
+    reclaims them) and the replay re-appends cleanly.
+    """
+    from ..operators.partition import tag_cells
+
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if any(p["values"] for p in m["partitions"]):
+        raise NotImplementedError("appends to key-partitioned tables")
+    last = m["metrics"].get("last_append_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
+        return m  # replayed micro-batch: already committed
+    if m.get("schema"):
+        allowed = {f["name"] for f in m["schema"]}
+        extra = set(df.columns) - allowed
+        if extra:
+            raise ValueError(
+                f"append columns {sorted(extra)} not in table schema; "
+                f"add_column first"
+            )
+    cap = (
+        max_per_file
+        if max_per_file is not None
+        else m.get("metrics", {}).get("max_per_file")
+    )
+    spark = df.sparkSession
+    data_dir = os.path.join(root, "data")
+
+    cells_df = spark.createDataFrame(
+        [(p["cell"],) for p in m["partitions"]], "cell string"
+    )
+    # new-geography leaves: batch z12 cells with no existing-leaf ancestor
+    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
+    covered = tag_cells(batch12, cells_df).select("quadkey")
+    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
+        F.col("quadkey").alias("cell")
+    )
+    plan = cells_df.unionByName(new_cells)
+
+    tagged = tag_cells(df, plan).persist()
+    try:
+        counts = {
+            r["cell"]: r["n"]
+            for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        if not counts:
+            m2 = {
+                **m,
+                "snapshot_id": m["snapshot_id"] + 1,
+                "parent_id": m["snapshot_id"],
+                "metrics": {**m["metrics"], "last_append_batch_id": batch_id},
+            }
+            if batch_id is not None:
+                _commit_manifest(root, m2)
+                return m2
+            return m
+        pre_files = {
+            cell: set(
+                glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet"))
+            )
+            for cell in counts
+        }
+        n_writers = (
+            max(1, -(-sum(counts.values()) // cap))
+            if cap
+            else int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+        (
+            tagged.repartition(n_writers, F.col("cell"))
+            .sortWithinPartitions("cell", "quadkey")
+            .write.mode("append")
+            .partitionBy("cell")
+            .option("compression", "snappy")
+            .parquet(data_dir)
+        )
+    finally:
+        tagged.unpersist()
+    by_cell = {p["cell"]: p for p in m["partitions"]}
+    parts = [dict(p) for p in m["partitions"]]
+    appended_files: list[str] = []
+    for cell, n in counts.items():
+        files = sorted(
+            set(glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet")))
+            - pre_files[cell]
+        )
+        rel = [os.path.relpath(p, root) for p in files]
+        appended_files.extend(os.path.join(root, f) for f in rel)
+        if cell in by_cell:
+            tgt = next(p for p in parts if p["cell"] == cell)
+            tgt["files"] = tgt["files"] + rel
+            tgt["n_rows"] = tgt["n_rows"] + n
+        else:
+            parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
+    metrics2 = {
+        **m["metrics"],
+        "rows_written": m["metrics"]["rows_written"] + sum(counts.values()),
+        "last_append_batch_id": batch_id,
+        "appended_batches": m["metrics"].get("appended_batches", 0) + 1,
+    }
+    # keep the kNN exactness bound current: max with the appended files'
+    # own offset (one column-pruned scan of JUST the new files)
+    if "max_anchor_offset_m" in m["metrics"] and appended_files:
+        from ..operators.knn import corpus_anchor_offset_m
+
+        metrics2["max_anchor_offset_m"] = max(
+            m["metrics"]["max_anchor_offset_m"],
+            corpus_anchor_offset_m(spark.read.parquet(*appended_files)),
+        )
+    m2 = {
+        **{k: v for k, v in m.items() if k == "schema"},
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent_id": m["snapshot_id"],
+        "partitions": parts,
+        "metrics": metrics2,
+    }
+    _commit_manifest(root, m2)
+    return m2
+
+
 def manifest_at(root: str, snapshot_id: int) -> dict | None:
     """Load a specific snapshot's manifest (time travel)."""
     path = os.path.join(_meta_dir(root), f"v{snapshot_id}.json")
