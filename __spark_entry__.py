@@ -387,6 +387,15 @@ def _q_simhash(spark, sf_dir):
     return dedup.simhash(dedup.augment_corpus(spark, sf_dir))
 
 
+def _q_dup_spans(spark, sf_dir):
+    """Exact-substring duplication signal (rolling 8-token window
+    fingerprints, cross-doc): ints only in the gated projection — dup_frac
+    is a ratio of these and stays operator-side."""
+    return dedup.dup_span_stats(dedup.augment_corpus(spark, sf_dir)).select(
+        "doc_id", "n_windows", "dup_windows"
+    )
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     corpus = dedup.augment_corpus(spark, sf_dir)
     pairs = (
@@ -597,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _q_minhash_lsh,
         "t_neardup_clusters": _q_neardup_clusters,
         "t_simhash": _q_simhash,
+        "t_dup_spans": _q_dup_spans,
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,
         "t_quality": _q_quality,

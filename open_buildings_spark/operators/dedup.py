@@ -247,6 +247,65 @@ def neardup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# exact-substring duplication (rolling window fingerprints)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_WINDOW = 8
+
+
+def dup_span_stats(
+    df: DataFrame, window: int = DUP_SPAN_WINDOW, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring duplication signal: the shuffle-groupBy form of the
+    suffix-array exact-substring dedup used on LLM training corpora (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better" —
+    public method, no code consulted). A doc sharing any ``window``-token
+    span verbatim with ANOTHER doc has that span flagged; the per-doc
+    output (doc_id, n_windows, dup_windows, dup_frac) is the standard
+    filter signal ("drop docs with dup_frac > X" / "cut the spans").
+
+    Shape: every W-token window is fingerprinted (md5 of the space-joined
+    window — windows never shuffle as text, only 32-byte hashes); a window
+    is duplicated iff its fingerprint occurs in >= 2 DISTINCT docs, decided
+    by the partial-aggregable ``min(doc) != max(doc)`` trick (no
+    countDistinct shuffle). At 10^12 docs this is two map-side-combinable
+    groupBys plus one hash join on the fingerprint — the same scale shape
+    as MinHash banding; a suffix array, by contrast, needs a global sort of
+    every token position.
+
+    Cross-doc only by design: a span repeated WITHIN one doc (min == max)
+    is not flagged.
+    """
+    toks = tokens_col()
+    wins = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    w = df.select(id_col, F.explode(wins).alias("fp"))
+    dup_fps = (
+        w.groupBy("fp")
+        .agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("fp")
+    )
+    per_doc = w.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        w.join(dup_fps, "fp").groupBy(id_col).agg(F.count("*").alias("dup_windows"))
+    )
+    return (
+        per_doc.join(dup_per_doc, id_col, "left")
+        .na.fill({"dup_windows": 0})
+        .withColumn(
+            "dup_frac", F.col("dup_windows") / F.col("n_windows")
+        )
+        .select(id_col, "n_windows", "dup_windows", "dup_frac")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

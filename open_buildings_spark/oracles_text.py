@@ -102,6 +102,29 @@ SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
 FROM canon c JOIN csz s USING (canonical_id)
 """
 
+    # exact-substring duplication: rolling W-token window fingerprints; a
+    # window is duplicated iff it occurs in >= 2 distinct docs (min != max)
+    from .operators.dedup import DUP_SPAN_WINDOW as _W
+
+    sqls["t_dup_spans"] = f"""
+WITH {corpus},
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[CAST(u.i AS INT):CAST(u.i + {_W - 1} AS INT)], ' ')) AS fp
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - {_W - 2}, 1))) AS i) u
+  WHERE len(tk) >= {_W}
+),
+dup AS (SELECT fp FROM wins GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)),
+per AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id),
+dupper AS (
+  SELECT w.doc_id, COUNT(*) AS dup_windows FROM wins w JOIN dup USING (fp)
+  GROUP BY w.doc_id
+)
+SELECT p.doc_id, p.n_windows, CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_windows
+FROM per p LEFT JOIN dupper d USING (doc_id)
+"""
+
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
         for b in range(SIMHASH_BITS)

@@ -537,3 +537,28 @@ def test_hash_split_stable_membership(spark):
     tr = sum(1 for v in full.values() if v == "train") / n
     va = sum(1 for v in full.values() if v == "val") / n
     assert 0.85 < tr < 0.95 and 0.02 < va < 0.08
+
+
+def test_dup_span_stats_semantics(spark):
+    """Cross-doc W-token spans are flagged; within-doc repeats are not;
+    unique docs and sub-window docs report zero."""
+    from open_buildings_spark.operators import dedup
+
+    shared = "a b c d e f g h"  # exactly one 8-token window
+    rows = [
+        (1, shared + " unique1 tail1"),          # shares the span with doc 2
+        (2, "lead2 " + shared),                  # shares the span with doc 1
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),       # unique 9 tokens: 2 windows
+        (4, " ".join(["r"] * 20)),               # within-doc repeat only
+        (5, "too short"),                        # < 8 tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["dup_windows"])
+        for r in dedup.dup_span_stats(df, window=8).collect()
+    }
+    assert got[1] == (3, 1)   # 10 tokens -> 3 windows, 1 shared
+    assert got[2] == (2, 1)   # 9 tokens -> 2 windows, 1 shared
+    assert got[3] == (2, 0)
+    assert got[4] == (13, 0)  # 20 identical tokens: within-doc only
+    assert 5 not in got       # no windows at all -> no row
