@@ -383,6 +383,13 @@ def _q_neardup_clusters(spark, sf_dir):
     return dedup.neardup_clusters(dedup.augment_corpus(spark, sf_dir))
 
 
+def _q_dedup_apply(spark, sf_dir):
+    """End-to-end dedup materialization: exact keep-one, then near-dup
+    keep-one over the survivors; emits the kept corpus with group-size
+    provenance."""
+    return dedup.dedup_apply(dedup.augment_corpus(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return dedup.simhash(dedup.augment_corpus(spark, sf_dir))
 
@@ -605,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _q_exact_dedup,
         "t_minhash_lsh": _q_minhash_lsh,
         "t_neardup_clusters": _q_neardup_clusters,
+        "t_dedup_apply": _q_dedup_apply,
         "t_simhash": _q_simhash,
         "t_dup_spans": _q_dup_spans,
         "t_ngram_jaccard": _q_ngram_jaccard,

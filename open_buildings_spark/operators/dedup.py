@@ -246,6 +246,50 @@ def neardup_clusters(
     )
 
 
+def dedup_apply(
+    df: DataFrame,
+    threshold: float = 0.35,
+    k: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus dedup: exact stage then near-dup stage, emitting the
+    KEPT corpus (one doc per duplicate group) — the materialization step a
+    training-data pipeline actually ships, not just the pair/cluster reports.
+
+    Stage 1 (exact): md5-fingerprint groupBy; keep the min-id doc per
+    distinct text. Stage 2 (near): :func:`neardup_clusters` over the
+    exact-kept survivors only (the expensive LSH pipeline never sees exact
+    copies — at web scale exact dups are the bulk, so pruning them first
+    shrinks the shingle explode by that factor); keep the min-id doc per
+    connected near-dup cluster.
+
+    Output: (id, fingerprint, exact_group_size, near_cluster_size) for each
+    kept doc — group sizes carry the dedup provenance (how many docs this
+    one stands for). Join back to the corpus on id for the text.
+    """
+    ex = exact_dedup(df, text_col, id_col)
+    kept_exact = df.join(
+        ex.filter(F.col(id_col) == F.col("canonical_id")).select(
+            id_col,
+            "fingerprint",
+            F.col("group_size").alias("exact_group_size"),
+        ),
+        id_col,
+    )
+    clusters = neardup_clusters(kept_exact, threshold, k, bands, id_col)
+    kept = kept_exact.join(
+        clusters.filter(F.col(id_col) == F.col("canonical_id")).select(
+            id_col, F.col("cluster_size").alias("near_cluster_size")
+        ),
+        id_col,
+    )
+    return kept.select(
+        id_col, "fingerprint", "exact_group_size", "near_cluster_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact-substring duplication (rolling window fingerprints)
 # ---------------------------------------------------------------------------

@@ -174,14 +174,23 @@ def aoi_join_big(
 
     df = _prepare_docs(docs)
     df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
-    cand = df.join(cells.hint("shuffle_hash"), "cell")
+    # materialize the first vertex BEFORE the join: the bbox prefilter
+    # references both sides, so Catalyst can't push it below the join —
+    # computed post-join, the WKT string ops would re-run once per
+    # candidate (doc, aoi-cell) PAIR; as pre-join columns they run once
+    # per doc and ship as 16 bytes through the shuffle the join needs
+    # anyway
     fx, fy = first_vertex_xy()
+    df = df.withColumn("_fx", fx).withColumn("_fy", fy)
+    cand = df.join(cells.hint("shuffle_hash"), "cell")
     cand = cand.filter(
-        (fx >= F.col("aminx"))
-        & (fx <= F.col("amaxx"))
-        & (fy >= F.col("aminy"))
-        & (fy <= F.col("amaxy"))
+        (F.col("_fx") >= F.col("aminx"))
+        & (F.col("_fx") <= F.col("amaxx"))
+        & (F.col("_fy") >= F.col("aminy"))
+        & (F.col("_fy") <= F.col("amaxy"))
     )
     within = make_within_pairs()
     out = cand.filter(within(F.col("wkt"), F.col("_aoi_wkt")))
-    return out.drop("cell", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy")
+    return out.drop(
+        "cell", "_fx", "_fy", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy"
+    )

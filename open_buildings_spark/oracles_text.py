@@ -102,6 +102,43 @@ SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
 FROM canon c JOIN csz s USING (canonical_id)
 """
 
+    # end-to-end dedup materialization: exact keep-one first, then the same
+    # minhash/LSH/Jaccard chain + transitive closure over the exact-kept set
+    # only (mirrors operators.dedup.dedup_apply). The minhash CTE chain reads
+    # from a CTE named `corpus`, so the full corpus is `corpus0` here and
+    # `corpus` is rebound to the exact-stage survivors.
+    sqls["t_dedup_apply"] = f"""
+WITH RECURSIVE {corpus.replace("corpus AS (", "corpus0 AS (", 1)},
+fp AS (
+  SELECT doc_id, text, md5(text) AS fingerprint,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS ecanon,
+         COUNT(*) OVER (PARTITION BY md5(text)) AS egsz
+  FROM corpus0
+),
+corpus AS (SELECT doc_id, text FROM fp WHERE doc_id = ecanon),
+{minhash_ctes},
+good AS (SELECT a, b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT a AS src, b AS dst FROM good
+  UNION
+  SELECT b AS src, a AS dst FROM good
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+),
+canon AS (SELECT id, MIN(r) AS canonical_id FROM reach GROUP BY id),
+csz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM canon GROUP BY canonical_id)
+SELECT f.doc_id, f.fingerprint,
+       CAST(f.egsz AS BIGINT) AS exact_group_size,
+       CAST(s.cluster_size AS BIGINT) AS near_cluster_size
+FROM canon c
+JOIN csz s USING (canonical_id)
+JOIN fp f ON f.doc_id = c.id
+WHERE c.id = c.canonical_id
+"""
+
     # exact-substring duplication: rolling W-token window fingerprints; a
     # window is duplicated iff it occurs in >= 2 distinct docs (min != max)
     from .operators.dedup import DUP_SPAN_WINDOW as _W

@@ -562,3 +562,26 @@ def test_dup_span_stats_semantics(spark):
     assert got[3] == (2, 0)
     assert got[4] == (13, 0)  # 20 identical tokens: within-doc only
     assert 5 not in got       # no windows at all -> no row
+
+
+def test_dedup_apply_keep_one(spark):
+    """Exact copies collapse first; near-dups collapse among survivors;
+    kept = min-id doc per final group, with both group sizes carried."""
+    from open_buildings_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    rows = [
+        (1, base),               # kept: canonical of {1,2 exact} u {3 near}
+        (2, base),               # exact copy of 1
+        (3, base + " the"),      # near-dup of 1 (high shingle Jaccard)
+        (4, "completely different text with many unrelated words here"),
+        (5, "completely different text with many unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["exact_group_size"], r["near_cluster_size"])
+        for r in dedup.dedup_apply(df).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1] == (2, 2)  # 2 exact copies; near cluster {1, 3}
+    assert got[4] == (2, 1)  # 2 exact copies; no near-dup among survivors
