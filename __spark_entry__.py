@@ -432,6 +432,25 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs_table(spark, sf_dir))
 
 
+BM25_QUERY_TERMS = ["table", "fast", "row"]
+
+
+def _q_vocab(spark, sf_dir):
+    """Top-100 corpus vocabulary by collection frequency (word-count plan:
+    one explode + two map-side-combinable aggs + TakeOrdered)."""
+    from open_buildings_spark.operators import search
+
+    return search.vocab_stats(_docs_table(spark, sf_dir), top_n=100)
+
+
+def _q_bm25(spark, sf_dir):
+    """BM25 keyword search: top-20 docs for a fixed 3-term query; scores
+    rounded to 6 dp before ranking for cross-engine determinism."""
+    from open_buildings_spark.operators import search
+
+    return search.bm25_search(_docs_table(spark, sf_dir), BM25_QUERY_TERMS, k=20)
+
+
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -617,6 +636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dup_spans": _q_dup_spans,
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,
+        "t_vocab": _q_vocab,
+        "t_bm25": _q_bm25,
         "t_quality": _q_quality,
         "t_langid": _q_langid,
         "t_fingerprint": _q_fingerprint,

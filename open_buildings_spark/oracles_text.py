@@ -214,6 +214,57 @@ SELECT doc_id,
 FROM toks
 """
 
+    # vocabulary statistics: collection frequency + document frequency,
+    # top-100 by (term_freq DESC, term)
+    sqls["t_vocab"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS term_freq FROM tokx GROUP BY term),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tokx GROUP BY term),
+r AS (
+  SELECT tf.term, tf.term_freq, dfq.doc_freq,
+         ROW_NUMBER() OVER (ORDER BY tf.term_freq DESC, tf.term) AS rank
+  FROM tf JOIN dfq USING (term)
+)
+SELECT term, term_freq, doc_freq, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 100
+"""
+
+    # BM25 (k1=1.2, b=0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1)):
+    # scores rounded to 6 dp BEFORE ranking, ties break on doc_id —
+    # mirrors operators.search.bm25_search
+    from .operators.search import BM25_B, BM25_K1
+
+    # DuckDB parses bare decimal literals (1.2) as DECIMAL, not DOUBLE —
+    # render the constants in scientific notation to force double arithmetic
+    k1 = f"{BM25_K1}e0"
+    b = f"{BM25_B}e0"
+    _terms = ", ".join(f"'{t}'" for t in ["table", "fast", "row"])
+    sqls["t_bm25"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokx GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokx
+  WHERE term IN ({_terms}) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - dfq.df + 5e-1) / (dfq.df + 5e-1) + 1e0)
+           * (tf.tf * ({k1} + 1e0))
+           / (tf.tf + {k1} * (1e0 - {b} + {b} * dl.dl / s.avgdl))
+           AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (SELECT doc_id, round(SUM(c), 6) AS score_r6 FROM contrib GROUP BY doc_id),
+r AS (
+  SELECT doc_id, score_r6,
+         ROW_NUMBER() OVER (ORDER BY score_r6 DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, score_r6, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+"""
+
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     sqls["t_quality"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)

@@ -585,3 +585,28 @@ def test_dedup_apply_keep_one(spark):
     assert set(got) == {1, 4}
     assert got[1] == (2, 2)  # 2 exact copies; near cluster {1, 3}
     assert got[4] == (2, 1)  # 2 exact copies; no near-dup among survivors
+
+
+def test_vocab_and_bm25(spark):
+    """Vocabulary ranks by collection frequency; BM25 ranks docs with more
+    query-term mass higher, normalized by doc length."""
+    from open_buildings_spark.operators import search
+
+    rows = [
+        (1, "table fast table row extra words here padding padding"),
+        (2, "table slow"),
+        (3, "nothing relevant at all in this document whatsoever"),
+        (4, "row row row row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r["term"]: (r["term_freq"], r["doc_freq"], r["rank"])
+             for r in search.vocab_stats(df, top_n=5).collect()}
+    assert vocab["row"] == (5, 2, 1)         # 5 occurrences across 2 docs
+    assert vocab["table"][0] == 3 and vocab["table"][1] == 2
+    assert len(vocab) == 5
+
+    hits = search.bm25_search(df, ["table", "fast", "row"], k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(hits, key=lambda r: r["rank"])]
+    assert ranked[0] == 1                    # hits all three terms
+    assert 3 not in ranked                   # no query terms -> no row
+    assert all(r["score_r6"] > 0 for r in hits)
