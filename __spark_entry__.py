@@ -403,6 +403,12 @@ def _q_dup_spans(spark, sf_dir):
     )
 
 
+def _q_dup_span_cut(spark, sf_dir):
+    """The CUT step: duplicated spans removed, docs rebuilt in token order;
+    gated on (clean_hash, n_tokens, n_removed)."""
+    return dedup.dup_span_cut(dedup.augment_corpus(spark, sf_dir))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     corpus = dedup.augment_corpus(spark, sf_dir)
     pairs = (
@@ -634,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dedup_apply": _q_dedup_apply,
         "t_simhash": _q_simhash,
         "t_dup_spans": _q_dup_spans,
+        "t_dup_span_cut": _q_dup_span_cut,
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,
         "t_vocab": _q_vocab,

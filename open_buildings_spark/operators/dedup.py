@@ -349,6 +349,82 @@ def dup_span_stats(
     )
 
 
+def dup_span_cut(
+    df: DataFrame, window: int = DUP_SPAN_WINDOW, id_col: str = "doc_id"
+) -> DataFrame:
+    """The CUT step of exact-substring dedup: rewrite each doc with every
+    cross-doc-duplicated ``window``-token span removed (Lee et al. 2022 cut
+    duplicated spans rather than dropping whole docs). A token survives iff
+    no duplicated window covers its position.
+
+    All built-in exprs: posexplode for positions, the same fingerprint
+    groupBy as :func:`dup_span_stats` for the duplicated-window set, a
+    sequence explode for covered positions, a left-anti join to drop them,
+    and an order-preserving rebuild via array_sort over (pos, token)
+    structs (collect_list order is partition-nondeterministic; the sort
+    restores document order deterministically).
+
+    Output: (id, clean_hash, n_tokens, n_removed) — clean_hash = md5 of the
+    space-joined surviving tokens ('' when everything was cut), so the
+    result is compact and engine-comparable. Short docs (< window tokens)
+    have no windows and survive whole (modulo whitespace normalization:
+    the rebuild joins tokens with single spaces).
+    """
+    toks = tokens_col()
+    d = df.select(id_col, toks.alias("tk"))
+    wins_arr = F.when(
+        F.size("tk") >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("tk"), i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = d.select(id_col, F.posexplode(wins_arr).alias("p", "fp")).select(
+        id_col, (F.col("p") + 1).alias("i"), "fp"
+    )
+    dup_fps = (
+        wins.groupBy("fp")
+        .agg(F.min(id_col).alias("mn"), F.max(id_col).alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("fp")
+    )
+    covered = (
+        wins.join(dup_fps, "fp")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (window - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    tokx = d.select(id_col, F.posexplode("tk").alias("p", "tok")).select(
+        id_col, (F.col("p") + 1).alias("idx"), "tok"
+    )
+    kept = tokx.join(covered, [id_col, "idx"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        d.join(clean, id_col, "left")
+        .select(
+            id_col,
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+            F.size("tk").cast("long").alias("n_tokens"),
+            (F.size("tk") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

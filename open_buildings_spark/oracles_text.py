@@ -162,6 +162,46 @@ SELECT p.doc_id, p.n_windows, CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_
 FROM per p LEFT JOIN dupper d USING (doc_id)
 """
 
+    # the CUT step: remove every token covered by a cross-doc-duplicated
+    # window, rebuild the doc in token order, hash the survivor text
+    sqls["t_dup_span_cut"] = f"""
+WITH {corpus},
+toksq AS (SELECT doc_id, {_TOKS} AS tk FROM corpus),
+tokx AS (
+  SELECT doc_id, u.t AS tok, CAST(u.i AS BIGINT) AS idx
+  FROM toksq, LATERAL (
+    SELECT unnest(tk) AS t, generate_subscripts(tk, 1) AS i
+  ) u
+),
+wins AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+         md5(array_to_string(tk[CAST(u.i AS INT):CAST(u.i + {_W - 1} AS INT)], ' ')) AS fp
+  FROM toksq, LATERAL (SELECT unnest(range(1, greatest(len(tk) - {_W - 2}, 1))) AS i) u
+  WHERE len(tk) >= {_W}
+),
+dup AS (SELECT fp FROM wins GROUP BY fp HAVING MIN(doc_id) <> MAX(doc_id)),
+cov AS (
+  SELECT DISTINCT w.doc_id, CAST(u.x AS BIGINT) AS idx
+  FROM wins w JOIN dup USING (fp),
+  LATERAL (SELECT unnest(range(w.i, w.i + {_W})) AS x) u
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.idx FROM tokx t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.idx = t.idx
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS ct, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(COALESCE(c.ct, '')) AS clean_hash,
+       CAST(len(d.tk) AS BIGINT) AS n_tokens,
+       CAST(len(d.tk) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM toksq d LEFT JOIN clean c USING (doc_id)
+"""
+
     bit_sums = ", ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
         for b in range(SIMHASH_BITS)

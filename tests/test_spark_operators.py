@@ -610,3 +610,28 @@ def test_vocab_and_bm25(spark):
     assert ranked[0] == 1                    # hits all three terms
     assert 3 not in ranked                   # no query terms -> no row
     assert all(r["score_r6"] > 0 for r in hits)
+
+
+def test_dup_span_cut_semantics(spark):
+    """Covered tokens are cut; unique spans survive; short docs pass
+    through whole; fully-duplicated docs hash to md5('')."""
+    import hashlib
+    from open_buildings_spark.operators import dedup
+
+    shared = "a b c d e f g h"  # one 8-token window, shared by docs 1/2
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, shared),                      # fully covered -> empty rewrite
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # unique -> untouched
+        (4, "short doc"),                 # < 8 tokens -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_hash"], r["n_tokens"], r["n_removed"])
+        for r in dedup.dup_span_cut(df, window=8).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (md5("tail1 tail2"), 10, 8)
+    assert got[2] == (md5(""), 8, 8)
+    assert got[3] == (md5("u1 u2 u3 u4 u5 u6 u7 u8 u9"), 9, 0)
+    assert got[4] == (md5("short doc"), 2, 0)
