@@ -477,6 +477,16 @@ def _q_ann_ivf(spark, sf_dir):
     return similarity.ann_topk_ivf(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
 
 
+def _q_kmeans_ivf(spark, sf_dir):
+    """Lloyd k-means IVF quantizer training (3 rounds, deterministic sample
+    init). Iterative float means are engine-order-sensitive, so this is a
+    rows-only gate (no SQL oracle — the documented carve-out for iterative
+    algorithms); emitted columns are the integer (cid, n_assigned) so the
+    schema stays float-free."""
+    fitted = similarity.kmeans_fit(_emb(spark, sf_dir), n_iter=3)
+    return fitted.select("cid", "n_assigned").orderBy("cid")
+
+
 def _q_embedding_neardup(spark, sf_dir):
     # the synthetic embeddings hold no near-dups; inject exact duplicates
     # (vec_id+100000) so the operator has positives to find (oracle mirrors)
@@ -654,6 +664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_cosine_topk": _q_cosine_topk,
         "s_ann_lsh": _q_ann_lsh,
         "s_ann_ivf": _q_ann_ivf,
+        "s_kmeans_ivf": _q_kmeans_ivf,
         "s_embedding_neardup": _q_embedding_neardup,
         "s_embedding_clusters": _q_embedding_clusters,
         # multimodal + events

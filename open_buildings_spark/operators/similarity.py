@@ -206,18 +206,86 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_iter: int = 3,
+    stride: int = CENTROID_STRIDE,
+) -> DataFrame:
+    """Lloyd k-means trainer for the IVF coarse quantizer (the step
+    :func:`ivf_centroids`' fixed sample stands in for): deterministic
+    sample init, then ``n_iter`` rounds of assign (cosine argmax, the same
+    kernel as :func:`ivf_assign`) + per-component mean recompute.
+
+    Scale shape — the canonical distributed k-means: the DATA never moves
+    or collects; each round is one broadcast-join assignment pass plus one
+    map-side-combinable avg groupBy on (cid, component). Only the centroid
+    table (n_centroids x dim doubles) comes to the driver between rounds,
+    which also keeps the plan lineage flat across iterations. Iterative
+    float means are engine-order-sensitive, so this operator is gated
+    rows-only (no SQL oracle); the pytest fixture pins cluster recovery.
+
+    Returns (cid, cv, n_assigned) for the final round.
+    """
+    spark = emb.sparkSession
+    cent = ivf_centroids(emb, n_centroids, stride)
+    vecs = emb.select("vec_id", _vecd(F.col("embedding")).alias("v")).persist()
+    n_assigned = None
+    for _ in range(n_iter):
+        crossed = vecs.crossJoin(F.broadcast(cent))
+        sim = _dot(F.col("v"), F.col("cv")) / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.round(sim, 6).desc(), F.col("cid").asc()
+        )
+        asg = (
+            crossed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+        comp = asg.select("cid", F.posexplode("v").alias("pos", "x"))
+        means = (
+            comp.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda t: t["m"],
+                ).alias("cv")
+            )
+        )
+        counts = asg.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+        rows = means.join(counts, "cid").collect()
+        n_assigned = {r["cid"]: r["n_assigned"] for r in rows}
+        cent = spark.createDataFrame(
+            [(r["cid"], r["cv"]) for r in rows], "cid int, cv array<double>"
+        )
+    vecs.unpersist()
+    counts_df = spark.createDataFrame(
+        [(c, n) for c, n in sorted(n_assigned.items())], "cid int, n_assigned long"
+    )
+    return cent.join(counts_df, "cid").select("cid", "cv", "n_assigned")
+
+
 def ann_topk_ivf(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 3,
     n_probe: int = N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed ANN (the scale path alongside the LSH variant): assign
     every vector to its nearest coarse centroid, probe each query's
     ``n_probe`` nearest cells, exact cosine top-k among those candidates
     only: (query_id, vec_id, rank). Cost Q x (N * n_probe / n_centroids)
-    instead of Q x N."""
-    cent = ivf_centroids(emb)
+    instead of Q x N. Pass ``centroids`` (cid, cv) to serve against a
+    :func:`kmeans_fit`-trained quantizer instead of the fixed sample."""
+    cent = (
+        centroids.select("cid", "cv") if centroids is not None else ivf_centroids(emb)
+    )
     cells = ivf_assign(emb, cent)
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), _vecd(F.col("embedding")).alias("qv")

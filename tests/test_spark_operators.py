@@ -635,3 +635,30 @@ def test_dup_span_cut_semantics(spark):
     assert got[2] == (md5(""), 8, 8)
     assert got[3] == (md5("u1 u2 u3 u4 u5 u6 u7 u8 u9"), 9, 0)
     assert got[4] == (md5("short doc"), 2, 0)
+
+
+def test_kmeans_fit_recovers_clusters(spark):
+    """Two well-separated direction clusters: Lloyd from a 1-per-cluster
+    deterministic init recovers both, with correct membership counts and
+    centroids near the cluster means."""
+    from open_buildings_spark.operators import similarity
+
+    rows = []
+    for i in range(10):  # cluster A ~ direction (1, 0); ids 0,2,..,18
+        rows.append((i * 2, [1.0, 0.01 * i]))
+    for i in range(10):  # cluster B ~ direction (0, 1); ids 1,3,..,19
+        rows.append((i * 2 + 1, [0.01 * i, 1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fitted = similarity.kmeans_fit(emb, n_centroids=2, n_iter=3, stride=1)
+    got = {r["cid"]: (r["cv"], r["n_assigned"]) for r in fitted.collect()}
+    assert set(got) == {0, 1}
+    assert got[0][1] == 10 and got[1][1] == 10
+    cv0, cv1 = got[0][0], got[1][0]
+    assert cv0[0] > 0.9 and cv0[1] < 0.1     # cluster A mean ~ (1, 0.045)
+    assert cv1[1] > 0.9 and cv1[0] < 0.1
+
+    # trained centroids drop into the IVF serving path
+    hits = similarity.ann_topk_ivf(
+        emb, [0], k=2, n_probe=1, centroids=fitted
+    ).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in hits)  # same-cluster results
