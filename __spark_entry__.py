@@ -383,6 +383,27 @@ def _q_neardup_clusters(spark, sf_dir):
     return dedup.neardup_clusters(dedup.augment_corpus(spark, sf_dir))
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Streaming dedup-on-ingest: exact dedup as a stateful streaming
+    aggregation (min-id per fingerprint — commutative/associative, so the
+    drained state equals the batch groupBy bit-for-bit under any arrival
+    order) run availableNow into a memory sink."""
+    import os
+
+    from open_buildings_spark.streaming import dedup as stream_dedup
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    corpus_dir = f"/tmp/obs_stream_corpus_r{datagen.DATAGEN_REV}_{base}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        dedup.augment_corpus(spark, sf_dir).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+    name = f"stream_dedup_{base}"
+    if name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(name)
+    return stream_dedup.exact_dedup_stream_to_memory(spark, corpus_dir, name)
+
+
 def _q_dedup_apply(spark, sf_dir):
     """End-to-end dedup materialization: exact keep-one, then near-dup
     keep-one over the survivors; emits the kept corpus with group-size
@@ -401,6 +422,17 @@ def _q_dup_spans(spark, sf_dir):
     return dedup.dup_span_stats(dedup.augment_corpus(spark, sf_dir)).select(
         "doc_id", "n_windows", "dup_windows"
     )
+
+
+def _q_contamination(spark, sf_dir):
+    """Benchmark decontamination: the original %37 docs play the eval set;
+    the corpus is the augmented pile minus the eval docs themselves, so the
+    injected near/exact dups of eval docs are the contaminated rows."""
+    bench = _docs_table(spark, sf_dir).filter(F.col("doc_id") % 37 == 0)
+    corpus = dedup.augment_corpus(spark, sf_dir).filter(
+        ~((F.col("doc_id") % 37 == 0) & (F.col("doc_id") < dedup.NEAR_DUP_OFFSET))
+    )
+    return dedup.contamination_stats(corpus, bench)
 
 
 def _q_dup_span_cut(spark, sf_dir):
@@ -645,12 +677,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_pivot": _q_event_pivot,
         # training-data pipeline: dedup + text analysis
         "t_exact_dedup": _q_exact_dedup,
+        "t_stream_dedup": _q_stream_dedup,
         "t_minhash_lsh": _q_minhash_lsh,
         "t_neardup_clusters": _q_neardup_clusters,
         "t_dedup_apply": _q_dedup_apply,
         "t_simhash": _q_simhash,
         "t_dup_spans": _q_dup_spans,
         "t_dup_span_cut": _q_dup_span_cut,
+        "t_contamination": _q_contamination,
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,
         "t_vocab": _q_vocab,

@@ -349,6 +349,57 @@ def dup_span_stats(
     )
 
 
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    window: int = DUP_SPAN_WINDOW,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination signal: per corpus doc, how many of its
+    ``window``-token windows appear VERBATIM in any benchmark/eval doc —
+    the n-gram-overlap decontamination check training pipelines run against
+    held-out eval sets (public method, e.g. GPT-3/PaLM appendix
+    decontamination; no code consulted). Filter `contam_windows > 0` (or a
+    frac threshold) to quarantine.
+
+    Shape: the benchmark side reduces to DISTINCT window fingerprints —
+    typically tiny vs the corpus (eval sets are thousands of docs, the
+    corpus billions) — then one semi-joinable hash join on the fingerprint
+    against the corpus windows plus the same two map-side-combinable
+    groupBys as :func:`dup_span_stats`. Fingerprints are md5 strings, so
+    no text shuffles.
+
+    Output: (id, n_windows, contam_windows) — docs with fewer than
+    ``window`` tokens have no windows and report (0, 0).
+    """
+    toks = tokens_col()
+    wins_arr = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bfps = (
+        benchmark.select(F.explode(wins_arr).alias("fp")).distinct()
+    )
+    cwins = corpus.select(id_col, F.explode(wins_arr).alias("fp"))
+    per_doc = cwins.groupBy(id_col).agg(F.count("*").alias("n_windows"))
+    contam = (
+        cwins.join(bfps, "fp")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_windows"))
+    )
+    return (
+        corpus.select(id_col)
+        .distinct()
+        .join(per_doc, id_col, "left")
+        .join(contam, id_col, "left")
+        .na.fill({"n_windows": 0, "contam_windows": 0})
+        .select(id_col, "n_windows", "contam_windows")
+    )
+
+
 def dup_span_cut(
     df: DataFrame, window: int = DUP_SPAN_WINDOW, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -7,7 +7,7 @@ the Spark engine's built-in md5/conv expressions.
 from __future__ import annotations
 
 from . import datagen
-from .operators.dedup import corpus_sql_cte
+from .operators.dedup import NEAR_DUP_OFFSET, corpus_sql_cte
 from .operators.similarity import DIM, N_BANDS, N_PLANES
 from .operators.textstats import LANG_MARKERS, STOPWORDS
 
@@ -33,6 +33,14 @@ SELECT doc_id, md5(text) AS fingerprint,
        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
        COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
 FROM corpus
+"""
+
+    # streaming dedup-on-ingest drains to exactly the batch groupBy state
+    sqls["t_stream_dedup"] = f"""
+WITH {corpus}
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS group_size
+FROM corpus GROUP BY 1
 """
 
     mh_cols = ", ".join(
@@ -160,6 +168,41 @@ dupper AS (
 )
 SELECT p.doc_id, p.n_windows, CAST(COALESCE(d.dup_windows, 0) AS BIGINT) AS dup_windows
 FROM per p LEFT JOIN dupper d USING (doc_id)
+"""
+
+    # benchmark decontamination: corpus windows joined against the DISTINCT
+    # window-fingerprint set of the eval docs (doc_id % 37 = 0); corpus =
+    # augmented pile minus the eval docs themselves
+    sqls["t_contamination"] = f"""
+WITH {corpus},
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
+corp AS (
+  SELECT doc_id, text FROM corpus
+  WHERE NOT (doc_id % 37 = 0 AND doc_id < {NEAR_DUP_OFFSET})
+),
+btoks AS (SELECT {_TOKS} AS tk FROM bench),
+bfp AS (
+  SELECT DISTINCT
+         md5(array_to_string(tk[CAST(u.i AS INT):CAST(u.i + {_W - 1} AS INT)], ' ')) AS fp
+  FROM btoks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - {_W - 2}, 1))) AS i) u
+  WHERE len(tk) >= {_W}
+),
+ctoks AS (SELECT doc_id, {_TOKS} AS tk FROM corp),
+cwins AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[CAST(u.i AS INT):CAST(u.i + {_W - 1} AS INT)], ' ')) AS fp
+  FROM ctoks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - {_W - 2}, 1))) AS i) u
+  WHERE len(tk) >= {_W}
+),
+per AS (SELECT doc_id, COUNT(*) AS n_windows FROM cwins GROUP BY doc_id),
+cont AS (
+  SELECT w.doc_id, COUNT(*) AS c FROM cwins w JOIN bfp USING (fp) GROUP BY w.doc_id
+)
+SELECT ids.doc_id,
+       CAST(COALESCE(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(COALESCE(ct.c, 0) AS BIGINT) AS contam_windows
+FROM (SELECT DISTINCT doc_id FROM corp) ids
+LEFT JOIN per p USING (doc_id) LEFT JOIN cont ct USING (doc_id)
 """
 
     # the CUT step: remove every token covered by a cross-doc-duplicated

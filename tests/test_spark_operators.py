@@ -662,3 +662,28 @@ def test_kmeans_fit_recovers_clusters(spark):
         emb, [0], k=2, n_probe=1, centroids=fitted
     ).collect()
     assert all(r["vec_id"] % 2 == 0 for r in hits)  # same-cluster results
+
+
+def test_contamination_stats(spark):
+    """Corpus docs sharing any W-token window with an eval doc are flagged;
+    clean and sub-window docs report zero contamination."""
+    from open_buildings_spark.operators import dedup
+
+    evalset = spark.createDataFrame(
+        [(100, "e1 e2 e3 e4 e5 e6 e7 e8 e9")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x e1 e2 e3 e4 e5 e6 e7 e8 y"),   # contains eval window 1
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),    # clean
+            (3, "tiny"),                          # no windows at all
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["contam_windows"])
+        for r in dedup.contamination_stats(corpus, evalset, window=8).collect()
+    }
+    assert got[1] == (3, 1)
+    assert got[2] == (2, 0)
+    assert got[3] == (0, 0)

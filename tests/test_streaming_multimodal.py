@@ -168,3 +168,32 @@ def test_stream_geo_ingest_parity_and_partitioning(spark, docs, tmp_path):
         assert bad == 0
     finally:
         spark.conf.set(inf_key, old)
+
+
+def test_stream_dedup_matches_batch(spark, tmp_path):
+    """The drained streaming dedup state equals the batch groupBy exactly,
+    independent of file arrival order."""
+    from pyspark.sql import functions as F
+    from open_buildings_spark.streaming import dedup as stream_dedup
+
+    rows = [(i, f"text {i % 4}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    docs.repartition(5).write.parquet(d)
+
+    got = {
+        r["fingerprint"]: (r["canonical_id"], r["group_size"])
+        for r in stream_dedup.exact_dedup_stream_to_memory(
+            spark, d, "t_stream_dedup_test"
+        ).collect()
+    }
+    want = {
+        r["fingerprint"]: (r["canonical_id"], r["group_size"])
+        for r in docs.groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("group_size"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 4
