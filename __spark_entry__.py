@@ -223,6 +223,34 @@ def _q_aoi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aoi_op.aoi_query(t, aoi).select("doc_id", "quadkey")
 
 
+def _q_upsert_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-by-key gate: build a fresh table, upsert a deterministic batch
+    (docs ending '33' MOVE geography via a quadkey translate; docs ending
+    '77' insert under new ids), read the merged state back. Copy-on-write
+    cell rewrite + manifest swap (iceberg_lite.upsert_rows); the oracle
+    reproduces the merge arithmetic from the shared datagen contract."""
+    import os
+
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"/tmp/ob_spark_entry/upsert_{sf}_rev{datagen.DATAGEN_REV}"
+    tbl.drop_table(root)
+    g = enrich.add_geo_columns(
+        datagen.interleaved_docs(spark, sf_dir), drop_nongeo=True
+    )
+    tbl.write_partitioned(g, root, max_per_file=50_000)
+    cur = tbl.read_table(spark, root)
+    movers = cur.filter(F.col("doc_id").endswith("33")).withColumn(
+        "quadkey", F.translate("quadkey", "0123", "1032")
+    )
+    ins = cur.filter(F.col("doc_id").endswith("77")).withColumn(
+        "doc_id", F.concat(F.lit("up-"), F.col("doc_id"))
+    )
+    tbl.upsert_rows(movers.unionByName(ins), root, key="doc_id")
+    return tbl.read_table(spark, root).select("doc_id", "quadkey")
+
+
 def _q_sql_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL surface: the flagship AOI query expressed as ``spark.sql``
     over a table view + the registered ``ob_*`` functions (sqlapi) — the
@@ -662,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
         "g_aoi_table": _q_aoi_table,
+        "g_upsert_table": _q_upsert_table,
         "g_sql_aoi": _q_sql_aoi,
         "g_sql_enrich": _q_sql_enrich,
         "g_country_join": _q_country_join,

@@ -105,6 +105,20 @@ FROM pl p LEFT JOIN {countries}
 GROUP BY 1, 2, 3
 """
 
+    # MERGE by key: docs ending '33' move (whole-quadkey translate — always
+    # a different cell since the first digit flips), docs ending '77'
+    # insert under 'up-' ids, everything else passes through
+    sqls["g_upsert_table"] = f"""
+WITH {bld},
+base AS (SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom)
+SELECT doc_id, quadkey FROM base WHERE doc_id NOT LIKE '%33'
+UNION ALL
+SELECT doc_id, translate(quadkey, '0123', '1032') AS quadkey
+FROM base WHERE doc_id LIKE '%33'
+UNION ALL
+SELECT 'up-' || doc_id AS doc_id, quadkey FROM base WHERE doc_id LIKE '%77'
+"""
+
     # streaming enrichment runs the identical logical plan, so its oracle
     # is the batch enrichment SQL; the table ingest (foreachBatch ->
     # append_rows) must land the same rows in the manifest table

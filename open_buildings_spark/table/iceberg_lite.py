@@ -408,6 +408,143 @@ def append_rows(
     return m2
 
 
+def upsert_rows(
+    df: DataFrame,
+    root: str,
+    key: str = "doc_id",
+    max_per_file: int | None = None,
+) -> dict:
+    """MERGE by key: rows of ``df`` REPLACE existing rows with the same
+    ``key`` and new keys insert — Iceberg-style copy-on-write at cell
+    granularity. Affected cells (those receiving upsert rows PLUS those
+    holding old versions of the upserted keys, which may differ when a
+    row's geometry moved) are rewritten as NEW files and the manifest swaps
+    to them in one new snapshot; unaffected cells are untouched and older
+    snapshots keep reading their original files (reclaim superseded ones
+    with :func:`expire_snapshots`).
+
+    Scale shape: the upsert batch is small relative to the table, so its
+    key set broadcasts; finding old versions is one manifest-planned scan
+    with a broadcast semi-join (at 10^12 rows the dominant cost, bounded by
+    a quadkey-prefix prune when the caller knows the affected geography).
+    Only affected cells are read again for the rewrite — the second scan
+    prunes to them via the manifest.
+    """
+    from ..operators.partition import tag_cells
+
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if any(p["values"] for p in m["partitions"]):
+        raise NotImplementedError("upserts to key-partitioned tables")
+    if m.get("schema"):
+        allowed = {f["name"] for f in m["schema"]}
+        extra = set(df.columns) - allowed
+        if extra:
+            raise ValueError(
+                f"upsert columns {sorted(extra)} not in table schema; "
+                f"add_column first"
+            )
+    cap = (
+        max_per_file
+        if max_per_file is not None
+        else m.get("metrics", {}).get("max_per_file")
+    )
+    spark = df.sparkSession
+    data_dir = os.path.join(root, "data")
+
+    cells_df = spark.createDataFrame(
+        [(p["cell"],) for p in m["partitions"]], "cell string"
+    )
+    # route upsert rows exactly like appends: existing leaf, else new z12
+    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
+    covered = tag_cells(batch12, cells_df).select("quadkey")
+    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
+        F.col("quadkey").alias("cell")
+    )
+    plan = cells_df.unionByName(new_cells)
+    tagged = tag_cells(df, plan).persist()
+    try:
+        keys_df = df.select(key).distinct()
+        old = tag_cells(read_table(spark, root), cells_df)
+        old_hit_cells = {
+            r["cell"]
+            for r in old.join(F.broadcast(keys_df), key, "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        new_counts = {
+            r["cell"]: r["n"]
+            for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        affected = sorted(old_hit_cells | set(new_counts))
+        if not affected:
+            return m
+        aff_df = spark.createDataFrame([(c,) for c in affected], "cell string")
+        survivors = old.join(F.broadcast(aff_df), "cell").join(
+            F.broadcast(keys_df), key, "left_anti"
+        )
+        merged = survivors.unionByName(
+            tagged.select(*survivors.columns)
+        ).persist()
+        counts = {
+            r["cell"]: r["n"]
+            for r in merged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        pre_files = {
+            cell: set(
+                glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet"))
+            )
+            for cell in affected
+        }
+        n_writers = (
+            max(1, -(-sum(counts.values()) // cap))
+            if cap
+            else int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
+        (
+            merged.repartition(n_writers, F.col("cell"))
+            .sortWithinPartitions("cell", "quadkey")
+            .write.mode("append")
+            .partitionBy("cell")
+            .option("compression", "snappy")
+            .parquet(data_dir)
+        )
+        merged.unpersist()
+    finally:
+        tagged.unpersist()
+    parts = []
+    for p in m["partitions"]:
+        if p["cell"] not in affected:
+            parts.append(dict(p))
+    for cell in affected:
+        n = counts.get(cell, 0)
+        if n == 0:
+            continue  # every row of this cell moved or was replaced away
+        files = sorted(
+            set(glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet")))
+            - pre_files[cell]
+        )
+        rel = [os.path.relpath(f, root) for f in files]
+        parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
+    parts.sort(key=lambda p: p["cell"])
+    m2 = {
+        **{k: v for k, v in m.items() if k == "schema"},
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent_id": m["snapshot_id"],
+        "partitions": parts,
+        "metrics": {
+            **m["metrics"],
+            "upserted_batches": m["metrics"].get("upserted_batches", 0) + 1,
+            "rows_upserted": m["metrics"].get("rows_upserted", 0)
+            + sum(new_counts.values()),
+        },
+    }
+    _commit_manifest(root, m2)
+    return m2
+
+
 def manifest_at(root: str, snapshot_id: int) -> dict | None:
     """Load a specific snapshot's manifest (time travel)."""
     path = os.path.join(_meta_dir(root), f"v{snapshot_id}.json")

@@ -334,3 +334,56 @@ def test_schema_evolution_add_column(spark, enriched, tmp_path):
     aoi = datagen.city_aoi()
     t = tbl.read_table(spark, root, quadkey_prefix=geojson_to_quadkey(aoi))
     assert aoi_op.aoi_query(t, aoi).count() > 0
+
+
+def test_upsert_rows_merge_and_immutability(spark, enriched, tmp_path):
+    """MERGE by key: updates replace, inserts land, a moved row leaves its
+    old cell; only affected cells rewrite; the prior snapshot still reads
+    the pre-upsert data."""
+    root = str(tmp_path / "tbl")
+    m1 = tbl.write_partitioned(enriched, root, max_per_file=500)
+    total = enriched.count()
+    man1 = tbl.current_manifest(root)
+    files_before = {p["cell"]: list(p["files"]) for p in man1["partitions"]}
+
+    rows = tbl.read_table(spark, root).orderBy("doc_id").limit(3).collect()
+    cols = rows[0].asDict().keys()
+    upd = rows[0].asDict()          # update in place (same quadkey)
+    upd["area_m2"] = 123456.0
+    moved = rows[1].asDict()        # move to a different z12 cell
+    other = next(
+        p["cell"] for p in man1["partitions"]
+        if not p["cell"].startswith(moved["quadkey"][:4])
+    )
+    moved["quadkey"] = other + "0" * (12 - len(other))
+    ins = rows[2].asDict()          # brand-new key
+    ins["doc_id"] = "doc-upsert-new"
+    batch = spark.createDataFrame([upd, moved, ins], tbl.read_table(spark, root).schema)
+
+    m2 = tbl.upsert_rows(batch, root, key="doc_id")
+    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
+
+    cur = tbl.read_table(spark, root)
+    assert cur.count() == total + 1  # one insert, two replacements
+    got_upd = cur.filter(F.col("doc_id") == upd["doc_id"]).collect()
+    assert len(got_upd) == 1 and got_upd[0]["area_m2"] == 123456.0
+    got_mv = cur.filter(F.col("doc_id") == moved["doc_id"]).collect()
+    assert len(got_mv) == 1 and got_mv[0]["quadkey"] == moved["quadkey"]
+    assert cur.filter(F.col("doc_id") == "doc-upsert-new").count() == 1
+
+    # unaffected cells keep their exact file lists
+    man2 = tbl.current_manifest(root)
+    touched = {
+        c for c in files_before
+        if files_before[c] != [
+            f for p in man2["partitions"] if p["cell"] == c for f in p["files"]
+        ]
+    }
+    assert 0 < len(touched) < len(files_before)
+
+    # time travel: the pre-upsert snapshot is intact
+    old = tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"])
+    assert old.count() == total
+    assert old.filter(F.col("doc_id") == "doc-upsert-new").count() == 0
+    o = old.filter(F.col("doc_id") == upd["doc_id"]).collect()
+    assert o[0]["area_m2"] != 123456.0
