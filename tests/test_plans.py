@@ -222,3 +222,20 @@ def test_big_aoi_join_is_shuffle_join_no_broadcast(spark, docs, sf_dir):
         r"^\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython)", plan, re.M
     )
     assert len(nodes) == 3, plan
+
+
+def test_bm25_broadcasts_small_sides(spark):
+    """BM25's document-frequency and corpus-stats sides must broadcast —
+    the posting list never shuffles for them."""
+    from open_buildings_spark.operators import search
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("table fast row filler"), F.col("id").cast("string")).alias(
+            "text"
+        ),
+    )
+    plan = plan_of(search.bm25_search(docs, ["table", "fast", "row"], k=10))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the per-(doc, term) posting list must not sort-merge-join anywhere
+    assert "SortMergeJoin" not in plan
