@@ -498,6 +498,14 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs_table(spark, sf_dir))
 
 
+def _q_corpus_report(spark, sf_dir):
+    """Dataset-card rollup per (source, lang): doc/token/char totals and
+    quality-gate pass counts — all integers, one partial-agg groupBy."""
+    return textstats.corpus_report(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 BM25_QUERY_TERMS = ["table", "fast", "row"]
 
 
@@ -717,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ngram_jaccard": _q_ngram_jaccard,
         "t_token_stats": _q_token_stats,
         "t_vocab": _q_vocab,
+        "t_corpus_report": _q_corpus_report,
         "t_bm25": _q_bm25,
         "t_quality": _q_quality,
         "t_langid": _q_langid,

@@ -24,6 +24,27 @@ LANG_MARKERS = {
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
+def corpus_report(df: DataFrame) -> DataFrame:
+    """Dataset-card composition rollup: per (source, lang) — n_docs,
+    total_tokens, total_chars, n_quality_ok (docs passing the cheap quality
+    gate). One map-side-combinable groupBy over native exprs; the integer
+    outputs keep the oracle bit-exact. At 10^12 docs this is a word-count:
+    the canonical all-partial-aggregation Spark job."""
+    toks = tokens_col()
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n.cast("double")
+    ok = (n >= 10) & (distinct_ratio >= 0.2)
+    return (
+        df.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n.cast("long")).alias("total_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+            F.sum(ok.cast("long")).alias("n_quality_ok"),
+        )
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_distinct_tokens, n_chars, avg_token_len).
 

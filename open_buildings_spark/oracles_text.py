@@ -297,6 +297,18 @@ SELECT doc_id,
 FROM toks
 """
 
+    # dataset-card composition rollup per (source, lang)
+    sqls["t_corpus_report"] = f"""
+WITH toks AS (SELECT source, lang, text, {_TOKS} AS tk FROM documents)
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN len(tk) >= 10 AND
+                 CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) >= 2e-1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM toks GROUP BY 1, 2
+"""
+
     # vocabulary statistics: collection frequency + document frequency,
     # top-100 by (term_freq DESC, term)
     sqls["t_vocab"] = f"""
