@@ -506,6 +506,13 @@ def _q_corpus_report(spark, sf_dir):
     )
 
 
+def _q_length_quantiles(spark, sf_dir):
+    """Per-source token-length quantiles (exact percentile, rounded)."""
+    return textstats.length_quantiles(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 BM25_QUERY_TERMS = ["table", "fast", "row"]
 
 
@@ -726,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": _q_token_stats,
         "t_vocab": _q_vocab,
         "t_corpus_report": _q_corpus_report,
+        "t_length_quantiles": _q_length_quantiles,
         "t_bm25": _q_bm25,
         "t_quality": _q_quality,
         "t_langid": _q_langid,

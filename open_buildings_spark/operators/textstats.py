@@ -45,6 +45,26 @@ def corpus_report(df: DataFrame) -> DataFrame:
     )
 
 
+def length_quantiles(df: DataFrame) -> DataFrame:
+    """Per-source token-length quantiles (p25/p50/p75/p90) — the length
+    distribution a pipeline reads before picking its length-filter
+    thresholds. EXACT percentiles (Spark's sort-based `percentile`, linear
+    interpolation — the same definition as SQL quantile_cont, so the
+    oracle matches to rounding); rounded to 4 dp. Exact percentile sorts
+    within each group, which is fine for per-source groups (thousands);
+    for quantiles over a 10^12-row UNGROUPED column switch to
+    approx_percentile and drop the oracle to rows-only."""
+    toks = tokens_col()
+    d = df.select("source", F.size(toks).alias("n"))
+    return d.groupBy("source").agg(
+        *[
+            F.round(F.percentile("n", F.lit(p)), 4).alias(name)
+            for p, name in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")]
+        ],
+        F.count("*").alias("n_docs"),
+    )
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens, n_distinct_tokens, n_chars, avg_token_len).
 

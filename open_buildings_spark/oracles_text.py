@@ -309,6 +309,20 @@ SELECT source, lang, COUNT(*) AS n_docs,
 FROM toks GROUP BY 1, 2
 """
 
+    # per-source token-length quantiles: quantile_cont == Spark's exact
+    # linear-interpolation percentile; fractions in scientific notation
+    # (DuckDB's bare-decimal literals parse as DECIMAL, not DOUBLE)
+    sqls["t_length_quantiles"] = f"""
+WITH toks AS (SELECT source, len({_TOKS}) AS n FROM documents)
+SELECT source,
+       round(quantile_cont(n, 2.5e-1), 4) AS p25,
+       round(quantile_cont(n, 5e-1), 4) AS p50,
+       round(quantile_cont(n, 7.5e-1), 4) AS p75,
+       round(quantile_cont(n, 9e-1), 4) AS p90,
+       COUNT(*) AS n_docs
+FROM toks GROUP BY source
+"""
+
     # vocabulary statistics: collection frequency + document frequency,
     # top-100 by (term_freq DESC, term)
     sqls["t_vocab"] = f"""
