@@ -687,3 +687,68 @@ def test_contamination_stats(spark):
     assert got[1] == (3, 1)
     assert got[2] == (2, 0)
     assert got[3] == (0, 0)
+
+
+def test_dup_span_ops_match_bruteforce_model(spark):
+    """Randomized cross-check: dup_span_stats and dup_span_cut agree with a
+    brute-force Python model on small random corpora with heavy token
+    collisions (seeded, 3 corpora)."""
+    import hashlib
+    import random
+
+    from open_buildings_spark.operators import dedup
+
+    W = 4
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        texts = {
+            d: " ".join(
+                rng.choice("abcdefgh") for _ in range(rng.randint(0, 20))
+            )
+            for d in range(12)
+        }
+        # brute-force model
+        wins, per = {}, {}
+        for d, t in texts.items():
+            toks = [x for x in t.split(" ") if x]
+            ws = (
+                [" ".join(toks[i : i + W]) for i in range(len(toks) - W + 1)]
+                if len(toks) >= W
+                else []
+            )
+            per[d] = (toks, ws)
+            for wn in ws:
+                wins.setdefault(wn, set()).add(d)
+        dup = {wn for wn, ds in wins.items() if len(ds) >= 2}
+        want_stats = {
+            d: (len(ws), sum(1 for wn in ws if wn in dup))
+            for d, (toks, ws) in per.items()
+            if ws
+        }
+        want_cut = {}
+        for d, (toks, ws) in per.items():
+            covered = set()
+            for i, wn in enumerate(ws):
+                if wn in dup:
+                    covered.update(range(i, i + W))
+            kept = [tok for j, tok in enumerate(toks) if j not in covered]
+            clean = " ".join(kept)
+            want_cut[d] = (
+                hashlib.md5(clean.encode()).hexdigest(),
+                len(toks),
+                len(toks) - len(kept),
+            )
+
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got_stats = {
+            r["doc_id"]: (r["n_windows"], r["dup_windows"])
+            for r in dedup.dup_span_stats(df, window=W).collect()
+        }
+        assert got_stats == want_stats, f"stats mismatch seed={seed}"
+        got_cut = {
+            r["doc_id"]: (r["clean_hash"], r["n_tokens"], r["n_removed"])
+            for r in dedup.dup_span_cut(df, window=W).collect()
+        }
+        assert got_cut == want_cut, f"cut mismatch seed={seed}"
