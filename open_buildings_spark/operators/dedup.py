@@ -269,7 +269,12 @@ def dedup_apply(
     kept doc — group sizes carry the dedup provenance (how many docs this
     one stands for). Join back to the corpus on id for the text.
     """
-    ex = exact_dedup(df, text_col, id_col)
+    if text_col != "text":
+        # the shingle pipeline underneath (tokens_col) reads 'text'
+        if "text" in df.columns:
+            df = df.drop("text")
+        df = df.withColumnRenamed(text_col, "text")
+    ex = exact_dedup(df, "text", id_col)
     kept_exact = df.join(
         ex.filter(F.col(id_col) == F.col("canonical_id")).select(
             id_col,

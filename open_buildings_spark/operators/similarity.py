@@ -185,14 +185,12 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     )
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, cid): each vector joins its nearest centroid by cosine
-    (rounded, cid-ascending tie-break). The centroid table is tiny and
-    broadcast; at scale ``cid`` is the partition key of the index — probes
-    read only the probed cells' partitions."""
-    crossed = emb.select("vec_id", _vecd(F.col("embedding")).alias("v")).crossJoin(
-        F.broadcast(centroids)
-    )
+def _nearest_cid(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid, v): each (vec_id, v) row joined to its nearest
+    centroid by cosine (rounded, cid-ascending tie-break) — the single
+    argmax kernel shared by serving (:func:`ivf_assign`) and training
+    (:func:`kmeans_fit`), so their assignment rules can never diverge."""
+    crossed = vecs.crossJoin(F.broadcast(centroids))
     sim = _dot(F.col("v"), F.col("cv")) / (
         F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
@@ -202,8 +200,18 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     return (
         crossed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
+        .select("vec_id", "cid", "v")
     )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid): each vector joins its nearest centroid by cosine
+    (rounded, cid-ascending tie-break). The centroid table is tiny and
+    broadcast; at scale ``cid`` is the partition key of the index — probes
+    read only the probed cells' partitions."""
+    return _nearest_cid(
+        emb.select("vec_id", _vecd(F.col("embedding")).alias("v")), centroids
+    ).select("vec_id", "cid")
 
 
 def kmeans_fit(
@@ -225,49 +233,43 @@ def kmeans_fit(
     float means are engine-order-sensitive, so this operator is gated
     rows-only (no SQL oracle); the pytest fixture pins cluster recovery.
 
-    Returns (cid, cv, n_assigned) for the final round.
+    Returns (cid, cv, n_assigned) for the final round. A centroid that
+    loses every vector drops out (standard Lloyd shrinkage) — the output
+    may carry fewer than ``n_centroids`` rows on degenerate inputs.
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     spark = emb.sparkSession
     cent = ivf_centroids(emb, n_centroids, stride)
     vecs = emb.select("vec_id", _vecd(F.col("embedding")).alias("v")).persist()
-    n_assigned = None
+    rows = []
     for _ in range(n_iter):
-        crossed = vecs.crossJoin(F.broadcast(cent))
-        sim = _dot(F.col("v"), F.col("cv")) / (
-            F.sqrt(_dot(F.col("v"), F.col("v")))
-            * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.round(sim, 6).desc(), F.col("cid").asc()
-        )
-        asg = (
-            crossed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v")
-        )
+        asg = _nearest_cid(vecs, cent)
+        # one aggregation tree for means AND counts: every pos of a cid has
+        # the same row count (= n_assigned), so max(cnt) recovers it without
+        # a second pass over the crossJoin+window assignment
         comp = asg.select("cid", F.posexplode("v").alias("pos", "x"))
-        means = (
+        rows = (
             comp.groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.avg("x").alias("m"), F.count("*").alias("cnt"))
             .groupBy("cid")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda t: t["m"],
-                ).alias("cv")
+                ).alias("cv"),
+                F.max("cnt").alias("n_assigned"),
             )
+            .collect()
         )
-        counts = asg.groupBy("cid").agg(F.count("*").alias("n_assigned"))
-        rows = means.join(counts, "cid").collect()
-        n_assigned = {r["cid"]: r["n_assigned"] for r in rows}
         cent = spark.createDataFrame(
             [(r["cid"], r["cv"]) for r in rows], "cid int, cv array<double>"
         )
     vecs.unpersist()
-    counts_df = spark.createDataFrame(
-        [(c, n) for c, n in sorted(n_assigned.items())], "cid int, n_assigned long"
+    return spark.createDataFrame(
+        [(r["cid"], r["cv"], r["n_assigned"]) for r in rows],
+        "cid int, cv array<double>, n_assigned long",
     )
-    return cent.join(counts_df, "cid").select("cid", "cv", "n_assigned")
 
 
 def ann_topk_ivf(

@@ -317,17 +317,7 @@ def append_rows(
     spark = df.sparkSession
     data_dir = os.path.join(root, "data")
 
-    cells_df = spark.createDataFrame(
-        [(p["cell"],) for p in m["partitions"]], "cell string"
-    )
-    # new-geography leaves: batch z12 cells with no existing-leaf ancestor
-    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
-    covered = tag_cells(batch12, cells_df).select("quadkey")
-    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
-        F.col("quadkey").alias("cell")
-    )
-    plan = cells_df.unionByName(new_cells)
-
+    _, plan = _routing_plan(spark, m, df)
     tagged = tag_cells(df, plan).persist()
     try:
         counts = {
@@ -408,6 +398,25 @@ def append_rows(
     return m2
 
 
+def _routing_plan(spark: SparkSession, m: dict, df: DataFrame):
+    """(existing-cells df, routing plan df) for a batch of rows: existing
+    leaves plus a new z12 leaf for every batch quadkey outside all of them
+    (z12 cells are never proper prefixes of leaves, so the plan stays
+    prefix-disjoint and every row matches exactly one entry). Shared by
+    :func:`append_rows` and :func:`upsert_rows`."""
+    from ..operators.partition import tag_cells
+
+    cells_df = spark.createDataFrame(
+        [(p["cell"],) for p in m["partitions"]], "cell string"
+    )
+    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
+    covered = tag_cells(batch12, cells_df).select("quadkey")
+    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
+        F.col("quadkey").alias("cell")
+    )
+    return cells_df, cells_df.unionByName(new_cells)
+
+
 def upsert_rows(
     df: DataFrame,
     root: str,
@@ -416,19 +425,26 @@ def upsert_rows(
 ) -> dict:
     """MERGE by key: rows of ``df`` REPLACE existing rows with the same
     ``key`` and new keys insert — Iceberg-style copy-on-write at cell
-    granularity. Affected cells (those receiving upsert rows PLUS those
-    holding old versions of the upserted keys, which may differ when a
-    row's geometry moved) are rewritten as NEW files and the manifest swaps
-    to them in one new snapshot; unaffected cells are untouched and older
-    snapshots keep reading their original files (reclaim superseded ones
-    with :func:`expire_snapshots`).
+    granularity, in one new snapshot; older snapshots keep reading their
+    original files (reclaim superseded ones with :func:`expire_snapshots`).
+
+    Cells split two ways: REWRITE cells hold an old version of an upserted
+    key (their survivors are re-read via a manifest-pruned scan of just
+    those cells, anti-joined on the key set, and rewritten together with
+    the new rows as NEW files); APPEND-ONLY cells merely receive brand-new
+    keys and keep their existing files, gaining the new ones — no
+    copy-on-write amplification for pure inserts.
+
+    Guards (a MERGE must never corrupt the key invariant silently): the
+    batch may not contain duplicate keys, and every batch row must route to
+    a cell (a NULL/empty quadkey would otherwise delete the old version
+    while the replacement vanishes).
 
     Scale shape: the upsert batch is small relative to the table, so its
     key set broadcasts; finding old versions is one manifest-planned scan
     with a broadcast semi-join (at 10^12 rows the dominant cost, bounded by
-    a quadkey-prefix prune when the caller knows the affected geography).
-    Only affected cells are read again for the rewrite — the second scan
-    prunes to them via the manifest.
+    a quadkey-prefix prune when the caller knows the affected geography);
+    the rewrite scan reads only the rewrite cells' files.
     """
     from ..operators.partition import tag_cells
 
@@ -453,41 +469,52 @@ def upsert_rows(
     spark = df.sparkSession
     data_dir = os.path.join(root, "data")
 
-    cells_df = spark.createDataFrame(
-        [(p["cell"],) for p in m["partitions"]], "cell string"
-    )
-    # route upsert rows exactly like appends: existing leaf, else new z12
-    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
-    covered = tag_cells(batch12, cells_df).select("quadkey")
-    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
-        F.col("quadkey").alias("cell")
-    )
-    plan = cells_df.unionByName(new_cells)
+    cells_df, plan = _routing_plan(spark, m, df)
     tagged = tag_cells(df, plan).persist()
     try:
-        keys_df = df.select(key).distinct()
-        old = tag_cells(read_table(spark, root), cells_df)
-        old_hit_cells = {
-            r["cell"]
-            for r in old.join(F.broadcast(keys_df), key, "left_semi")
-            .select("cell")
-            .distinct()
-            .collect()
-        }
+        n_batch = df.count()
+        n_dup_keys = (
+            df.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if n_dup_keys:
+            raise ValueError(
+                f"upsert batch contains duplicate {key} values; a MERGE "
+                "source must be key-unique"
+            )
         new_counts = {
             r["cell"]: r["n"]
             for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
         }
-        affected = sorted(old_hit_cells | set(new_counts))
+        if sum(new_counts.values()) != n_batch:
+            raise ValueError(
+                f"{n_batch - sum(new_counts.values())} upsert rows have a "
+                "NULL or un-routable quadkey; refusing (the old versions "
+                "would be deleted with no replacement written)"
+            )
+        keys_df = df.select(key).distinct()
+        old_all = tag_cells(read_table(spark, root), cells_df)
+        rewrite = sorted(
+            r["cell"]
+            for r in old_all.join(F.broadcast(keys_df), key, "left_semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        append_cells = sorted(set(new_counts) - set(rewrite))
+        affected = sorted(set(rewrite) | set(new_counts))
         if not affected:
             return m
-        aff_df = spark.createDataFrame([(c,) for c in affected], "cell string")
-        survivors = old.join(F.broadcast(aff_df), "cell").join(
-            F.broadcast(keys_df), key, "left_anti"
-        )
-        merged = survivors.unionByName(
-            tagged.select(*survivors.columns)
-        ).persist()
+        if rewrite:
+            rw_df = spark.createDataFrame([(c,) for c in rewrite], "cell string")
+            survivors = (
+                tag_cells(read_table_cells(spark, root, rewrite), cells_df)
+                .join(F.broadcast(rw_df), "cell")
+                .join(F.broadcast(keys_df), key, "left_anti")
+            )
+            merged = survivors.unionByName(tagged.select(*survivors.columns))
+        else:
+            merged = tagged
+        merged = merged.persist()
         counts = {
             r["cell"]: r["n"]
             for r in merged.groupBy("cell").agg(F.count("*").alias("n")).collect()
@@ -514,32 +541,52 @@ def upsert_rows(
         merged.unpersist()
     finally:
         tagged.unpersist()
-    parts = []
-    for p in m["partitions"]:
-        if p["cell"] not in affected:
-            parts.append(dict(p))
+    by_cell = {p["cell"]: p for p in m["partitions"]}
+    parts = [dict(p) for p in m["partitions"] if p["cell"] not in affected]
+    new_file_paths: list[str] = []
     for cell in affected:
-        n = counts.get(cell, 0)
-        if n == 0:
-            continue  # every row of this cell moved or was replaced away
-        files = sorted(
+        post = sorted(
             set(glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet")))
             - pre_files[cell]
         )
-        rel = [os.path.relpath(f, root) for f in files]
-        parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
+        rel = [os.path.relpath(f, root) for f in post]
+        new_file_paths.extend(post)
+        if cell in append_cells and cell in by_cell:
+            prior = by_cell[cell]
+            parts.append(
+                {
+                    **dict(prior),
+                    "files": prior["files"] + rel,
+                    "n_rows": prior["n_rows"] + counts.get(cell, 0),
+                }
+            )
+        else:
+            n = counts.get(cell, 0)
+            if n == 0:
+                continue  # every row of this cell moved or was replaced away
+            parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
     parts.sort(key=lambda p: p["cell"])
+    metrics2 = {
+        **m["metrics"],
+        "upserted_batches": m["metrics"].get("upserted_batches", 0) + 1,
+        "rows_upserted": m["metrics"].get("rows_upserted", 0)
+        + sum(new_counts.values()),
+    }
+    # keep the kNN exactness bound current, exactly as append_rows does:
+    # replacement geometry can raise the corpus anchor offset
+    if "max_anchor_offset_m" in m["metrics"] and new_file_paths:
+        from ..operators.knn import corpus_anchor_offset_m
+
+        metrics2["max_anchor_offset_m"] = max(
+            m["metrics"]["max_anchor_offset_m"],
+            corpus_anchor_offset_m(spark.read.parquet(*new_file_paths)),
+        )
     m2 = {
         **{k: v for k, v in m.items() if k == "schema"},
         "snapshot_id": m["snapshot_id"] + 1,
         "parent_id": m["snapshot_id"],
         "partitions": parts,
-        "metrics": {
-            **m["metrics"],
-            "upserted_batches": m["metrics"].get("upserted_batches", 0) + 1,
-            "rows_upserted": m["metrics"].get("rows_upserted", 0)
-            + sum(new_counts.values()),
-        },
+        "metrics": metrics2,
     }
     _commit_manifest(root, m2)
     return m2

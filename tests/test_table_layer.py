@@ -387,3 +387,35 @@ def test_upsert_rows_merge_and_immutability(spark, enriched, tmp_path):
     assert old.filter(F.col("doc_id") == "doc-upsert-new").count() == 0
     o = old.filter(F.col("doc_id") == upd["doc_id"]).collect()
     assert o[0]["area_m2"] != 123456.0
+
+
+def test_upsert_guards_and_append_only_cells(spark, enriched, tmp_path):
+    """Duplicate-key and un-routable-row batches are refused; pure-insert
+    cells keep their existing files (append, not copy-on-write)."""
+    root = str(tmp_path / "tbl")
+    tbl.write_partitioned(enriched, root, max_per_file=500)
+    man1 = tbl.current_manifest(root)
+    schema = tbl.read_table(spark, root).schema
+
+    row = tbl.read_table(spark, root).limit(1).collect()[0].asDict()
+
+    dup = spark.createDataFrame([row, row], schema)
+    with pytest.raises(ValueError, match="duplicate"):
+        tbl.upsert_rows(dup, root, key="doc_id")
+
+    bad = dict(row)
+    bad["doc_id"], bad["quadkey"] = "doc-null-qk", None
+    with pytest.raises(ValueError, match="un-routable"):
+        tbl.upsert_rows(spark.createDataFrame([bad], schema), root, key="doc_id")
+
+    # pure insert into an existing cell: files are appended, never replaced
+    tgt = man1["partitions"][0]
+    ins = dict(row)
+    ins["doc_id"] = "doc-ins-1"
+    ins["quadkey"] = tgt["cell"] + "0" * (12 - len(tgt["cell"]))
+    m2 = tbl.upsert_rows(spark.createDataFrame([ins], schema), root, key="doc_id")
+    p2 = next(p for p in m2["partitions"] if p["cell"] == tgt["cell"])
+    assert set(tgt["files"]) <= set(p2["files"])      # old files retained
+    assert len(p2["files"]) > len(tgt["files"])       # plus new ones
+    assert p2["n_rows"] == tgt["n_rows"] + 1
+    assert tbl.read_table(spark, root).count() == enriched.count() + 1
