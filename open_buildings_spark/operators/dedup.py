@@ -219,7 +219,14 @@ def connected_components(ids: DataFrame, pairs: DataFrame) -> DataFrame:
     edges.unpersist()
     for old in to_free:
         old.unpersist()
-    return labels
+    # hand back an UNCACHED result with truncated lineage: localCheckpoint
+    # materializes the final labels (eager) so the iterative join chain is
+    # cut, then the persisted working copy is released — without this every
+    # call leaked one cached label table into executor storage for the
+    # session lifetime
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    return out
 
 
 def neardup_clusters(
@@ -235,8 +242,13 @@ def neardup_clusters(
     tagged with its component's minimum id, and singletons keep themselves
     with cluster_size 1. 'Keep one doc per cluster' is then a filter on
     doc_id = canonical_id."""
+    if id_col != "doc_id":
+        # the minhash/shingle pipeline underneath keys on 'doc_id'
+        if "doc_id" in df.columns:
+            df = df.drop("doc_id")
+        df = df.withColumnRenamed(id_col, "doc_id")
     pairs = minhash_lsh_dedup(df, threshold, k, bands).select("a", "b")
-    ids = df.select(F.col(id_col).alias("id")).distinct()
+    ids = df.select(F.col("doc_id").alias("id")).distinct()
     labels = connected_components(ids, pairs)
     sizes = labels.groupBy("canonical_id").agg(
         F.count("*").alias("cluster_size")

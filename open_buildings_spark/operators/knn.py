@@ -235,9 +235,12 @@ _MAX_ABS_LAT = 85.05  # web-mercator clip
 
 
 def _tile_x_col(lon, zoom: int):
+    """UNCLAMPED x tile index — may be < 0 or >= 2^zoom when the radius
+    margin crosses the antimeridian; the cover explode wraps it with pmod
+    (clamping instead would silently drop true neighbors across lon=±180,
+    where the x axis is cyclic)."""
     n = 1 << zoom
-    t = F.floor((lon + 180.0) / 360.0 * n).cast("long")
-    return F.greatest(F.lit(0).cast("long"), F.least(t, F.lit(n - 1).cast("long")))
+    return F.floor((lon + 180.0) / 360.0 * n).cast("long")
 
 
 def _tile_y_col(lat, zoom: int):
@@ -311,14 +314,25 @@ def knn_join(
         F.col("lon").alias("_plon"),
         F.col("lat").alias("_plat"),
     )
+    n_tiles = 1 << ZOOM
     p = (
         p.withColumn("_x0", _tile_x_col(F.col("_plon") - dlon, ZOOM))
-        .withColumn("_x1", _tile_x_col(F.col("_plon") + dlon, ZOOM))
+        # cap the x span at one full ring so a degenerate margin (huge
+        # radius at extreme latitude) covers each tile at most once
+        .withColumn(
+            "_x1",
+            F.least(
+                _tile_x_col(F.col("_plon") + dlon, ZOOM),
+                F.col("_x0") + F.lit(n_tiles - 1).cast("long"),
+            ),
+        )
         .withColumn("_y0", _tile_y_col(F.col("_plat") + dlat, ZOOM))
         .withColumn("_y1", _tile_y_col(F.col("_plat") - dlat, ZOOM))
     )
     cells = (
-        p.withColumn("_ctx", F.explode(F.sequence("_x0", "_x1")))
+        p.withColumn("_ctx_raw", F.explode(F.sequence("_x0", "_x1")))
+        # wrap at the antimeridian: x is cyclic, so tile -1 is tile n-1
+        .withColumn("_ctx", F.pmod(F.col("_ctx_raw"), F.lit(n_tiles).cast("long")))
         .withColumn("_cty", F.explode(F.sequence("_y0", "_y1")))
         .withColumn("quadkey", quadkey_from_tiles_col(F.col("_ctx"), F.col("_cty"), ZOOM))
         .select("_pid", "_plon", "_plat", "quadkey")

@@ -78,14 +78,18 @@ def hash_split(
     membership is a pure function of the id: adding or removing other rows
     never moves a document between splits (the property random splits lack).
     """
-    if not 0 <= train_per_4096 + val_per_4096 <= 4096:
+    if train_per_4096 < 0 or val_per_4096 < 0:
+        raise ValueError("split quotas must be non-negative")
+    if train_per_4096 + val_per_4096 > 4096:
         raise ValueError("train_per_4096 + val_per_4096 must be <= 4096")
-    t_edge = format(train_per_4096, "03x")
-    v_edge = format(train_per_4096 + val_per_4096, "03x")
-    pfx = F.substring(_id_hash(id_col), 1, 3)
+    # compare the 3-hex-digit prefix as an INTEGER: a boundary of exactly
+    # 4096 formats to the 4-char '1000', which a 3-char prefix can never
+    # reach lexicographically ('f00' < '1000' is false) — string compare
+    # would silently dump ~94% of an all-train split into 'test'
+    pfx = F.conv(F.substring(_id_hash(id_col), 1, 3), 16, 10).cast("int")
     return df.withColumn(
         "split",
-        F.when(pfx < F.lit(t_edge), F.lit("train"))
-        .when(pfx < F.lit(v_edge), F.lit("val"))
+        F.when(pfx < F.lit(train_per_4096), F.lit("train"))
+        .when(pfx < F.lit(train_per_4096 + val_per_4096), F.lit("val"))
         .otherwise(F.lit("test")),
     )

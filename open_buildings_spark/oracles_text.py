@@ -427,12 +427,13 @@ FROM r WHERE sample_rank <= 40
 
     from .operators.sampling import TRAIN_PER_4096, VAL_PER_4096
 
-    t_edge = format(TRAIN_PER_4096, "03x")
-    v_edge = format(TRAIN_PER_4096 + VAL_PER_4096, "03x")
+    # integer compare of the 3-hex-digit prefix (mirrors hash_split — a
+    # string compare breaks at the 4096 boundary, where the edge is 4 chars)
+    _pfx = _hex_bigint("substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)")
     sqls["t_hash_split"] = f"""
 SELECT doc_id,
-       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{t_edge}' THEN 'train'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{v_edge}' THEN 'val'
+       CASE WHEN {_pfx} < {TRAIN_PER_4096} THEN 'train'
+            WHEN {_pfx} < {TRAIN_PER_4096 + VAL_PER_4096} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """

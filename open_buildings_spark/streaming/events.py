@@ -180,7 +180,13 @@ def sessionize_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(600):
+        # returning the memory table mid-stream would silently hand the
+        # caller (and the correctness gate) a truncated session set
+        q.stop()
+        raise TimeoutError(
+            f"stateful sessionizer did not drain within 600s (query {name})"
+        )
     return spark.table(name).select(
         "user_id",
         "session_id",

@@ -97,12 +97,19 @@ def ingest_to_table(
 
     def commit_batch(bdf, batch_id: int) -> None:
         if tbl.current_manifest(table_root) is None:
-            m = tbl.write_partitioned(bdf, table_root, max_per_file=max_per_file)
-            # stamp the batch id into the bootstrap snapshot (same-id metric
-            # patch): a crash between this commit and the checkpoint ack
-            # replays batch 0, and append_rows' guard must see it as done
-            m["metrics"]["last_append_batch_id"] = batch_id
-            tbl._commit_manifest(table_root, m)
+            # the batch id is stamped INSIDE write_partitioned's single
+            # final commit (extra_metrics), so the bootstrap is atomic:
+            # either no manifest exists (a replayed batch 0 bootstraps
+            # cleanly; files from the crashed attempt sit unreferenced) or
+            # the manifest already proves batch 0 done and append_rows'
+            # guard no-ops the replay — no window where data committed but
+            # the watermark didn't
+            tbl.write_partitioned(
+                bdf,
+                table_root,
+                max_per_file=max_per_file,
+                extra_metrics={"last_append_batch_id": batch_id},
+            )
         else:
             tbl.append_rows(bdf, table_root, batch_id=batch_id,
                             max_per_file=max_per_file)

@@ -81,6 +81,7 @@ def write_partitioned(
     cells_per_commit: int = 0,
     fail_after_commits: int = -1,
     store_anchor_offset: bool = True,
+    extra_metrics: dict | None = None,
 ) -> dict:
     """Adaptive-cell partitioned write with manifest commits.
 
@@ -93,7 +94,11 @@ def write_partitioned(
        (0 = single commit at the end).
 
     ``fail_after_commits`` >= 0 raises after that many commits — the
-    kill/resume test hook. Returns the final manifest.
+    kill/resume test hook. ``extra_metrics`` merges into the FINAL
+    commit's metrics only (never intermediate group commits), so a caller
+    can stamp bookkeeping — e.g. the streaming bootstrap's
+    ``last_append_batch_id`` — atomically with the data becoming visible.
+    Returns the final manifest.
     """
     from ..operators.partition import partition_plan
 
@@ -222,6 +227,7 @@ def write_partitioned(
                     "files": [os.path.relpath(p, root) for p in files],
                 }
             )
+        is_final_group = group is groups[-1]
         m = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent_id": m["snapshot_id"],
@@ -233,6 +239,9 @@ def write_partitioned(
                 + sum(r["n_rows"] for r in group),
                 "recomputed_cells": m["metrics"]["recomputed_cells"] + len(group),
                 "max_per_file": max_per_file,
+                # final commit only: a partially-committed build must not
+                # carry caller bookkeeping that marks it complete
+                **(extra_metrics if is_final_group and extra_metrics else {}),
             },
         }
         _commit_manifest(root, m)
@@ -325,35 +334,23 @@ def append_rows(
             for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
         }
         if not counts:
+            if batch_id is None:
+                return m
             m2 = {
                 **m,
                 "snapshot_id": m["snapshot_id"] + 1,
                 "parent_id": m["snapshot_id"],
                 "metrics": {**m["metrics"], "last_append_batch_id": batch_id},
             }
-            if batch_id is not None:
-                _commit_manifest(root, m2)
-                return m2
-            return m
+            _commit_manifest(root, m2)
+            return m2
         pre_files = {
             cell: set(
                 glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet"))
             )
             for cell in counts
         }
-        n_writers = (
-            max(1, -(-sum(counts.values()) // cap))
-            if cap
-            else int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        )
-        (
-            tagged.repartition(n_writers, F.col("cell"))
-            .sortWithinPartitions("cell", "quadkey")
-            .write.mode("append")
-            .partitionBy("cell")
-            .option("compression", "snappy")
-            .parquet(data_dir)
-        )
+        _write_cells_salted(tagged, counts, cap, data_dir)
     finally:
         tagged.unpersist()
     by_cell = {p["cell"]: p for p in m["partitions"]}
@@ -375,7 +372,10 @@ def append_rows(
     metrics2 = {
         **m["metrics"],
         "rows_written": m["metrics"]["rows_written"] + sum(counts.values()),
-        "last_append_batch_id": batch_id,
+        # a manual append (batch_id=None) must NOT reset the streaming
+        # replay watermark — clobbering it to null would let a crashed
+        # stream re-deliver its last batch past the exactly-once guard
+        "last_append_batch_id": batch_id if batch_id is not None else last,
         "appended_batches": m["metrics"].get("appended_batches", 0) + 1,
     }
     # keep the kNN exactness bound current: max with the appended files'
@@ -396,6 +396,51 @@ def append_rows(
     }
     _commit_manifest(root, m2)
     return m2
+
+
+def _write_cells_salted(
+    df: DataFrame, counts: dict, cap: int | None, data_dir: str
+) -> None:
+    """Append (cell, ...) rows into hive cell dirs honoring the per-file
+    row cap via the same data-driven salting as ``write_partitioned``:
+    cells over the cap shard into ceil(n/cap) doc-hash buckets so no
+    single writer task (and no expected output file) exceeds the cap —
+    without it, repartition-by-cell funnels a dense cell's whole append
+    into ONE task and one oversized file. Shared by :func:`append_rows`
+    and :func:`upsert_rows` (rows must carry ``doc_id`` for the salt).
+    """
+    spark = df.sparkSession
+    if cap:
+        over = [(c, -(-n // cap)) for c, n in counts.items() if n > cap]
+        if over:
+            shards_df = F.broadcast(
+                spark.createDataFrame(over, "cell string, _shards int")
+            )
+            df = (
+                df.join(shards_df, "cell", "left")
+                .withColumn(
+                    "_salt",
+                    F.when(
+                        F.col("_shards").isNotNull(),
+                        F.pmod(F.hash(F.col("doc_id")), F.col("_shards")),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_shards")
+            )
+        else:
+            df = df.withColumn("_salt", F.lit(0))
+        n_writers = max(1, -(-sum(counts.values()) // cap))
+        df = df.repartition(n_writers, F.col("cell"), F.col("_salt")).drop("_salt")
+    else:
+        n_writers = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        df = df.repartition(n_writers, F.col("cell"))
+    (
+        df.sortWithinPartitions("cell", "quadkey")
+        .write.mode("append")
+        .partitionBy("cell")
+        .option("compression", "snappy")
+        .parquet(data_dir)
+    )
 
 
 def _routing_plan(spark: SparkSession, m: dict, df: DataFrame):
@@ -525,19 +570,7 @@ def upsert_rows(
             )
             for cell in affected
         }
-        n_writers = (
-            max(1, -(-sum(counts.values()) // cap))
-            if cap
-            else int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        )
-        (
-            merged.repartition(n_writers, F.col("cell"))
-            .sortWithinPartitions("cell", "quadkey")
-            .write.mode("append")
-            .partitionBy("cell")
-            .option("compression", "snappy")
-            .parquet(data_dir)
-        )
+        _write_cells_salted(merged, counts, cap, data_dir)
         merged.unpersist()
     finally:
         tagged.unpersist()
@@ -777,7 +810,14 @@ def compact_cells(
         return 1 if not cap else -(-p["n_rows"] // cap)
 
     todo = [
-        p for p in m["partitions"] if len(p["files"]) > max(max_files, needed(p))
+        p
+        for p in m["partitions"]
+        if len(p["files"]) > max(max_files, needed(p))
+        # under-sharded: fewer files than the cap requires means the cell's
+        # average file exceeds the row cap (the manifest tracks rows per
+        # cell, not per file) — select it so the cap-rolling writer below
+        # re-shards the oversized file(s)
+        or (cap and len(p["files"]) < needed(p))
     ]
     if not todo:
         return m

@@ -752,3 +752,47 @@ def test_dup_span_ops_match_bruteforce_model(spark):
             for r in dedup.dup_span_cut(df, window=W).collect()
         }
         assert got_cut == want_cut, f"cut mismatch seed={seed}"
+
+
+def test_hash_split_full_train_boundary(spark):
+    """train=4096 (all-train) must label every row train — the former
+    3-char-vs-4-char lexicographic compare silently sent ~94% to test."""
+    from open_buildings_spark.operators import sampling
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    got = sampling.hash_split(df, train_per_4096=4096, val_per_4096=0)
+    assert got.filter(F.col("split") != "train").count() == 0
+
+    got2 = sampling.hash_split(df, train_per_4096=3686, val_per_4096=410)
+    assert got2.filter(F.col("split") == "test").count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-negative"):
+        sampling.hash_split(df, train_per_4096=-1, val_per_4096=4097)
+
+
+def test_knn_join_wraps_antimeridian(spark):
+    """A point at lon=179.99 must find a doc at lon=-179.995 (~1.1 km away
+    across the antimeridian) — the x tile cover wraps, never clamps."""
+    from open_buildings_spark.functions import quadkey_from_tiles_col
+    from open_buildings_spark.operators import knn as knn_op
+
+    docs = spark.createDataFrame(
+        [("d-east", 179.995, 0.0), ("d-west", -179.995, 0.0), ("d-far", -170.0, 0.0)],
+        "doc_id string, lon double, lat double",
+    )
+    n = 1 << 12
+    tx = F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long")
+    ty = F.lit(n // 2).cast("long")  # equator row
+    docs = docs.withColumn("quadkey", quadkey_from_tiles_col(tx, ty, 12))
+    pts = spark.createDataFrame(
+        [("p1", 179.99, 0.0)], "place_id string, lon double, lat double"
+    )
+    got = {
+        r["doc_id"]
+        for r in knn_op.knn_join(
+            pts, docs, k=3, radius_m=3000.0, anchor_offset_m=0.0
+        ).collect()
+    }
+    assert got == {"d-east", "d-west"}  # west neighbor found via wrap

@@ -220,16 +220,37 @@ def test_compaction_time_travel_and_expiry(spark, enriched, tmp_path):
     assert multi, "need a multi-file cell to compact"
     n_files_before = sum(len(p["files"]) for p in m1["partitions"])
 
-    # default compaction must SKIP the salted cells: their file count
-    # already equals the north_rule shard count (ADVICE: never collapse a
-    # deliberately-sharded megacity cell back into one file/task)
-    assert tbl.compact_cells(spark, root)["snapshot_id"] == m1["snapshot_id"]
+    # default compaction: a properly-sharded salted cell (file count ==
+    # its shard count at the stored cap) is SKIPPED (ADVICE: never collapse
+    # a deliberately-sharded megacity cell back into one file/task); a cell
+    # whose salt shards hash-collided into FEWER, over-cap files is
+    # re-sharded (under-sharded condition)
+    def needed(p, cap):
+        return max(1, -(-p["n_rows"] // cap))
+
+    ok_before = {
+        p["cell"]: p["files"]
+        for p in m1["partitions"]
+        if len(p["files"]) == needed(p, 50)
+    }
+    tbl.compact_cells(spark, root)
+    base = tbl.current_manifest(root)
+    for p in base["partitions"]:
+        if p["cell"] in ok_before:
+            assert p["files"] == ok_before[p["cell"]], "sharded cell rewritten"
+        assert len(p["files"]) >= needed(p, 50), "under-sharded cell remains"
 
     # a looser explicit cap re-shards: ceil(n/200) files, each <= 200 rows
     cap = 200
+    expect = [
+        p
+        for p in base["partitions"]
+        if len(p["files"]) > max(1, needed(p, cap))
+        or len(p["files"]) < needed(p, cap)
+    ]
     m2 = tbl.compact_cells(spark, root, max_files=1, max_rows_per_file=cap)
-    assert m2["snapshot_id"] == m1["snapshot_id"] + 1
-    assert m2["metrics"]["compacted_cells"] == len(multi)
+    assert m2["snapshot_id"] == base["snapshot_id"] + 1
+    assert m2["metrics"]["compacted_cells"] == len(expect)
     for p in m2["partitions"]:
         assert len(p["files"]) == max(1, -(-p["n_rows"] // cap)), p
     assert sum(p["n_rows"] for p in m2["partitions"]) == total
