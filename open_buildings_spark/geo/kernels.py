@@ -168,6 +168,11 @@ def _pip_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray):
     on = (np.abs(cross) <= _EPS * np.maximum(1.0, np.sqrt(seglen2))) & (dot >= -_EPS) & (
         dot <= seglen2 + _EPS
     )
+    # a zero-length segment (duplicate consecutive vertex, common in real
+    # data) has cross=0 and dot∈[0,0] for EVERY point — without this mask
+    # one degenerate segment flags the entire batch as on-boundary (the
+    # shared vertex is still caught by its adjacent non-degenerate segments)
+    on &= seglen2 > 0.0
     return (crossings % 2).astype(bool), on.any(axis=1)
 
 
@@ -310,10 +315,13 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
     bb = bboxes(batch)
     with np.errstate(invalid="ignore"):
         bbox_overlap = (bb[:, 2] >= ow) & (bb[:, 0] <= oe) & (bb[:, 3] >= os_) & (bb[:, 1] <= on)
-        contains_other_bbox = (bb[:, 0] <= ow) & (bb[:, 2] >= oe) & (bb[:, 1] <= os_) & (bb[:, 3] >= on)
 
-    # other's vertices inside geometry (covers geom-contains-other)
-    rest = np.nonzero(~out & contains_other_bbox)[0]
+    # other's vertices inside/on the geometry: covers geom-contains-other
+    # AND touch-only contact (the other's vertex resting on this geometry's
+    # edge — no proper crossing, no vertex of THIS geometry in the other —
+    # is still ST_Intersects; gating this on full bbox containment missed
+    # every such border-touch, so it runs for any bbox overlap)
+    rest = np.nonzero(~out & bbox_overlap)[0]
     for g in rest:
         rings_g = [
             (batch.ring(r), bool(batch.ring_is_hole[r]))

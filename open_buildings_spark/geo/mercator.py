@@ -33,8 +33,11 @@ MERCATOR_LAT_LIMIT = 85.051129  # web-mercator clamp
 
 
 def _xy01(lng: float, lat: float) -> tuple[float, float]:
-    """Project lon/lat (deg) to web-mercator unit square [0,1]^2."""
+    """Project lon/lat (deg) to web-mercator unit square [0,1]^2. Latitude
+    clamps to the mercator limit like the vectorized twin (tiles_np) —
+    lat=±90 would otherwise divide by zero / take log(0)."""
     x = lng / 360.0 + 0.5
+    lat = max(-MERCATOR_LAT_LIMIT, min(MERCATOR_LAT_LIMIT, lat))
     sinlat = math.sin(math.radians(lat))
     y = 0.5 - 0.25 * math.log((1.0 + sinlat) / (1.0 - sinlat)) / math.pi
     return x, y

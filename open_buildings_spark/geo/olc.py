@@ -54,9 +54,6 @@ def encode_np(lat: np.ndarray, lon: np.ndarray, code_length: int = 10) -> np.nda
     # 2.5e7 = 8000 * 3125 (pairs resolution 20^-3 deg => *8000; grid rows 5^5)
     # 8.192e6 = 8000 * 1024 (grid cols 4^5)
 
-    codes = np.empty((n, max(code_length, _PAIR_CODE_LEN) + 1), dtype="U1")
-    codes[:] = ""
-
     grid_chars = np.zeros((n, 5), dtype=np.int64)
     if code_length > _PAIR_CODE_LEN:
         lat_g = lat_val.copy()

@@ -62,12 +62,15 @@ def _floats(text: str) -> np.ndarray:
         return np.fromstring(text.replace(",", " "), dtype=np.float64, sep=" ")
 
 
-def _floats_bulk(text: str, expected: int) -> np.ndarray:
+def _floats_bulk(text: str, expected: int) -> np.ndarray | None:
     """Parse a big "x y, x y, ..." blob. pyarrow's CSV float parser is ~2.5x
     faster than np.fromstring and bit-identical; single-threaded on purpose
     (this runs inside a Spark python worker — spawning a thread pool per
-    batch would oversubscribe the executor). Falls back to the numpy parser
-    when the blob isn't the regular two-floats-per-pair shape."""
+    batch would oversubscribe the executor). Falls back to the numpy parser;
+    returns None when NEITHER parser yields exactly ``expected`` finite
+    floats — the caller must then reroute row-by-row, because a short/long
+    result reshaped against precomputed offsets would silently shift every
+    later row's coordinates."""
     import io
 
     import pyarrow as pa
@@ -91,7 +94,10 @@ def _floats_bulk(text: str, expected: int) -> np.ndarray:
             return out
     except Exception:
         pass
-    return _floats(text)
+    out = _floats(text)
+    if len(out) == expected and not np.isnan(out).any():
+        return out
+    return None
 
 
 def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) -> int:
@@ -100,8 +106,10 @@ def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) 
     up = s[:20].upper()
     if up.startswith("POINT"):
         body = s[s.index("(") + 1 : s.rindex(")")]
-        xy = _floats(body).reshape(1, 2)
-        rings.append(xy)
+        xy = _floats(body)
+        if len(xy) != 2:
+            raise ValueError(f"non-2D POINT: {s[:40]!r}")
+        rings.append(xy.reshape(1, 2))
         ring_geom.append(g)
         ring_hole.append(False)
         return GT_POINT
@@ -130,7 +138,12 @@ def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) 
             if (gtype == GT_POLYGON and depth == 1) or (
                 gtype == GT_MULTIPOLYGON and depth == 2
             ):
-                xy = _floats(body[start:i])
+                seg = body[start:i]
+                xy = _floats(seg)
+                # 2 floats per comma-separated vertex, exactly — unmarked-3D
+                # or malformed coordinates would otherwise re-pair silently
+                if len(xy) != 2 * (seg.count(",") + 1):
+                    raise ValueError(f"non-2D/malformed ring: {seg[:40]!r}")
                 rings.append(xy.reshape(-1, 2))
                 ring_geom.append(g)
                 ring_hole.append(ring_idx_in_part > 0)
@@ -165,14 +178,23 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
     # parsed in ONE bulk pass and kept as ONE contiguous block (no per-ring
     # views, no re-concatenation)
     simple_idx = np.nonzero(simple_mask)[0]
+    parsed = None
     if len(simple_idx):
         inner = s.iloc[simple_idx].str.slice(10, -2)
         counts = (inner.str.count(",") + 1).to_numpy(dtype=np.int64)
         blob = inner.str.cat(sep=",")
-        fast_coords = _floats_bulk(blob, int(counts.sum()) * 2).reshape(-1, 2)
+        parsed = _floats_bulk(blob, int(counts.sum()) * 2)
+    if parsed is not None:
+        fast_coords = parsed.reshape(-1, 2)
         fast_offs = np.concatenate([[0], np.cumsum(counts)])
         gtype[simple_idx] = GT_POLYGON
     else:
+        # one malformed 'simple' row (e.g. unmarked-3D coordinates) would
+        # misalign the shared contiguous block for every other simple row;
+        # reroute the whole set through the per-row path, which degrades
+        # exactly the bad rows to GT_MISSING
+        simple_mask[:] = False
+        simple_idx = np.empty(0, dtype=np.int64)
         fast_coords = np.empty((0, 2), dtype=np.float64)
         fast_offs = np.zeros(1, dtype=np.int64)
 
@@ -313,12 +335,21 @@ def parse_wkb(buf: bytes):
     if buf is None or len(buf) == 0:
         return GT_MISSING, []
     bo = "<" if buf[0] == 1 else ">"
-    (code,) = struct.unpack_from(f"{bo}I", buf, 1)
-    code = code % 1000  # tolerate EWKB-ish SRID-less flags
+    (raw,) = struct.unpack_from(f"{bo}I", buf, 1)
+    # ISO WKB Z/M/ZM codes (base + 1000/2000/3000) carry extra doubles per
+    # point: read the true point width and project to 2D — decoding them as
+    # 2D would walk the byte stream misaligned and yield garbage coordinates
+    extra = 0
+    code = raw
+    if 1000 <= raw < 4000:
+        extra = (1, 1, 2)[raw // 1000 - 1]
+        code = raw % 1000
+    dims = 2 + extra
+    psz = 8 * dims
     off = 5
     if code == GT_POINT:
-        x, y = struct.unpack_from(f"{bo}dd", buf, off)
-        return GT_POINT, [(np.array([[x, y]]), False)]
+        vals = struct.unpack_from(f"{bo}{dims}d", buf, off)
+        return GT_POINT, [(np.array([[vals[0], vals[1]]]), False)]
     if code == GT_POLYGON:
         (nr,) = struct.unpack_from(f"{bo}I", buf, off)
         off += 4
@@ -326,8 +357,10 @@ def parse_wkb(buf: bytes):
         for i in range(nr):
             (npts,) = struct.unpack_from(f"{bo}I", buf, off)
             off += 4
-            arr = np.frombuffer(buf, dtype=f"{bo}f8", count=npts * 2, offset=off).reshape(-1, 2)
-            off += npts * 16
+            arr = np.frombuffer(
+                buf, dtype=f"{bo}f8", count=npts * dims, offset=off
+            ).reshape(-1, dims)[:, :2]
+            off += npts * psz
             rings.append((arr, i > 0))
         return GT_POLYGON, rings
     if code == GT_MULTIPOLYGON:
@@ -341,11 +374,13 @@ def parse_wkb(buf: bytes):
             for i in range(nr):
                 (npts,) = struct.unpack_from(f"{bo}I", buf, off)
                 off += 4
-                arr = np.frombuffer(buf, dtype=f"{bo}f8", count=npts * 2, offset=off).reshape(-1, 2)
-                off += npts * 16
+                arr = np.frombuffer(
+                    buf, dtype=f"{bo}f8", count=npts * dims, offset=off
+                ).reshape(-1, dims)[:, :2]
+                off += npts * psz
                 rings.append((arr, i > 0))
         return GT_MULTIPOLYGON, rings
-    raise ValueError(f"unsupported WKB geometry code {code}")
+    raise ValueError(f"unsupported WKB geometry code {raw}")
 
 
 def wkb_from_batch(batch: GeomBatch) -> np.ndarray:

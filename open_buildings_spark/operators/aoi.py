@@ -32,13 +32,21 @@ def first_vertex_xy(wkt_col: str = "wkt"):
     %.17g so the string->double cast is exact) — ~10x cheaper than shipping
     the row through Arrow to the parse kernel. POINTs have no comma so a
     trailing ')' may remain — translate strips it."""
-    first = F.split(
-        F.translate(
-            F.substring_index(F.substring_index(F.col(wkt_col), ",", 1), "(", -1),
-            ")",
-            "",
+    first = F.filter(
+        F.split(
+            F.translate(
+                F.substring_index(
+                    F.substring_index(F.col(wkt_col), ",", 1), "(", -1
+                ),
+                ")",
+                "",
+            ),
+            " ",
         ),
-        " ",
+        # drop empty tokens: non-canonical-but-valid WKT like 'POLYGON (( 30
+        # 10, ...' splits to a leading '' whose double-cast is NULL, and a
+        # NULL prefilter would silently exclude a genuinely-within row
+        lambda t: t != F.lit(""),
     )
     fx = F.element_at(first, 1).cast("double")
     fy = F.element_at(first, 2).cast("double")
@@ -72,6 +80,13 @@ def aoi_query(
     prefix = mercator.geojson_to_quadkey(aoi_feature)
 
     df = docs
+    if country_iso is not None and "country_iso" not in df.columns:
+        # never silently return the all-countries superset the caller
+        # explicitly asked to narrow
+        raise ValueError(
+            "country_iso filter requested but docs has no country_iso "
+            "column; enrich with add_geo_columns(countries=...) first"
+        )
     pre_enriched = "quadkey" in df.columns
     within = make_within_aoi(aoi_feature)
     if pre_enriched:

@@ -240,6 +240,11 @@ def make_within_pairs():
         order = np.argsort(codes, kind="stable")
         sorted_codes = codes[order]
         ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
+        # same contiguous-range trick for the AOI side: geom_rings(u) is an
+        # O(n_rings) scan, which per unique AOI would make the loop
+        # O(uniques x rings) — searchsorted once gives each AOI's ring
+        # range in O(log)
+        ab_ring_start = np.searchsorted(ab.ring_geom, np.arange(ab.n_geoms + 1))
         bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
         for u in range(len(uniques)):
             lo, hi = bounds[u], bounds[u + 1]
@@ -247,7 +252,8 @@ def make_within_pairs():
                 continue
             idx = order[lo:hi]  # ascending (stable sort) — _gather_batch needs it
             rings = [
-                (ab.ring(j), bool(ab.ring_is_hole[j])) for j in ab.geom_rings(u)
+                (ab.ring(j), bool(ab.ring_is_hole[j]))
+                for j in range(ab_ring_start[u], ab_ring_start[u + 1])
             ]
             if not rings:
                 continue

@@ -331,3 +331,75 @@ def test_parse_wkt_batch_degrades_malformed_rows():
     # ring bookkeeping stays consistent: only the good rows own rings
     assert set(b.ring_geom.tolist()) == {0, 5}
     assert b.ring_offsets[-1] == len(b.coords)
+
+
+def test_degenerate_ring_segment_boundary():
+    """A duplicate consecutive vertex (zero-length segment) must not flag
+    every point as on-boundary."""
+    import numpy as np
+    from open_buildings_spark.geo import kernels
+
+    ring = np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    )
+    pts = np.array([[0.5, 0.5], [2.0, 2.0], [1.0, 0.0]])
+    strict, onb = kernels.points_in_polygon(pts, [(ring, False)])
+    assert strict[0] and not onb[0]      # interior stays strict-inside
+    assert not strict[1] and not onb[1]  # far point untouched
+    assert onb[2]                        # the duplicated vertex itself
+
+
+def test_intersects_touch_only_contact():
+    """A polygon touching another only at a vertex on an edge (no crossing,
+    no vertex containment) is still ST_Intersects."""
+    import numpy as np
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+    import pandas as pd
+
+    square = parse_wkt_batch(
+        pd.Series(["POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"])
+    )
+    tri = np.array([[1.0, 0.5], [2.0, 0.0], [2.0, 1.0], [1.0, 0.5]])
+    got = kernels.intersects_mask(square, [(tri, False)])
+    assert got[0]
+
+
+def test_scalar_tile_at_poles():
+    """tile() clamps |lat|>=90 like the vectorized twin instead of raising."""
+    from open_buildings_spark.geo import mercator
+
+    assert mercator.tile(0.0, 90.0, 12)[1] == 0
+    assert mercator.tile(0.0, -90.0, 12)[1] == (1 << 12) - 1
+
+
+def test_wkb_iso_z_codes_project_to_2d():
+    """ISO WKB Z polygons (code 1003) decode with the true point width and
+    project to 2D instead of walking the stream misaligned."""
+    import struct
+    import numpy as np
+    from open_buildings_spark.geo.wkt import GT_POLYGON, parse_wkb
+
+    pts3 = [(0.0, 0.0, 5.0), (1.0, 0.0, 5.0), (1.0, 1.0, 5.0), (0.0, 0.0, 5.0)]
+    buf = struct.pack("<BII", 1, 1003, 1) + struct.pack("<I", len(pts3))
+    for x, y, z in pts3:
+        buf += struct.pack("<ddd", x, y, z)
+    gt, rings = parse_wkb(buf)
+    assert gt == GT_POLYGON
+    np.testing.assert_array_equal(
+        rings[0][0], np.array([[0, 0], [1, 0], [1, 1], [0, 0]], dtype=float)
+    )
+
+
+def test_malformed_simple_row_degrades_alone():
+    """One bad 'simple' polygon (unmarked 3D) degrades to GT_MISSING without
+    corrupting the other simple rows' coordinates."""
+    import pandas as pd
+    from open_buildings_spark.geo.wkt import GT_MISSING, GT_POLYGON, parse_wkt_batch
+
+    good = "POLYGON ((10 20, 30 20, 30 40, 10 20))"
+    bad = "POLYGON ((1 2 0, 3 4 0, 5 6 0, 1 2 0))"
+    b = parse_wkt_batch(pd.Series([good, bad, good]))
+    assert list(b.gtype) == [GT_POLYGON, GT_MISSING, GT_POLYGON]
+    assert (b.ring(0) == [[10, 20], [30, 20], [30, 40], [10, 20]]).all()
+    assert (b.ring(1) == [[10, 20], [30, 20], [30, 40], [10, 20]]).all()

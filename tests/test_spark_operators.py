@@ -796,3 +796,31 @@ def test_knn_join_wraps_antimeridian(spark):
         ).collect()
     }
     assert got == {"d-east", "d-west"}  # west neighbor found via wrap
+
+
+def test_first_vertex_prefilter_tolerates_whitespace(spark):
+    """Non-canonical WKT whitespace must not NULL the native prefilter and
+    silently exclude a within row."""
+    from open_buildings_spark.operators.aoi import first_vertex_xy
+
+    df = spark.createDataFrame(
+        [
+            ("a", "POLYGON (( 30 10, 40 40, 20 40, 30 10))"),
+            ("b", "POLYGON ((30  10, 40 40, 20 40, 30 10))"),
+            ("c", "POLYGON ((30 10, 40 40, 20 40, 30 10))"),
+        ],
+        "doc_id string, wkt string",
+    )
+    fx, fy = first_vertex_xy()
+    got = {r["doc_id"]: (r["x"], r["y"])
+           for r in df.select("doc_id", fx.alias("x"), fy.alias("y")).collect()}
+    assert got == {"a": (30.0, 10.0), "b": (30.0, 10.0), "c": (30.0, 10.0)}
+
+
+def test_aoi_query_rejects_missing_country_column(spark, docs):
+    import pytest as _pytest
+    from open_buildings_spark.operators import aoi as aoi_op
+    from open_buildings_spark import datagen
+
+    with _pytest.raises(ValueError, match="country_iso"):
+        aoi_op.aoi_query(docs, datagen.city_aoi(), country_iso="EG")
