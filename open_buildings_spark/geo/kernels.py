@@ -315,13 +315,45 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
     bb = bboxes(batch)
     with np.errstate(invalid="ignore"):
         bbox_overlap = (bb[:, 2] >= ow) & (bb[:, 0] <= oe) & (bb[:, 3] >= os_) & (bb[:, 1] <= on)
+        contains_other_bbox = (bb[:, 0] <= ow) & (bb[:, 2] >= oe) & (bb[:, 1] <= os_) & (bb[:, 3] >= on)
 
-    # other's vertices inside/on the geometry: covers geom-contains-other
-    # AND touch-only contact (the other's vertex resting on this geometry's
-    # edge — no proper crossing, no vertex of THIS geometry in the other —
-    # is still ST_Intersects; gating this on full bbox containment missed
-    # every such border-touch, so it runs for any bbox overlap)
+    # touch-only contact: one of the other's vertices resting ON a
+    # candidate geometry's edge (no proper crossing, no vertex of THIS
+    # geometry in the other) is still ST_Intersects. Vectorized as an
+    # on-segment matrix over (other's vertices x candidate edges) so the
+    # whole bbox-overlap set is handled in array ops, chunked over the
+    # other's vertices to bound memory for high-vertex polygons.
     rest = np.nonzero(~out & bbox_overlap)[0]
+    if len(rest):
+        ex0, ex1, eg = _geom_edges(batch)
+        keep = np.isin(eg, rest)
+        ex0k, ex1k, egk = ex0[keep], ex1[keep], eg[keep]
+        if len(egk):
+            dx = (ex1k[:, 0] - ex0k[:, 0])[:, None]
+            dy = (ex1k[:, 1] - ex0k[:, 1])[:, None]
+            seglen2 = dx * dx + dy * dy
+            tol = _EPS * np.maximum(1.0, np.sqrt(seglen2))
+            touched = np.zeros(len(egk), dtype=bool)
+            for lo in range(0, len(other_pts), 256):
+                pxy = other_pts[lo : lo + 256]
+                rx = pxy[:, 0][None, :] - ex0k[:, 0][:, None]
+                ry = pxy[:, 1][None, :] - ex0k[:, 1][:, None]
+                cross = rx * dy - ry * dx
+                dot = rx * dx + ry * dy
+                on_seg = (
+                    (np.abs(cross) <= tol)
+                    & (dot >= -_EPS)
+                    & (dot <= seglen2 + _EPS)
+                    & (seglen2 > 0.0)
+                )
+                touched |= on_seg.any(axis=1)
+            out[np.unique(egk[touched])] = True
+
+    # geom-contains-other (the other polygon entirely inside a candidate):
+    # needs the full PIP, but only possible when the candidate's bbox
+    # contains the other's — a rare, tiny set, so the per-geometry loop is
+    # off the hot path
+    rest = np.nonzero(~out & contains_other_bbox)[0]
     for g in rest:
         rings_g = [
             (batch.ring(r), bool(batch.ring_is_hole[r]))
