@@ -579,12 +579,19 @@ def _decode_properties(buf: bytes, columns) -> dict:
 
 def _index_size(features_count: int, node_size: int) -> int:
     """Packed Hilbert R-tree byte size (spec: 40-byte nodes, levels from
-    leaves up until a single root)."""
+    leaves up until a single root). The spec's level loop is a DO-while:
+    even a 1-feature tree gets a root level above its leaf (2 nodes = 80
+    bytes) — a pre-test loop computes 40 and misaligns the feature scan on
+    externally written single-feature files."""
+    if features_count <= 0:
+        return 0
     n = features_count
     total = n
-    while n != 1:
+    while True:
         n = -(-n // node_size)
         total += n
+        if n == 1:
+            break
     return total * 40
 
 

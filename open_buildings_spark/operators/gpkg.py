@@ -132,8 +132,18 @@ def write_gpkg(
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
 
+    # internal scratch columns carry a reserved prefix so a user attribute
+    # named 'geom'/'minx'/... cannot produce a duplicate-column scratch schema
+    _g, _t, _x0, _y0, _x1, _y1 = (
+        "__obs_geom", "__obs_gtype", "__obs_minx", "__obs_miny",
+        "__obs_maxx", "__obs_maxy",
+    )
+    clash = {_g, _t, _x0, _y0, _x1, _y1} & set(col_names)
+    if clash:
+        raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
     out_schema = (
-        "geom binary, gtype int, minx double, miny double, maxx double, maxy double, "
+        f"{_g} binary, {_t} int, {_x0} double, {_y0} double, "
+        f"{_x1} double, {_y1} double, "
         + ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in col_names)
     )
 
@@ -155,7 +165,7 @@ def write_gpkg(
                 pa.array(bb[idx, 3]),
             ] + [rb.column(i).take(pa.array(idx)) for i in cidx]
             yield pa.record_batch(
-                arrays, names=["geom", "gtype", "minx", "miny", "maxx", "maxy"] + col_names
+                arrays, names=[_g, _t, _x0, _y0, _x1, _y1] + col_names
             )
 
     df.mapInArrow(enc, out_schema).write.mode("overwrite").parquet(scratch)
@@ -176,27 +186,44 @@ def write_gpkg(
         gminx = gminy = float("inf")
         gmaxx = gmaxy = float("-inf")
         placeholders = ", ".join(["?"] * (1 + len(col_names)))
+        quoted_cols = ", ".join(f'"{c}"' for c in col_names)
+        insert_sql = (
+            f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
+            f"{quoted_cols}) VALUES ({placeholders})"
+        )
+        # types_mapper keeps nullable int columns as pandas Int64 — the
+        # default to_pandas degrades them to float64, silently corrupting
+        # integers beyond 2^53; positional .iat access (not itertuples
+        # getattr) survives keyword/non-identifier column names
+        _intmap = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
         ds = pads.dataset(scratch, format="parquet")
         for rb in ds.to_batches():
-            pdf = rb.to_pandas()
+            pdf = rb.to_pandas(types_mapper=_intmap)
+            geoms, gtypes = pdf[_g], pdf[_t]
+            bx0, by0, bx1, by1 = pdf[_x0], pdf[_y0], pdf[_x1], pdf[_y1]
+            attrs = [pdf[c] for c in col_names]
             rows = []
-            for r in pdf.itertuples(index=False):
-                blob = gp_header(4326, (r.minx, r.miny, r.maxx, r.maxy)) + r.geom
-                rows.append(
-                    (blob, *[getattr(r, c) if pd.notna(getattr(r, c)) else None for c in col_names])
+            for i in range(len(pdf)):
+                blob = (
+                    gp_header(4326, (bx0.iat[i], by0.iat[i], bx1.iat[i], by1.iat[i]))
+                    + geoms.iat[i]
                 )
-                seen_types.add(int(r.gtype))
+                vals = []
+                for a in attrs:
+                    v = a.iat[i]
+                    if pd.isna(v):
+                        vals.append(None)
+                    else:
+                        vals.append(v.item() if isinstance(v, np.generic) else v)
+                rows.append((blob, *vals))
+                seen_types.add(int(gtypes.iat[i]))
             if rows:
-                db.executemany(
-                    f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
-                    f'{", ".join(col_names)}) VALUES ({placeholders})',
-                    rows,
-                )
+                db.executemany(insert_sql, rows)
                 n += len(rows)
-                gminx = min(gminx, float(pdf.minx.min()))
-                gminy = min(gminy, float(pdf.miny.min()))
-                gmaxx = max(gmaxx, float(pdf.maxx.max()))
-                gmaxy = max(gmaxy, float(pdf.maxy.max()))
+                gminx = min(gminx, float(bx0.min()))
+                gminy = min(gminy, float(by0.min()))
+                gmaxx = max(gmaxx, float(bx1.max()))
+                gmaxy = max(gmaxy, float(by1.max()))
         gtype_name = (
             gnames[next(iter(seen_types))] if len(seen_types) == 1 else "GEOMETRY"
         )
@@ -272,6 +299,27 @@ def read_gpkg(path: str, layer: str | None = None) -> pd.DataFrame:
                 {nm: rec[i] for i, nm in enumerate(names) if nm not in (gcol, "fid")}
             )
             rows.append(row)
-        return pd.DataFrame(rows)
+        return _exact_frame(rows)
     finally:
         db.close()
+
+
+def _exact_frame(rows: list[dict]) -> pd.DataFrame:
+    """Rows -> DataFrame with EXACT integer preservation: per-column object
+    Series, then astype('Int64'/'boolean'/'float64') by inspection.
+    (DataFrame row construction AND convert_dtypes both route int+None
+    columns through float64, corrupting integers beyond 2^53.)"""
+    if not rows:
+        return pd.DataFrame(rows)
+    out = {}
+    for k in rows[0]:
+        s = pd.Series([r[k] for r in rows], dtype=object)
+        vals = [v for v in s if v is not None]
+        if vals and all(isinstance(v, bool) for v in vals):
+            s = s.astype("boolean")
+        elif vals and all(isinstance(v, int) and not isinstance(v, bool) for v in vals):
+            s = s.astype("Int64")
+        elif vals and all(isinstance(v, float) for v in vals):
+            s = s.astype("float64")
+        out[k] = s
+    return pd.DataFrame(out)

@@ -90,12 +90,18 @@ def decode_media(docs: DataFrame) -> DataFrame:
             # stub metadata: tile decoders return fixed tile sizes
             width = np.full(n, 256, dtype=np.int32)
             height = np.full(n, 256, dtype=np.int32)
+            # one tobytes() for the whole batch — calling it inside the
+            # per-row comprehension re-copied the block once per row
+            blk = raw.tobytes()
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column(0),
                     rb.column(1),
                     rb.column(2),
-                    pa.array(list(raw.tobytes()[i * 16 : (i + 1) * 16] for i in range(n)), type=pa.binary()),
+                    pa.array(
+                        [blk[i * 16 : (i + 1) * 16] for i in range(n)],
+                        type=pa.binary(),
+                    ),
                     pa.FixedSizeListArray.from_arrays(
                         pa.array(feats.ravel(), type=pa.float32()), FEAT_DIM
                     ).cast(pa.list_(pa.float32())),

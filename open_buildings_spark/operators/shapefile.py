@@ -92,7 +92,7 @@ def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
 
 
 def _dbf_value(v, ftype: str, length: int, dec: int) -> bytes:
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
         return b" " * length if ftype != "L" else b"?"
     if ftype == "C":
         b = str(v).encode("utf-8", "replace")[:length]
@@ -167,10 +167,13 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
                     pa.array(types, type=pa.int32()),
                 ]
                 + [rb.column(i).take(idx) for i in cidx],
-                names=["rec", "stype"] + col_names,
+                names=["__obs_rec", "__obs_stype"] + col_names,
             )
 
-    out_schema = "rec binary, stype int, " + ", ".join(
+    clash = {"__obs_rec", "__obs_stype"} & set(col_names)
+    if clash:
+        raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
+    out_schema = "__obs_rec binary, __obs_stype int, " + ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in col_names
     )
     df.mapInArrow(enc, out_schema).write.mode("overwrite").parquet(scratch)
@@ -184,16 +187,25 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     maxx = maxy = float("-inf")
     shape_type = None
     offset_words = _HEADER_LEN // 2
+    # types_mapper keeps nullable ints as pandas Int64 (default to_pandas
+    # degrades them to float64 and corrupts values beyond 2^53); positional
+    # Series access instead of itertuples getattr, which renames keyword /
+    # non-identifier column names to _N
+    import pyarrow as _pa
+
+    _intmap = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
     for rb in ds.to_batches():
-        pdf = rb.to_pandas()
-        for r in pdf.itertuples(index=False):
-            st = int(r.stype)
+        pdf = rb.to_pandas(types_mapper=_intmap)
+        rec_s, stype_s = pdf["__obs_rec"], pdf["__obs_stype"]
+        attr_s = [pdf[cn] for cn in col_names]
+        for i in range(len(pdf)):
+            st = int(stype_s.iat[i])
             if shape_type is None:
                 shape_type = st
             elif shape_type != st:
                 shutil.rmtree(scratch)
                 raise ValueError("shapefile cannot mix point and polygon shapes")
-            rec = r.rec
+            rec = rec_s.iat[i]
             n += 1
             clen = len(rec) // 2
             shp_records += struct.pack(">ii", n, clen) + rec
@@ -207,8 +219,8 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
             minx, miny = min(minx, bx0), min(miny, by0)
             maxx, maxy = max(maxx, bx1), max(maxy, by1)
             row = b" "
-            for (fname, ftype, flen, fdec), cn in zip(fields, col_names):
-                row += _dbf_value(getattr(r, cn), ftype, flen, fdec)
+            for (fname, ftype, flen, fdec), a in zip(fields, attr_s):
+                row += _dbf_value(a.iat[i], ftype, flen, fdec)
             dbf_records += row
     shutil.rmtree(scratch)
     if shape_type is None:
@@ -329,4 +341,6 @@ def read_shp(path: str) -> pd.DataFrame:
             else:
                 row[name] = int(txt)
         rows.append(row)
-    return pd.DataFrame(rows)
+    from .gpkg import _exact_frame
+
+    return _exact_frame(rows)

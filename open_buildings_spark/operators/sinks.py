@@ -201,7 +201,9 @@ def write_geoparquet(
             os.remove(f)
     for f in glob.glob(os.path.join(path, ".*.inprogress")):
         os.remove(f)
-    return len(kept)
+    # the documented contract is files written THIS call — in append mode
+    # `kept` also counts the pre-existing parts
+    return len(results)
 
 
 GEOJSON_MAX_ROWS = 2_000_000
@@ -222,27 +224,45 @@ def to_geojson_features(df: DataFrame, wkt_col: str = "wkt", limit_cols: list | 
             f"GeoJSON export is driver-side and capped at {GEOJSON_MAX_ROWS} rows "
             f"(got {n}); write FlatGeobuf or GeoParquet instead"
         )
+    from ..geo.wkt import GT_MISSING, GT_POINT, GT_POLYGON
+
     pdf = df.select(*cols, wkt_col).toPandas()
     batch = parse_wkt_batch(pdf[wkt_col])
+    # ring_geom is ascending by construction: one searchsorted gives each
+    # geometry's contiguous ring range (the per-row scan over all rings was
+    # O(rows x rings) — quadratic at the 2M-row cap)
+    ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
     feats = []
     for i in range(len(pdf)):
-        rings = [
-            batch.ring(r).tolist()
-            for r in range(batch.n_rings)
-            if batch.ring_geom[r] == i
-        ]
-        gtype = "Polygon" if batch.gtype[i] == 3 else "MultiPolygon"
-        coords = rings if gtype == "Polygon" else [[r] for r in rings]
+        gt = batch.gtype[i]
+        if gt == GT_MISSING:
+            geom = None  # valid GeoJSON: a Feature may carry a null geometry
+        elif gt == GT_POINT:
+            geom = {
+                "type": "Point",
+                "coordinates": batch.ring(ring_start[i]).tolist()[0],
+            }
+        else:
+            # group rings into polygon parts: a shell opens a part, holes
+            # attach to the preceding shell as interior rings (flattening
+            # every ring into its own solid part turned holes into fills)
+            parts: list[list] = []
+            for r in range(ring_start[i], ring_start[i + 1]):
+                ring_list = batch.ring(r).tolist()
+                if batch.ring_is_hole[r] and parts:
+                    parts[-1].append(ring_list)
+                else:
+                    parts.append([ring_list])
+            if gt == GT_POLYGON:
+                geom = {"type": "Polygon", "coordinates": parts[0] if parts else []}
+            else:
+                geom = {"type": "MultiPolygon", "coordinates": parts}
         props = {c: (None if pd.isna(pdf[c].iloc[i]) else pdf[c].iloc[i]) for c in cols}
         props = {
             k: (v.item() if isinstance(v, np.generic) else v) for k, v in props.items()
         }
         feats.append(
-            {
-                "type": "Feature",
-                "properties": props,
-                "geometry": {"type": gtype, "coordinates": coords},
-            }
+            {"type": "Feature", "properties": props, "geometry": geom}
         )
     return feats
 

@@ -157,3 +157,68 @@ def test_write_geoparquet_save_modes(spark, small_geo, tmp_path):
     sinks.write_geoparquet(small_geo, path, mode="overwrite")
     assert spark.read.parquet(path).count() == n
     assert n1 > 0
+
+
+def test_index_size_matches_spec_do_while():
+    """FGB packed R-tree sizing is a do-while: 1 feature = leaf + root."""
+    from open_buildings_spark.operators.flatgeobuf import _index_size
+
+    assert _index_size(1, 16) == 80     # 1 leaf + 1 root
+    assert _index_size(16, 16) == 680   # 16 leaves + 1 root
+    assert _index_size(17, 16) == 800   # 17 + 2 + 1
+    assert _index_size(0, 16) == 0
+
+
+def test_geojson_holes_points_and_missing(spark):
+    """GeoJSON export: holes stay interior rings, points are Points, and
+    unparseable rows carry a null geometry."""
+    from open_buildings_spark.operators.sinks import to_geojson_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 3, 2 2)))"),
+            (2, "POINT (1 2)"),
+            (3, None),
+        ],
+        "doc_id long, wkt string",
+    )
+    feats = {f["properties"]["doc_id"]: f["geometry"] for f in to_geojson_features(df)}
+    mp = feats[1]
+    assert mp["type"] == "MultiPolygon" and len(mp["coordinates"]) == 1
+    assert len(mp["coordinates"][0]) == 2  # shell + interior hole, one part
+    assert feats[2] == {"type": "Point", "coordinates": [1.0, 2.0]}
+    assert feats[3] is None
+
+
+def test_gpkg_shp_awkward_columns_and_big_ints(spark, tmp_path):
+    """Keyword/odd column names and nullable bigints beyond 2^53 survive
+    both driver-assembled sinks exactly."""
+    from open_buildings_spark.operators import gpkg, shapefile
+
+    big = 9007199254740993  # 2^53 + 1: float64 round-trips it WRONG
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", big, "x"),
+            ("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))", None, "y"),
+        ],
+        "wkt string, `order` long, `class` string",
+    )
+    import pandas as pd
+
+    g = str(tmp_path / "t.gpkg")
+    gpkg.write_gpkg(df, g)
+    back = gpkg.read_gpkg(g)
+    vals = {
+        r["class"]: (None if pd.isna(r["order"]) else int(r["order"]))
+        for _, r in back.iterrows()
+    }
+    assert vals == {"x": big, "y": None}
+
+    s = str(tmp_path / "t.shp")
+    shapefile.write_shp(df, s)
+    back2 = shapefile.read_shp(s)
+    vals2 = {
+        r["class"]: (None if pd.isna(r["order"]) else int(r["order"]))
+        for _, r in back2.iterrows()
+    }
+    assert vals2 == {"x": big, "y": None}
