@@ -20,9 +20,13 @@ from ..functions import haversine_m
 from ..geo import mercator
 
 ZOOM = 12
-# conservative meters-per-degree lower bounds for the ring-boundary distance
+# conservative meters-per-degree LOWER bounds for the ring-boundary
+# distance. The haversine sphere (R=6371 km) gives 111194.9 m/deg, so the
+# lon term must use a constant BELOW that — the WGS84 equatorial 111320
+# overestimated the boundary distance by ~0.1% and could end ring growth
+# one neighbor too early
 _M_PER_DEG_LAT = 110574.0
-_M_PER_DEG_LON_EQ = 111320.0
+_M_PER_DEG_LON_EQ = 111000.0
 
 
 def corpus_anchor_offset_m(buildings: DataFrame) -> float:
@@ -326,8 +330,28 @@ def knn_join(
                 F.col("_x0") + F.lit(n_tiles - 1).cast("long"),
             ),
         )
-        .withColumn("_y0", _tile_y_col(F.col("_plat") + dlat, ZOOM))
-        .withColumn("_y1", _tile_y_col(F.col("_plat") - dlat, ZOOM))
+        # clamp the margin latitudes to the mercator band BEFORE the tile
+        # math: past 90 deg, tan() flips sign and _y0 lands at n-1 while
+        # _y1 is 0 — Spark's sequence(4095, 0) then DESCENDS (it is never
+        # empty), exploding one polar point into a full 4096-row tile column
+        .withColumn(
+            "_y0",
+            _tile_y_col(
+                F.least(
+                    F.col("_plat") + dlat, F.lit(mercator.MERCATOR_LAT_LIMIT)
+                ),
+                ZOOM,
+            ),
+        )
+        .withColumn(
+            "_y1",
+            _tile_y_col(
+                F.greatest(
+                    F.col("_plat") - dlat, F.lit(-mercator.MERCATOR_LAT_LIMIT)
+                ),
+                ZOOM,
+            ),
+        )
     )
     cells = (
         p.withColumn("_ctx_raw", F.explode(F.sequence("_x0", "_x1")))

@@ -18,16 +18,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import cell_at
-
 MAX_LEVEL = 12
 
 
 def cell_histogram(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
-    """One-pass per-z12-cell row counts: groupBy(quadkey[, keys]).count()."""
+    """One-pass per-z12-cell row counts: groupBy(quadkey[, keys]).count().
+
+    NULL quadkeys (parse-degraded rows that survived an upstream filter)
+    are excluded — a None in the histogram would crash the driver-side
+    argsort and such rows can't be routed to any cell anyway."""
     keys = keys or []
-    return df.groupBy(*keys, F.substring("quadkey", 1, MAX_LEVEL).alias("qk12")).agg(
-        F.count("*").alias("n")
+    return (
+        df.filter(F.col("quadkey").isNotNull())
+        .groupBy(*keys, F.substring("quadkey", 1, MAX_LEVEL).alias("qk12"))
+        .agg(F.count("*").alias("n"))
     )
 
 
@@ -125,6 +129,20 @@ def partition_plan(
     """
     keys = keys or []
     spark = df.sparkSession
+    if keys:
+        # a NULL key value would vanish from the plan (pandas groupby drops
+        # null groups) and tag_cells' inner join would then silently drop
+        # every such row from the written table — refuse instead
+        null_pred = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if df.filter(null_pred).limit(1).count():
+            raise ValueError(
+                f"partition keys {keys} contain NULL values; fill or filter "
+                "them first (rows with null keys cannot be routed to a "
+                "partition and would be silently dropped)"
+            )
     hist, _ = hier_histogram(df, max_per_file, keys)
 
     import numpy as np

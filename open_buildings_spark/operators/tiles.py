@@ -40,8 +40,10 @@ def tile_assignment(docs: DataFrame) -> DataFrame:
 
 
 def tile_rollup(docs: DataFrame) -> DataFrame:
-    """Per-tile rollup: building count + mismatched-imagery count per z12
-    quadkey — the per-partition row-count metrics shape (north_rule)."""
+    """Per-tile rollup over docs CARRYING a media span: imagery-bearing doc
+    count + mismatched-imagery count per z12 quadkey (tile_assignment
+    filters media_qk IS NOT NULL, so docs without imagery are not counted
+    here — use partition.cell_histogram for all-rows per-cell counts)."""
     t = tile_assignment(docs)
     return t.groupBy("quadkey").agg(
         F.count("*").alias("n_docs"),

@@ -39,47 +39,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, DoubleType, StringType
+from pyspark.sql.types import DoubleType, StringType
 
 from .geo import kernels, mercator
 from .geo.wkt import parse_wkt_batch
-from .udfs import ZOOM, _gather_batch, make_within_pairs, plus_code12
-
-
-def _make_pair_predicate(kernel):
-    """Pandas UDF factory for (geom_wkt, other_wkt) -> bool via ``kernel``
-    (within_mask / intersects_mask). Same grouped-gather shape as
-    udfs.make_within_pairs: factorize the right side, parse each distinct
-    geometry once, run one vectorized kernel per group."""
-
-    @F.pandas_udf(BooleanType())
-    def pair_pred(wkt: pd.Series, other_wkt: pd.Series) -> pd.Series:
-        n = len(wkt)
-        out = np.zeros(n, dtype=bool)
-        if n == 0:
-            return pd.Series(out)
-        codes, uniques = pd.factorize(other_wkt)
-        batch = parse_wkt_batch(wkt)
-        ob = parse_wkt_batch(pd.Series(list(uniques), dtype=object))
-        order = np.argsort(codes, kind="stable")
-        sorted_codes = codes[order]
-        ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
-        bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
-        for u in range(len(uniques)):
-            lo, hi = bounds[u], bounds[u + 1]
-            if lo == hi or ob.gtype[u] == -1:
-                continue
-            idx = order[lo:hi]
-            rings = [(ob.ring(j), bool(ob.ring_is_hole[j])) for j in ob.geom_rings(u)]
-            if not rings:
-                continue
-            sub = _gather_batch(batch, idx, ring_start)
-            m = kernel(sub, rings)
-            m[sub.gtype == -1] = False
-            out[idx] = m
-        return pd.Series(out)
-
-    return pair_pred
+from .udfs import ZOOM, make_pair_predicate, make_within_pairs, plus_code12
 
 
 @F.pandas_udf(StringType())
@@ -130,7 +94,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("ob_quadkey", _ob_quadkey)
     spark.udf.register("ob_point_quadkey", _ob_point_quadkey)
     spark.udf.register("ob_within", make_within_pairs())
-    spark.udf.register("ob_intersects", _make_pair_predicate(kernels.intersects_mask))
+    spark.udf.register("ob_intersects", make_pair_predicate(kernels.intersects_mask))
     spark.udf.register("ob_area_m2", _ob_area_m2)
     spark.udf.register("ob_centroid_lon", _ob_centroid_lon)
     spark.udf.register("ob_centroid_lat", _ob_centroid_lat)

@@ -217,16 +217,19 @@ def make_aoi_cover(level: int):
     return aoi_cover.asNondeterministic()
 
 
-def make_within_pairs():
-    """Pandas UDF testing ST_Within(geom, aoi) per ROW PAIR (wkt, aoi_wkt) —
-    the refinement step of the big-big spatial join, where each candidate
-    row carries its own AOI's geometry out of the cell equi-join.
+def make_pair_predicate(kernel):
+    """Pandas UDF factory testing a spatial predicate per ROW PAIR
+    (wkt, other_wkt) via ``kernel`` (kernels.within_mask /
+    intersects_mask) — the refinement step of the big-big spatial join,
+    where each candidate row carries its partner geometry out of the cell
+    equi-join. The single shared implementation behind
+    :func:`make_within_pairs` and sqlapi's ``ob_within``/``ob_intersects``.
 
-    Vectorization shape: within each Arrow batch, rows are grouped by AOI
-    (factorize + stable argsort), each unique AOI's WKT parses once, and one
-    vectorized raycast kernel runs per AOI over a contiguous O(run)-cost
-    gather (no O(batch) work per AOI — thousands of distinct AOIs per batch
-    stay linear)."""
+    Vectorization shape: within each Arrow batch, rows are grouped by the
+    right side (factorize + stable argsort), each unique geometry's WKT
+    parses once, and one vectorized kernel runs per group over a
+    contiguous O(run)-cost gather (no O(batch) work per group — thousands
+    of distinct AOIs per batch stay linear)."""
 
     @F.pandas_udf(BooleanType())
     def within_pairs(wkt: pd.Series, aoi_wkt: pd.Series) -> pd.Series:
@@ -258,12 +261,17 @@ def make_within_pairs():
             if not rings:
                 continue
             sub = _gather_batch(batch, idx, ring_start)
-            m = kernels.within_mask(sub, rings)
+            m = kernel(sub, rings)
             m[sub.gtype == -1] = False
             out[idx] = m
         return pd.Series(out)
 
     return within_pairs
+
+
+def make_within_pairs():
+    """ST_Within per row pair — see :func:`make_pair_predicate`."""
+    return make_pair_predicate(kernels.within_mask)
 
 
 def _gather_batch(batch, idx: np.ndarray, ring_start: np.ndarray):
