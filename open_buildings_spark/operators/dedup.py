@@ -403,7 +403,10 @@ def contamination_stats(
     cwins = corpus.select(id_col, F.explode(wins_arr).alias("fp"))
     per_doc = cwins.groupBy(id_col).agg(F.count("*").alias("n_windows"))
     contam = (
-        cwins.join(bfps, "fp")
+        # eval sets are small by definition — broadcasting their distinct
+        # fingerprints keeps the 10^12-row corpus-windows side from ever
+        # shuffling for this join
+        cwins.join(F.broadcast(bfps), "fp")
         .groupBy(id_col)
         .agg(F.count("*").alias("contam_windows"))
     )

@@ -239,3 +239,19 @@ def test_bm25_broadcasts_small_sides(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     # the per-(doc, term) posting list must not sort-merge-join anywhere
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_broadcasts_eval_fingerprints(spark):
+    """The corpus-windows side must never shuffle for the eval join — the
+    eval set's distinct fingerprints broadcast."""
+    from open_buildings_spark.operators import dedup
+
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w1 w2 w3 w4 w5 w6 w7 w8 tail"), F.col("id").cast("string")).alias("text"),
+    )
+    evalset = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string"
+    )
+    plan = plan_of(dedup.contamination_stats(corpus, evalset))
+    assert "BroadcastHashJoin" in plan
