@@ -133,9 +133,8 @@ def _q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(docs_dir)
     name = f"stream_enrich_{base}"
-    spark.catalog.dropTempView(name) if name in [
-        t.name for t in spark.catalog.listTables()
-    ] else None
+    if name in [t.name for t in spark.catalog.listTables()]:
+        spark.catalog.dropTempView(name)
     return geo_stream.enrich_stream_to_memory(
         spark, docs_dir, name, ["doc_id", "quadkey"]
     )
@@ -567,7 +566,7 @@ def _q_embedding_neardup(spark, sf_dir):
     # (vec_id+100000) so the operator has positives to find (oracle mirrors)
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 100000
+        "vec_id", F.col("vec_id") + similarity.EMB_DUP_OFFSET
     )
     return similarity.embedding_near_dups(emb.unionByName(dups))
 
@@ -578,7 +577,7 @@ def _q_embedding_clusters(spark, sf_dir):
     corpus as s_embedding_neardup, same closure as t_neardup_clusters."""
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 100000
+        "vec_id", F.col("vec_id") + similarity.EMB_DUP_OFFSET
     )
     return similarity.embedding_neardup_clusters(emb.unionByName(dups))
 

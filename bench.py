@@ -65,7 +65,8 @@ def main() -> None:
     # cache keyed on DATAGEN_REV too: a derivation change must not serve
     # stale benchmark inputs
     docs_path = f"/tmp/ob_spark_bench/docs_rev{datagen.DATAGEN_REV}_sf{sf}_r{replicas}.parquet"
-    if not os.path.exists(docs_path):
+    # _SUCCESS, not the dir: a killed prior run leaves a partial cache
+    if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         docs = datagen.interleaved_docs(spark, sf_dir, replicas)
         # fixed 64-way layout: input parallelism must not depend on which
         # cluster size materialized the cache (identical input for scaling)
@@ -124,8 +125,20 @@ def main() -> None:
     def _ensure_table():
         from open_buildings_spark.table import iceberg_lite as tbl
 
-        if tbl.current_manifest(table_root) is None:
-            g = enrich.add_geo_columns(docs, drop_nongeo=True, countries=clist)
+        m = tbl.current_manifest(table_root)
+        if m is not None and "max_anchor_offset_m" not in m.get("metrics", {}):
+            # stale cache from a build predating the kNN exactness metric:
+            # rebuild so serving paths read the stored bound instead of
+            # paying an extra corpus aggregate per call
+            tbl.drop_table(table_root)
+            m = None
+        if m is None:
+            # keep_bbox: the stored kNN exactness metric is then the TIGHT
+            # max dist(bbox midpoint, centroid) instead of the conservative
+            # tile-diagonal bound — tighter margin, smaller kNN covers
+            g = enrich.add_geo_columns(
+                docs, drop_nongeo=True, keep_bbox=True, countries=clist
+            )
             tbl.write_partitioned(g, table_root, max_per_file=200_000)
 
     def q_aoi_table():
@@ -159,7 +172,8 @@ def main() -> None:
     # equivalent CSV materialized once.
     csv_path = f"/tmp/ob_spark_bench/google_sf{sf}_r{replicas}.csv"
     def _ensure_csv():
-        if not os.path.exists(csv_path):
+        # marker file: a killed prior run leaves a partial csv
+        if not os.path.exists(csv_path + ".done"):
             from open_buildings_spark import datagen as dg
 
             b = dg.derive_buildings(spark, sf_dir, replicas).filter(
@@ -179,6 +193,8 @@ def main() -> None:
                 .option("header", True)
                 .csv(csv_path)
             )
+            with open(csv_path + ".done", "w") as fh:
+                fh.write("ok")
 
     def q_convert_csv():
         from open_buildings_spark.operators import convert
@@ -239,12 +255,16 @@ def main() -> None:
         from open_buildings_spark.table import iceberg_lite as tbl
 
         stored = (tbl.current_manifest(table_root) or {}).get("metrics", {}).get(
-            "max_anchor_offset_m", 0.0
+            "max_anchor_offset_m"
         )
         t = tbl.read_table(spark, table_root).select("doc_id", "quadkey", "lon", "lat")
         p = datagen.places_df(spark, sf_dir).select("place_id", "lon", "lat")
+        # a table written before the metric existed falls back to 'auto'
+        # (one corpus aggregate) — defaulting to 0.0 would silently drop
+        # the exactness margin
         knn.knn_join(
-            p, t, k=3, radius_m=3000.0, anchor_offset_m=float(stored)
+            p, t, k=3, radius_m=3000.0,
+            anchor_offset_m=float(stored) if stored is not None else "auto",
         ).select(F.count("*")).collect()
 
     def q_big_aoi_join():
@@ -281,6 +301,11 @@ def main() -> None:
     }
     selected = os.environ.get("SPARK_GRAFT_QUERIES", "")
     names = [n for n in selected.split(",") if n] or list(all_queries)
+    unknown = [n for n in names if n not in all_queries]
+    if unknown:
+        raise SystemExit(
+            f"unknown bench queries {unknown}; valid: {sorted(all_queries)}"
+        )
     if {"aoi_table", "knn", "knn_join", "fgb_export", "gpkg_export", "shp_export"} & set(
         names
     ):
@@ -298,7 +323,7 @@ def main() -> None:
                 "value": round(throughput, 1),
                 "unit": "docs/sec",
                 "queries": times,
-                "sf": float(sf),
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "replicas": replicas,

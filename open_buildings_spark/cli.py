@@ -22,8 +22,14 @@ import sys
 
 
 def _read_geojson(path: str | None) -> dict:
-    data = json.load(open(path) if path else sys.stdin)
+    if path:
+        with open(path) as fh:
+            data = json.load(fh)
+    else:
+        data = json.load(sys.stdin)
     if data.get("type") == "FeatureCollection":
+        if not data.get("features"):
+            raise SystemExit("empty FeatureCollection: no AOI feature to use")
         return data["features"][0]
     return data
 
@@ -76,7 +82,7 @@ def cmd_get_buildings(args) -> None:
         docs = tbl.read_table(spark, args.table, quadkey_prefix=prefix or None)
     except FileNotFoundError:
         docs = spark.read.parquet(args.table)
-    hit = aoi_op.aoi_query(docs, feat, country_iso=args.country_iso)
+    hit = aoi_op.aoi_query(docs, feat, country_iso=args.country_iso).cache()
     n = hit.count()
     if n == 0:
         print("No buildings found for the given AOI.", file=sys.stderr)
@@ -85,7 +91,7 @@ def cmd_get_buildings(args) -> None:
     # (download_buildings.py:304-311: .json->GeoJSON, .fgb->FlatGeobuf, ...)
     fmt = args.format or (
         "json"
-        if args.dst.endswith(".json")
+        if args.dst.endswith((".json", ".geojson"))
         else "fgb"
         if args.dst.endswith(".fgb")
         else "gpkg"

@@ -199,24 +199,30 @@ def write_gpkg(
         ds = pads.dataset(scratch, format="parquet")
         for rb in ds.to_batches():
             pdf = rb.to_pandas(types_mapper=_intmap)
-            geoms, gtypes = pdf[_g], pdf[_t]
-            bx0, by0, bx1, by1 = pdf[_x0], pdf[_y0], pdf[_x1], pdf[_y1]
-            attrs = [pdf[c] for c in col_names]
-            rows = []
-            for i in range(len(pdf)):
-                blob = (
-                    gp_header(4326, (bx0.iat[i], by0.iat[i], bx1.iat[i], by1.iat[i]))
-                    + geoms.iat[i]
+            # vectorized column extraction once per batch (per-cell .iat in
+            # the row loop measured ~2x slower end-to-end)
+            geoms_l = pdf[_g].tolist()
+            gtypes_np = pdf[_t].to_numpy()
+            bx0, by0, bx1, by1 = (
+                pdf[_x0].to_numpy(), pdf[_y0].to_numpy(),
+                pdf[_x1].to_numpy(), pdf[_y1].to_numpy(),
+            )
+            val_cols = []
+            for c in col_names:
+                s = pdf[c]
+                lst = s.astype(object).where(s.notna(), None).tolist()
+                val_cols.append(
+                    [v.item() if isinstance(v, np.generic) else v for v in lst]
                 )
-                vals = []
-                for a in attrs:
-                    v = a.iat[i]
-                    if pd.isna(v):
-                        vals.append(None)
-                    else:
-                        vals.append(v.item() if isinstance(v, np.generic) else v)
-                rows.append((blob, *vals))
-                seen_types.add(int(gtypes.iat[i]))
+            rows = [
+                (
+                    gp_header(4326, (bx0[i], by0[i], bx1[i], by1[i]))
+                    + geoms_l[i],
+                    *(col[i] for col in val_cols),
+                )
+                for i in range(len(pdf))
+            ]
+            seen_types.update(int(t) for t in np.unique(gtypes_np))
             if rows:
                 db.executemany(insert_sql, rows)
                 n += len(rows)

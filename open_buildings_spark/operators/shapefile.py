@@ -196,16 +196,22 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     _intmap = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
     for rb in ds.to_batches():
         pdf = rb.to_pandas(types_mapper=_intmap)
-        rec_s, stype_s = pdf["__obs_rec"], pdf["__obs_stype"]
-        attr_s = [pdf[cn] for cn in col_names]
+        # vectorized extraction once per batch — per-cell .iat in the row
+        # loop measured ~2x slower end-to-end
+        recs_l = pdf["__obs_rec"].tolist()
+        stypes_l = pdf["__obs_stype"].to_numpy()
+        val_cols = []
+        for cn in col_names:
+            s = pdf[cn]
+            val_cols.append(s.astype(object).where(s.notna(), None).tolist())
         for i in range(len(pdf)):
-            st = int(stype_s.iat[i])
+            st = int(stypes_l[i])
             if shape_type is None:
                 shape_type = st
             elif shape_type != st:
                 shutil.rmtree(scratch)
                 raise ValueError("shapefile cannot mix point and polygon shapes")
-            rec = rec_s.iat[i]
+            rec = recs_l[i]
             n += 1
             clen = len(rec) // 2
             shp_records += struct.pack(">ii", n, clen) + rec
@@ -219,8 +225,8 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
             minx, miny = min(minx, bx0), min(miny, by0)
             maxx, maxy = max(maxx, bx1), max(maxy, by1)
             row = b" "
-            for (fname, ftype, flen, fdec), a in zip(fields, attr_s):
-                row += _dbf_value(a.iat[i], ftype, flen, fdec)
+            for (fname, ftype, flen, fdec), col in zip(fields, val_cols):
+                row += _dbf_value(col[i], ftype, flen, fdec)
             dbf_records += row
     shutil.rmtree(scratch)
     if shape_type is None:

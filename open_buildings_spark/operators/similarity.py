@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 N_PLANES = 16
 N_BANDS = 2
 DIM = 64
+# injected-duplicate id offset for the near-dup fixtures: must clear the
+# real vec_id space at any plausible sf (~20k vec_ids per sf unit; 100k
+# collided from sf~5, silently corrupting cluster semantics)
+EMB_DUP_OFFSET = 10_000_000
 
 
 def plane_weight(p: int, d: int) -> float:

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from . import datagen
 from .operators.dedup import NEAR_DUP_OFFSET, corpus_sql_cte
-from .operators.similarity import DIM, N_BANDS, N_PLANES
+from .operators.similarity import DIM, EMB_DUP_OFFSET, N_BANDS, N_PLANES
 from .operators.textstats import LANG_MARKERS, STOPWORDS
 
 MINHASH_K = 8
@@ -529,7 +529,7 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
 WITH emb_aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id + {EMB_DUP_OFFSET}, embedding FROM embeddings WHERE vec_id % 50 = 0
 ),
 {sig_cte_aug},
 {bands_cte},
@@ -554,7 +554,7 @@ SELECT a, b, sim_r FROM pairs WHERE sim_r >= 0.999
 WITH RECURSIVE emb_aug AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id + {EMB_DUP_OFFSET}, embedding FROM embeddings WHERE vec_id % 50 = 0
 ),
 {sig_cte_aug},
 {bands_cte},

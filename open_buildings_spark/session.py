@@ -32,7 +32,9 @@ def package_zip(dest_dir: str = "/tmp/ob_spark_pkg") -> str:
     parent = os.path.dirname(pkg_root)
     out = os.path.join(dest_dir, "open_buildings_spark.zip")
     os.makedirs(dest_dir, exist_ok=True)
-    tmp = out + ".tmp"
+    # per-process tmp name: two concurrent callers writing one shared .tmp
+    # would interleave and promote a corrupt archive
+    tmp = f"{out}.{os.getpid()}.tmp"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for base, _dirs, files in os.walk(pkg_root):
             for fn in files:
