@@ -170,7 +170,9 @@ def main() -> None:
     # 101 MB Google CSV (~multipolygon split + area + plus code) in 1.9-2.3s
     # single-node DuckDB (README.md:131-143). Same pipeline here over an
     # equivalent CSV materialized once.
-    csv_path = f"/tmp/ob_spark_bench/google_sf{sf}_r{replicas}.csv"
+    csv_path = (
+        f"/tmp/ob_spark_bench/google_rev{datagen.DATAGEN_REV}_sf{sf}_r{replicas}.csv"
+    )
     def _ensure_csv():
         # marker file: a killed prior run leaves a partial csv
         if not os.path.exists(csv_path + ".done"):

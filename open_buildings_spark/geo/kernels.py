@@ -320,24 +320,31 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
     # touch-only contact: one of the other's vertices resting ON a
     # candidate geometry's edge (no proper crossing, no vertex of THIS
     # geometry in the other) is still ST_Intersects. Vectorized as an
-    # on-segment matrix over (other's vertices x candidate edges) so the
-    # whole bbox-overlap set is handled in array ops, chunked over the
-    # other's vertices to bound memory for high-vertex polygons.
+    # on-segment matrix over (other's vertices x candidate edges), chunked
+    # over BOTH dimensions so temporaries stay bounded (~16 MB/array) at
+    # any batch size x polygon complexity. Edges are extracted once here
+    # and reused by the crossing pass below.
+    all_edges = None  # (ex0, ex1, eg), lazily built, shared with crossings
     rest = np.nonzero(~out & bbox_overlap)[0]
     if len(rest):
-        ex0, ex1, eg = _geom_edges(batch)
+        all_edges = _geom_edges(batch)
+        ex0, ex1, eg = all_edges
         keep = np.isin(eg, rest)
         ex0k, ex1k, egk = ex0[keep], ex1[keep], eg[keep]
-        if len(egk):
-            dx = (ex1k[:, 0] - ex0k[:, 0])[:, None]
-            dy = (ex1k[:, 1] - ex0k[:, 1])[:, None]
+        touched = np.zeros(len(egk), dtype=bool)
+        E_CHUNK, P_CHUNK = 8192, 256
+        for elo in range(0, len(egk), E_CHUNK):
+            e0 = ex0k[elo : elo + E_CHUNK]
+            e1 = ex1k[elo : elo + E_CHUNK]
+            dx = (e1[:, 0] - e0[:, 0])[:, None]
+            dy = (e1[:, 1] - e0[:, 1])[:, None]
             seglen2 = dx * dx + dy * dy
             tol = _EPS * np.maximum(1.0, np.sqrt(seglen2))
-            touched = np.zeros(len(egk), dtype=bool)
-            for lo in range(0, len(other_pts), 256):
-                pxy = other_pts[lo : lo + 256]
-                rx = pxy[:, 0][None, :] - ex0k[:, 0][:, None]
-                ry = pxy[:, 1][None, :] - ex0k[:, 1][:, None]
+            tch = np.zeros(len(e0), dtype=bool)
+            for lo in range(0, len(other_pts), P_CHUNK):
+                pxy = other_pts[lo : lo + P_CHUNK]
+                rx = pxy[:, 0][None, :] - e0[:, 0][:, None]
+                ry = pxy[:, 1][None, :] - e0[:, 1][:, None]
                 cross = rx * dy - ry * dx
                 dot = rx * dx + ry * dy
                 on_seg = (
@@ -346,8 +353,9 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
                     & (dot <= seglen2 + _EPS)
                     & (seglen2 > 0.0)
                 )
-                touched |= on_seg.any(axis=1)
-            out[np.unique(egk[touched])] = True
+                tch |= on_seg.any(axis=1)
+            touched[elo : elo + E_CHUNK] = tch
+        out[np.unique(egk[touched])] = True
 
     # geom-contains-other (the other polygon entirely inside a candidate):
     # needs the full PIP, but only possible when the candidate's bbox
@@ -366,10 +374,10 @@ def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]
         if (s | b).any():
             out[g] = True
 
-    # proper edge crossings
+    # proper edge crossings (reuses the edge arrays built above)
     rest = np.nonzero(~out & bbox_overlap)[0]
     if len(rest):
-        ex0, ex1, eg = _geom_edges(batch)
+        ex0, ex1, eg = all_edges if all_edges is not None else _geom_edges(batch)
         keep = np.isin(eg, rest)
         ex0, ex1, eg = ex0[keep], ex1[keep], eg[keep]
         if len(eg):

@@ -585,6 +585,9 @@ def _index_size(features_count: int, node_size: int) -> int:
     externally written single-feature files."""
     if features_count <= 0:
         return 0
+    if node_size < 2:
+        # spec minimum; ceil(n/1) never converges and would hang the reader
+        raise ValueError(f"invalid FGB index_node_size {node_size}")
     n = features_count
     total = n
     while True:

@@ -141,6 +141,14 @@ def write_gpkg(
     clash = {_g, _t, _x0, _y0, _x1, _y1} & set(col_names)
     if clash:
         raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
+    reserved = {c for c in col_names if c.lower() in ("geom", "fid")}
+    if reserved:
+        # fail BEFORE the distributed encode: 'geom' is the geometry BLOB
+        # column and 'fid' the PK in the output table (SQLite names are
+        # case-insensitive)
+        raise ValueError(
+            f"column names reserved by the GPKG layer schema: {sorted(reserved)}"
+        )
     out_schema = (
         f"{_g} binary, {_t} int, {_x0} double, {_y0} double, "
         f"{_x1} double, {_y1} double, "

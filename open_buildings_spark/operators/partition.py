@@ -129,21 +129,17 @@ def partition_plan(
     """
     keys = keys or []
     spark = df.sparkSession
-    if keys:
-        # a NULL key value would vanish from the plan (pandas groupby drops
-        # null groups) and tag_cells' inner join would then silently drop
-        # every such row from the written table — refuse instead
-        null_pred = None
-        for k in keys:
-            c = F.col(k).isNull()
-            null_pred = c if null_pred is None else (null_pred | c)
-        if df.filter(null_pred).limit(1).count():
-            raise ValueError(
-                f"partition keys {keys} contain NULL values; fill or filter "
-                "them first (rows with null keys cannot be routed to a "
-                "partition and would be silently dropped)"
-            )
     hist, _ = hier_histogram(df, max_per_file, keys)
+    if keys and hist[keys].isna().any().any():
+        # Spark's groupBy KEEPS null key groups, so the collected histogram
+        # surfaces them for free — but pandas' groupby below would drop
+        # them and tag_cells' inner join would then silently lose every
+        # such row from the written table; refuse instead
+        raise ValueError(
+            f"partition keys {keys} contain NULL values; fill or filter "
+            "them first (rows with null keys cannot be routed to a "
+            "partition and would be silently dropped)"
+        )
 
     import numpy as np
 

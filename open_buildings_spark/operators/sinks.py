@@ -224,9 +224,14 @@ def to_geojson_features(df: DataFrame, wkt_col: str = "wkt", limit_cols: list | 
             f"GeoJSON export is driver-side and capped at {GEOJSON_MAX_ROWS} rows "
             f"(got {n}); write FlatGeobuf or GeoParquet instead"
         )
+    import pyarrow as _pa
+
     from ..geo.wkt import GT_MISSING, GT_POINT, GT_POLYGON
 
-    pdf = df.select(*cols, wkt_col).toPandas()
+    # Arrow collect + Int64 mapper: plain toPandas() degrades a nullable
+    # long column to float64 and corrupts integer properties beyond 2^53
+    _intmap = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
+    pdf = df.select(*cols, wkt_col).toArrow().to_pandas(types_mapper=_intmap)
     batch = parse_wkt_batch(pdf[wkt_col])
     # ring_geom is ascending by construction: one searchsorted gives each
     # geometry's contiguous ring range (the per-row scan over all rings was

@@ -824,3 +824,20 @@ def test_aoi_query_rejects_missing_country_column(spark, docs):
 
     with _pytest.raises(ValueError, match="country_iso"):
         aoi_op.aoi_query(docs, datagen.city_aoi(), country_iso="EG")
+
+
+def test_partition_plan_dirty_inputs(spark, docs):
+    """NULL quadkeys are tolerated (excluded from the histogram); NULL
+    partition-key values are refused instead of silently dropped."""
+    import pytest as _pytest
+    from open_buildings_spark.operators import partition
+
+    g = spark.createDataFrame(
+        [("a", "300113001130", "AA"), ("b", None, "AA"), ("c", "300113001131", None)],
+        "doc_id string, quadkey string, country_iso string",
+    )
+    plan = partition.partition_plan(g, 10)
+    assert plan.count() >= 1  # null quadkey didn't crash the planner
+
+    with _pytest.raises(ValueError, match="NULL"):
+        partition.partition_plan(g, 10, keys=["country_iso"])
