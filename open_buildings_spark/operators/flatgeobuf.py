@@ -51,13 +51,37 @@ MAGIC = b"\x66\x67\x62\x03\x66\x67\x62\x01"  # 'fgb' 3 'fgb' 1
 # types the engine carries
 GEOM_UNKNOWN = 0
 
-# ColumnType enum (Header.fbs declaration order)
+# ColumnType enum (Header.fbs declaration order). The writer emits only
+# the six the engine's Spark types map to; the reader tolerates the full
+# public enum so externally written files (GDAL emits Byte/Short/DateTime/
+# Json columns) still parse.
+CT_BYTE = 0
+CT_UBYTE = 1
 CT_BOOL = 2
+CT_SHORT = 3
+CT_USHORT = 4
 CT_INT = 5
+CT_UINT = 6
 CT_LONG = 7
+CT_ULONG = 8
 CT_FLOAT = 9
 CT_DOUBLE = 10
 CT_STRING = 11
+CT_JSON = 12
+CT_DATETIME = 13
+CT_BINARY = 14
+
+# fixed-width property encodings for the types the engine never writes
+# (spec: Byte/UByte 1 byte, Short/UShort 2, UInt 4, ULong 8); the
+# length-prefixed ones (Json/DateTime/Binary) decode like String
+_CT_EXTRA_FIXED = {
+    CT_BYTE: ("<b", 1),
+    CT_UBYTE: ("<B", 1),
+    CT_SHORT: ("<h", 2),
+    CT_USHORT: ("<H", 2),
+    CT_UINT: ("<I", 4),
+    CT_ULONG: ("<Q", 8),
+}
 
 
 # --------------------------------------------------------------------------
@@ -572,6 +596,16 @@ def _decode_properties(buf: bytes, columns) -> dict:
         elif ctype == CT_BOOL:
             out[cname] = bool(buf[off])
             off += 1
+        elif ctype in _CT_EXTRA_FIXED:
+            fmt, width = _CT_EXTRA_FIXED[ctype]
+            out[cname] = struct.unpack_from(fmt, buf, off)[0]
+            off += width
+        elif ctype in (CT_JSON, CT_DATETIME, CT_BINARY):
+            n = _u32(buf, off)
+            off += 4
+            raw = buf[off : off + n]
+            out[cname] = bytes(raw) if ctype == CT_BINARY else raw.decode("utf-8")
+            off += n
         else:
             raise ValueError(f"unsupported column type {ctype} in properties")
     return out
@@ -603,19 +637,34 @@ def _index_size(features_count: int, node_size: int) -> int:
 # would depend on data content (nullable pandas dtypes survive Arrow).
 _CT_PD_DTYPE = {
     CT_BOOL: "boolean",
+    CT_BYTE: "Int64",
+    CT_UBYTE: "Int64",
+    CT_SHORT: "Int64",
+    CT_USHORT: "Int64",
     CT_INT: "Int64",
+    CT_UINT: "Int64",
     CT_LONG: "Int64",
+    CT_ULONG: "Int64",
     CT_FLOAT: "float64",
     CT_DOUBLE: "float64",
     CT_STRING: object,
 }
 _CT_SPARK_TYPE = {
     CT_BOOL: "boolean",
+    CT_BYTE: "int",
+    CT_UBYTE: "int",
+    CT_SHORT: "int",
+    CT_USHORT: "int",
     CT_INT: "int",
+    CT_UINT: "bigint",
     CT_LONG: "bigint",
+    CT_ULONG: "bigint",
     CT_FLOAT: "float",
     CT_DOUBLE: "double",
     CT_STRING: "string",
+    CT_JSON: "string",
+    CT_DATETIME: "string",
+    CT_BINARY: "binary",
 }
 
 
@@ -656,7 +705,9 @@ def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
     cols = ["wkt"] + [c for c, _ in columns]
     pdf = pd.DataFrame(rows, columns=cols)
     for cname, ctype in columns:
-        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE[ctype])
+        # unmapped ColumnType codes (e.g. future spec additions) degrade to
+        # object dtype instead of raising — the values were still decoded
+        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
     return pdf, columns
 
 
@@ -672,7 +723,8 @@ def fgb_to_df(spark, path: str):
     columns happen to be all-null yield the same schema as populated ones."""
     pdf, columns = read_fgb_with_schema(path)
     schema = ", ".join(
-        ["wkt string"] + [f"`{c}` {_CT_SPARK_TYPE[t]}" for c, t in columns]
+        ["wkt string"]
+        + [f"`{c}` {_CT_SPARK_TYPE.get(t, 'string')}" for c, t in columns]
     )
     # plain python objects with None for missing: the nullable pandas
     # dtypes (pd.NA) trip createDataFrame's non-Arrow fallback

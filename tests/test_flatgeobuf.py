@@ -157,3 +157,42 @@ def test_fgb_all_null_column_keeps_schema(spark, tmp_path):
         ("wkt", "string"), ("label", "string"), ("score", "bigint")
     ]
     assert sdf.count() == 1
+
+
+def test_fgb_reader_tolerates_external_column_types(tmp_path):
+    """Externally written FGB files declare column types the engine's writer
+    never emits (GDAL writes Byte/Short/UInt/DateTime/Json); the reader must
+    decode their spec widths and degrade UNKNOWN codes to object dtype
+    instead of raising (r3 ADVICE: read_fgb_with_schema KeyError)."""
+    import numpy as np
+
+    cols = [
+        ("b", fgb.CT_BYTE),
+        ("s", fgb.CT_SHORT),
+        ("u", fgb.CT_UINT),
+        ("dt", fgb.CT_DATETIME),
+        ("j", fgb.CT_JSON),
+        ("x", 200),  # out-of-spec future code, never populated
+    ]
+    ring = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]])
+    props = bytearray()
+    props += struct.pack("<Hb", 0, -5)
+    props += struct.pack("<Hh", 1, -300)
+    props += struct.pack("<HI", 2, 4_000_000_000)
+    dt = b"2020-01-01T00:00:00Z"
+    props += struct.pack("<HI", 3, len(dt)) + dt
+    js = b'{"k":1}'
+    props += struct.pack("<HI", 4, len(js)) + js
+    feat = fgb._encode_feature_slow(fgb.GT_POLYGON, [(ring, False)], bytes(props))
+    header = fgb.encode_header("t", (0.0, 0.0, 1.0, 1.0), fgb.GT_POLYGON, cols, 1)
+    path = str(tmp_path / "ext.fgb")
+    with open(path, "wb") as f:
+        f.write(fgb.MAGIC + header + feat)
+    pdf, columns = fgb.read_fgb_with_schema(path)
+    assert int(pdf["b"].iloc[0]) == -5
+    assert int(pdf["s"].iloc[0]) == -300
+    assert int(pdf["u"].iloc[0]) == 4_000_000_000
+    assert pdf["dt"].iloc[0] == "2020-01-01T00:00:00Z"
+    assert pdf["j"].iloc[0] == '{"k":1}'
+    assert pdf["x"].isna().all()
+    assert pdf["wkt"].iloc[0].startswith("POLYGON")
