@@ -285,6 +285,81 @@ def within_mask(batch: GeomBatch, aoi_rings: list[tuple[np.ndarray, bool]]) -> n
     return out
 
 
+def _segments_intersect_rect(x0, y0, x1, y1, w, s, e, n) -> np.ndarray:
+    """Liang–Barsky clip test, broadcast to (R, S): does segment ``s``
+    meet CLOSED rect ``r``? Touching counts as intersecting (the caller
+    wants a conservative "rect is NOT clear of the boundary" answer);
+    a segment wholly inside the rect also counts."""
+    dx = x1 - x0
+    dy = y1 - y0
+    shape = np.broadcast_shapes(np.shape(x0), np.shape(w))
+    t0 = np.zeros(shape)
+    t1 = np.ones(shape)
+    ok = np.ones(shape, dtype=bool)
+    for p, q in (
+        (-dx, x0 - w),
+        (dx, e - x0),
+        (-dy, y0 - s),
+        (dy, n - y0),
+    ):
+        p = np.broadcast_to(p, shape)
+        zero = p == 0.0
+        ok &= ~(zero & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = q / p
+        t0 = np.where(~zero & (p < 0.0), np.maximum(t0, t), t0)
+        t1 = np.where(~zero & (p > 0.0), np.minimum(t1, t), t1)
+    return ok & (t0 <= t1)
+
+
+_RECT_EPS = 1e-9
+
+
+def rects_in_interior(
+    rings: list[tuple[np.ndarray, bool]], rects: np.ndarray
+) -> np.ndarray:
+    """(R,) bool: each axis-aligned rect ``[w, s, e, n]`` lies STRICTLY in
+    the polygon's interior — its center is strictly inside (holes
+    respected) and no ring segment meets the rect (expanded by a tiny
+    epsilon, so boundary contact disqualifies). When true, every geometry
+    wholly contained in the rect is ST_Within the polygon with no exact
+    test — the big spatial join's interior-cell fast path. A ring lying
+    entirely inside the rect (a hole swallowed whole) still disqualifies:
+    its segments are inside the rect and the clip test counts them."""
+    rects = np.asarray(rects, dtype=np.float64)
+    nr = len(rects)
+    out = np.zeros(nr, dtype=bool)
+    if nr == 0:
+        return out
+    segs = []
+    for coords, _ in rings:
+        ring = coords
+        if len(ring) < 2:
+            continue
+        if not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[0]])
+        segs.append(
+            np.stack([ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1]], axis=1)
+        )
+    if not segs:
+        return out
+    sg = np.concatenate(segs)
+    w = rects[:, 0][:, None] - _RECT_EPS
+    s = rects[:, 1][:, None] - _RECT_EPS
+    e = rects[:, 2][:, None] + _RECT_EPS
+    n = rects[:, 3][:, None] + _RECT_EPS
+    hit = _segments_intersect_rect(
+        sg[None, :, 0], sg[None, :, 1], sg[None, :, 2], sg[None, :, 3], w, s, e, n
+    )
+    clear = ~hit.any(axis=1)
+    centers = np.stack(
+        [(rects[:, 0] + rects[:, 2]) / 2.0, (rects[:, 1] + rects[:, 3]) / 2.0],
+        axis=1,
+    )
+    strict, _ = points_in_polygon(centers, rings)
+    return clear & strict
+
+
 def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:
     """(N,) bool: geometry intersects the polygon (ST_Intersects semantics,
     reference overture/add_columns.py:62): shared point counts."""

@@ -60,55 +60,32 @@ def hier_histogram(
     n_collected). Regions are represented EITHER by their coarse row OR by
     their z12 rows, never both, so prefix-range sums over the mixed rows
     are exact.
-    """
-    import pandas as pd
 
+    The under/over split happens Spark-side (anti/semi join against the
+    over-cap coarse set, which is tiny and broadcasts), so the driver runs
+    ONE collect of exactly the final histogram — the r3 shape collected
+    the full coarse rollup AND an over-cap z12 superset in two sequential
+    jobs, then resolved membership row-at-a-time in pandas.
+    """
     keys = keys or []
     agg12 = cell_histogram(df, keys).persist()
     try:
-        h8 = (
-            agg12.groupBy(
-                *keys, F.substring("qk12", 1, coarse_level).alias("qk")
-            )
-            .agg(F.sum("n").alias("n"))
-            .toPandas()
+        h8 = agg12.groupBy(
+            *keys, F.substring("qk12", 1, coarse_level).alias("qk")
+        ).agg(F.sum("n").alias("n"))
+        # over-cap coarse cells: bounded by 4^coarse (65k at z8) rows,
+        # independent of table size -> safe to broadcast
+        over8 = h8.filter(F.col("n") > max_per_file).select(*keys, "qk")
+        under8 = h8.join(F.broadcast(over8), [*keys, "qk"], "left_anti")
+        h12 = (
+            agg12.withColumn("qk", F.substring("qk12", 1, coarse_level))
+            .join(F.broadcast(over8), [*keys, "qk"], "left_semi")
+            .select(*keys, F.col("qk12").alias("qk"), "n")
         )
-        over = h8[h8["n"] > max_per_file]
-        if len(over):
-            # InSet on coarse cells: bounded by 4^coarse (65k at z8) keys,
-            # independent of table size
-            cells8 = sorted(set(over["qk"]))
-            h12 = (
-                agg12.filter(
-                    F.substring("qk12", 1, coarse_level).isin(cells8)
-                )
-                .withColumnRenamed("qk12", "qk")
-                .toPandas()
-            )
-        else:
-            h12 = h8.iloc[0:0].copy()
+        hist = under8.unionByName(h12).toPandas()
     finally:
         agg12.unpersist()
-    n_collected = len(h8) + len(h12)
-    if len(h12) == 0:
-        return h8, n_collected
-    # keep the coarse row only where that (keys, coarse cell) is UNDER cap
-    # (per key group a coarse cell can be over for one key, under for
-    # another — the isin prefetch is a superset; resolve exactly here)
-    h8 = h8.copy()
-    h12 = h12.copy()
-    h12["_c"] = h12["qk"].str[:coarse_level]
-    over_keys = set(
-        map(tuple, over[[*keys, "qk"]].itertuples(index=False, name=None))
-    )
-    keep8 = ~h8[[*keys, "qk"]].apply(
-        lambda r: tuple(r) in over_keys, axis=1
-    )
-    keep12 = h12[[*keys, "_c"]].apply(lambda r: tuple(r) in over_keys, axis=1)
-    hist = pd.concat(
-        [h8[keep8], h12[keep12].drop(columns="_c")], ignore_index=True
-    )
-    return hist, n_collected
+    return hist, len(hist)
 
 
 def partition_plan(

@@ -99,16 +99,20 @@ def aoi_join(
     return cand.filter(refine(F.col("wkt"), F.col("aoi_id"))).drop("cell")
 
 
-def _prepare_docs(docs: DataFrame) -> DataFrame:
+def _prepare_docs(docs: DataFrame, keep_bbox: bool = False) -> DataFrame:
     """quadkey+wkt columns via the single-parse enrichment (or native
-    filters when the table is already enriched)."""
+    filters when the table is already enriched). ``keep_bbox`` keeps the
+    geometry bbox columns when the enrichment runs here (same single parse
+    pass) — the big join's interior-cell fast path needs them."""
     df = docs
     if "quadkey" not in df.columns:
         # native wkt pre-filter only, and a nondeterministic-marked eval:
         # the cell equi-join injects isnotnull(cell) on the UDF-derived key,
         # which would otherwise be pushed below the projection and split the
         # enrichment into two python evals (every WKT parsed twice)
-        df = add_geo_columns(df, drop_nongeo=True, deterministic=False)
+        df = add_geo_columns(
+            df, drop_nongeo=True, deterministic=False, keep_bbox=keep_bbox
+        )
     else:
         if "wkt" not in df.columns:
             df = extract_geometry(df)
@@ -143,14 +147,24 @@ def aoi_join_big(
       3. candidates prefilter NATIVELY on the join-carried AOI bbox (a
          within geometry's first vertex must lie in it — zero false
          exclusions), so the Arrow refine sees a near-final candidate set.
-      4. exact ST_Within refine per (doc, its AOI) pair: grouped by AOI
-         inside each batch, one vectorized raycast kernel per AOI run
-         (O(batch) total, not O(batch x AOIs)).
+      4. interior-cell FAST PATH: a second small Arrow pass on the exploded
+         (aoi, cell) rows classifies each cover cell as interior (the cell
+         rect lies strictly inside the AOI — kernels.rects_in_interior) vs
+         boundary. A candidate whose doc bbox sits inside an interior cell
+         is within by containment (bbox ⊆ cell rect ⊆ AOI interior) and
+         SKIPS the exact refine — no parse, no raycast, no WKT bytes over
+         Arrow. Any float error in the rect bounds is harmless: the SAME
+         rect is used on both sides of the implication.
+      5. exact ST_Within refine for the remaining (doc, AOI) pairs:
+         grouped by AOI inside each batch, one vectorized raycast kernel
+         per AOI run (O(batch) total, not O(batch x AOIs)).
 
     ``aois`` needs (id_col, wkt_col). Output = docs columns + ``aoi_id``.
     """
+    import math
+
     from ..functions import quadkey_from_tiles_col
-    from ..udfs import make_aoi_cover, make_within_pairs
+    from ..udfs import make_aoi_cover, make_cell_interior, make_within_pairs_skip
     from .aoi import first_vertex_xy
 
     cover = make_aoi_cover(cover_level)
@@ -163,16 +177,41 @@ def aoi_join_big(
         .select("aoi_id", "_aoi_wkt", "_cov.*")
         .filter(F.col("x0") >= 0)
     )
+    z2 = float(1 << cover_level)
+    pi = float(math.pi)
+    interior = make_cell_interior()
     cells = (
         a.withColumn("_ctx", F.explode(F.sequence("x0", "x1")))
         .withColumn("_cty", F.explode(F.sequence("y0", "y1")))
         .withColumn(
             "cell", quadkey_from_tiles_col(F.col("_ctx"), F.col("_cty"), cover_level)
         )
-        .select("aoi_id", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy", "cell")
+        # cell rect in lon/lat (native tile-bound math; exact parity with
+        # mercator.tile_bounds is NOT required — see step 4)
+        .withColumn("cw", F.col("_ctx") / z2 * 360.0 - 180.0)
+        .withColumn("ce", (F.col("_ctx") + 1) / z2 * 360.0 - 180.0)
+        .withColumn(
+            "cn", F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * F.col("_cty") / z2))))
+        )
+        .withColumn(
+            "cs",
+            F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * (F.col("_cty") + 1) / z2)))),
+        )
+        .withColumn(
+            "_interior",
+            interior(
+                F.col("_aoi_wkt"), F.col("cw"), F.col("cs"), F.col("ce"), F.col("cn")
+            ),
+        )
+        .select(
+            "aoi_id", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy",
+            "cell", "_interior", "cw", "cs", "ce", "cn",
+        )
     )
 
-    df = _prepare_docs(docs)
+    had_bbox = {"minx", "miny", "maxx", "maxy"} <= set(docs.columns)
+    df = _prepare_docs(docs, keep_bbox=True)
+    has_bbox = {"minx", "miny", "maxx", "maxy"} <= set(df.columns)
     df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
     # materialize the first vertex BEFORE the join: the bbox prefilter
     # references both sides, so Catalyst can't push it below the join —
@@ -189,8 +228,33 @@ def aoi_join_big(
         & (F.col("_fy") >= F.col("aminy"))
         & (F.col("_fy") <= F.col("amaxy"))
     )
-    within = make_within_pairs()
-    out = cand.filter(within(F.col("wkt"), F.col("_aoi_wkt")))
-    return out.drop(
-        "cell", "_fx", "_fy", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy"
+    if has_bbox:
+        skip = F.coalesce(
+            F.col("_interior")
+            & (F.col("minx") >= F.col("cw"))
+            & (F.col("maxx") <= F.col("ce"))
+            & (F.col("miny") >= F.col("cs"))
+            & (F.col("maxy") <= F.col("cn")),
+            F.lit(False),
+        )
+    else:
+        # pre-enriched docs without stored bbox columns: no containment
+        # witness, every candidate takes the exact path
+        skip = F.lit(False)
+    within = make_within_pairs_skip()
+    out = cand.filter(
+        within(
+            F.when(skip, F.lit("")).otherwise(F.col("wkt")),
+            F.when(skip, F.lit("")).otherwise(F.col("_aoi_wkt")),
+            skip,
+        )
     )
+    out = out.drop(
+        "cell", "_fx", "_fy", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy",
+        "_interior", "cw", "cs", "ce", "cn",
+    )
+    if has_bbox and not had_bbox:
+        # bbox columns were added here for the fast path, not by the
+        # caller: keep the output schema as before
+        out = out.drop("minx", "miny", "maxx", "maxy")
+    return out

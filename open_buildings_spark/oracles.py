@@ -119,6 +119,30 @@ UNION ALL
 SELECT 'up-' || doc_id AS doc_id, quadkey FROM base WHERE doc_id LIKE '%77'
 """
 
+    # keyed (hive country_iso=XX-style) lifecycle: build with a partition
+    # key, stream-append one batch ('ap-' docs ending '55'), then MERGE
+    # (docs ending '33' move to key '09'; docs ending '77' insert as
+    # 'up-'). The key column round-trips through directory names.
+    sqls["g_keyed_upsert"] = f"""
+WITH {bld},
+base AS (SELECT doc_id, qk AS quadkey, '0' || substr(qk, 4, 1) AS ckey
+         FROM bld WHERE has_geom)
+SELECT doc_id, quadkey, ckey FROM base WHERE doc_id NOT LIKE '%33'
+UNION ALL
+SELECT 'ap-' || doc_id AS doc_id, quadkey, ckey FROM base WHERE doc_id LIKE '%55'
+UNION ALL
+SELECT doc_id, quadkey, '09' AS ckey FROM base WHERE doc_id LIKE '%33'
+UNION ALL
+SELECT 'up-' || doc_id AS doc_id, quadkey, ckey FROM base WHERE doc_id LIKE '%77'
+"""
+
+    # table-level DELETE (copy-on-write cell rewrite): docs ending '33'
+    # removed; survivors unchanged
+    sqls["g_delete_table"] = f"""
+WITH {bld}
+SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom AND doc_id NOT LIKE '%33'
+"""
+
     # streaming enrichment runs the identical logical plan, so its oracle
     # is the batch enrichment SQL; the table ingest (foreachBatch ->
     # append_rows) must land the same rows in the manifest table

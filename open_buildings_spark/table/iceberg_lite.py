@@ -73,6 +73,61 @@ def committed_cells(root: str, keys: list[str] | None = None) -> set:
     return out
 
 
+def _manifest_keys(m: dict) -> list[str]:
+    """Partition key columns of a table, in hive-directory order. Stored
+    explicitly since r4 (``m['keys']``); older manifests fall back to the
+    insertion-ordered ``values`` dict of any keyed partition."""
+    if "keys" in m:
+        return m["keys"]
+    for p in m["partitions"]:
+        if p["values"]:
+            return list(p["values"].keys())
+    return []
+
+
+def _part_dir(data_dir: str, keys: list[str], values: dict, cell: str) -> str:
+    """Hive directory of one partition: data/<k>=<v>/.../cell=<c>."""
+    d = data_dir
+    for k in keys:
+        d = os.path.join(d, f"{k}={values[k]}")
+    return os.path.join(d, f"cell={cell}")
+
+
+def _part_key(part: dict, keys: list[str]) -> tuple:
+    return tuple(part["values"].get(k) for k in keys) + (part["cell"],)
+
+
+def _rows_per_file(paths: list[str]) -> list[int]:
+    """Exact per-file row counts from the parquet footers (metadata-only
+    reads at the driver, bounded by the files a commit just wrote). Stored
+    in the manifest as ``file_rows`` so compaction can find individual
+    over-cap files — the per-cell aggregate can't see 999+1 skew."""
+    import pyarrow.parquet as pq
+
+    return [pq.ParquetFile(p).metadata.num_rows for p in paths]
+
+
+def _keyed_reader(spark: SparkSession, m: dict, keys: list[str], root: str):
+    """Reader for a KEYED table's files: explicit schema with the key
+    columns (and ``cell``) as strings plus ``basePath``, so Spark recovers
+    the hive-directory values verbatim — inference would coerce '0300' to
+    the integer 300. Caller must ``.drop('cell')``."""
+    if not m.get("schema"):
+        raise ValueError(
+            f"keyed table at {root} has no stored schema; rewrite it"
+        )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    fields = [
+        f for f in _schema_struct(m).fields if f.name not in keys
+    ] + [StructField(k, StringType(), True) for k in keys] + [
+        StructField("cell", StringType(), True)
+    ]
+    return spark.read.schema(StructType(fields)).option(
+        "basePath", os.path.join(root, "data")
+    )
+
+
 def write_partitioned(
     df: DataFrame,
     root: str,
@@ -112,7 +167,18 @@ def write_partitioned(
     ]
     m = current_manifest(root)
     if m is None:
-        m = {"snapshot_id": 0, "parent_id": None, "partitions": [], "metrics": {"rows_written": 0, "recomputed_cells": 0}}
+        m = {
+            "snapshot_id": 0,
+            "parent_id": None,
+            "keys": keys,
+            "partitions": [],
+            "metrics": {"rows_written": 0, "recomputed_cells": 0},
+        }
+    elif _manifest_keys(m) != keys:
+        raise ValueError(
+            f"table at {root} is partitioned by {_manifest_keys(m)}, "
+            f"not {keys}"
+        )
 
     if not pending:
         return m
@@ -225,12 +291,14 @@ def write_partitioned(
                     "values": vals,
                     "n_rows": r["n_rows"],
                     "files": [os.path.relpath(p, root) for p in files],
+                    "file_rows": _rows_per_file(files),
                 }
             )
         is_final_group = group is groups[-1]
         m = {
             "snapshot_id": m["snapshot_id"] + 1,
             "parent_id": m["snapshot_id"],
+            "keys": keys,
             "schema": data_schema,
             "partitions": m["partitions"] + new_parts,
             "metrics": {
@@ -244,26 +312,27 @@ def write_partitioned(
                 **(extra_metrics if is_final_group and extra_metrics else {}),
             },
         }
-        _commit_manifest(root, m)
-        commits += 1
-        if fail_after_commits >= 0 and commits >= fail_after_commits:
-            raise RuntimeError(f"injected failure after {commits} commits")
-    if store_anchor_offset:
-        data_cols = set(df.columns) - set(keys) - {"cell"}
-        if {"quadkey", "lon", "lat"} <= data_cols:
-            # kNN exactness metric (corpus_anchor_offset_m): one
-            # column-pruned scan of the files just written, stored in the
-            # manifest so serving-path kNN never rescans the table for it
+        if is_final_group and store_anchor_offset:
+            data_cols = set(df.columns) - set(keys) - {"cell"}
             files = [
                 os.path.join(root, f) for p in m["partitions"] for f in p["files"]
             ]
-            if files:
+            if {"quadkey", "lon", "lat"} <= data_cols and files:
+                # kNN exactness metric (corpus_anchor_offset_m): one
+                # column-pruned scan of the written files, FOLDED INTO the
+                # final commit's manifest (committing it after would mutate
+                # an already-committed snapshot in place, and a crash
+                # between the two commits would leave a complete table
+                # permanently missing the metric)
                 from ..operators.knn import corpus_anchor_offset_m
 
                 m["metrics"]["max_anchor_offset_m"] = corpus_anchor_offset_m(
                     spark.read.parquet(*files)
                 )
-                _commit_manifest(root, m)  # same snapshot id, metric added
+        _commit_manifest(root, m)
+        commits += 1
+        if fail_after_commits >= 0 and commits >= fail_after_commits:
+            raise RuntimeError(f"injected failure after {commits} commits")
     return m
 
 
@@ -273,7 +342,7 @@ def append_rows(
     batch_id: int | None = None,
     max_per_file: int | None = None,
 ) -> dict:
-    """Append NEW rows to an existing (unkeyed) table as a new snapshot —
+    """Append NEW rows to an existing table as a new snapshot —
     the streaming-ingest write path (:mod:`..streaming.geo.ingest_to_table`
     calls this from ``foreachBatch``). ``write_partitioned`` is a *build*
     primitive: it skips already-committed cells entirely (resume), silently
@@ -286,6 +355,17 @@ def append_rows(
       quadkey as a new leaf cell. z12 cells are never proper prefixes of
       leaves, so the routing plan stays prefix-disjoint and each row
       matches exactly one entry.
+
+    Keyed (hive ``country_iso=XX``-style) tables route per key group: the
+    batch must carry the partition key columns, and (key values, cell)
+    addresses the directory ``data/<k>=<v>/cell=<c>/`` — the reference's
+    primary archive layout (overture/partition.py:168-170). A key value
+    never seen before simply opens its own z12 leaves.
+
+    Every batch row MUST route: rows whose quadkey is NULL (or whose key
+    columns are NULL) would silently vanish through the inner routing
+    join, so the batch count is compared with the routed count and a
+    mismatch raises (mirrors ``upsert_rows``'s guard).
 
     Snapshot immutability holds: files are only ever ADDED (job-unique part
     names, pre/post directory diff per touched cell), the manifest diff is
@@ -305,19 +385,23 @@ def append_rows(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    if any(p["values"] for p in m["partitions"]):
-        raise NotImplementedError("appends to key-partitioned tables")
+    keys = _manifest_keys(m)
     last = m["metrics"].get("last_append_batch_id")
     if batch_id is not None and last is not None and batch_id <= last:
         return m  # replayed micro-batch: already committed
     if m.get("schema"):
-        allowed = {f["name"] for f in m["schema"]}
+        allowed = {f["name"] for f in m["schema"]} | set(keys)
         extra = set(df.columns) - allowed
         if extra:
             raise ValueError(
                 f"append columns {sorted(extra)} not in table schema; "
                 f"add_column first"
             )
+    missing = set(keys) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"append batch missing partition key columns {sorted(missing)}"
+        )
     cap = (
         max_per_file
         if max_per_file is not None
@@ -326,13 +410,22 @@ def append_rows(
     spark = df.sparkSession
     data_dir = os.path.join(root, "data")
 
-    _, plan = _routing_plan(spark, m, df)
-    tagged = tag_cells(df, plan).persist()
+    _, plan = _routing_plan(spark, m, df, keys)
+    tagged = tag_cells(df, plan, keys).persist()
     try:
+        n_batch = df.count()
         counts = {
-            r["cell"]: r["n"]
-            for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+            tuple(r[k] for k in keys) + (r["cell"],): r["n"]
+            for r in tagged.groupBy(*keys, "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
+        if sum(counts.values()) != n_batch:
+            raise ValueError(
+                f"{n_batch - sum(counts.values())} append rows have a NULL "
+                "or un-routable quadkey or partition key; refusing (the "
+                "inner routing join would silently drop them)"
+            )
         if not counts:
             if batch_id is None:
                 return m
@@ -345,30 +438,53 @@ def append_rows(
             _commit_manifest(root, m2)
             return m2
         pre_files = {
-            cell: set(
-                glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet"))
+            ck: set(
+                glob.glob(
+                    os.path.join(
+                        _part_dir(data_dir, keys, dict(zip(keys, ck)), ck[-1]),
+                        "*.parquet",
+                    )
+                )
             )
-            for cell in counts
+            for ck in counts
         }
-        _write_cells_salted(tagged, counts, cap, data_dir)
+        _write_cells_salted(tagged, counts, cap, data_dir, keys)
     finally:
         tagged.unpersist()
-    by_cell = {p["cell"]: p for p in m["partitions"]}
+    by_ck = {_part_key(p, keys): p for p in m["partitions"]}
     parts = [dict(p) for p in m["partitions"]]
     appended_files: list[str] = []
-    for cell, n in counts.items():
+    for ck, n in counts.items():
+        vals = dict(zip(keys, ck))
+        pdir = _part_dir(data_dir, keys, vals, ck[-1])
         files = sorted(
-            set(glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet")))
-            - pre_files[cell]
+            set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
         )
         rel = [os.path.relpath(p, root) for p in files]
+        frows = _rows_per_file(files)
         appended_files.extend(os.path.join(root, f) for f in rel)
-        if cell in by_cell:
-            tgt = next(p for p in parts if p["cell"] == cell)
+        if ck in by_ck:
+            tgt = next(p for p in parts if _part_key(p, keys) == ck)
+            old_fr = tgt.get("file_rows")
+            if old_fr is None:
+                # opportunistic backfill for pre-r4 manifests, bounded by
+                # the files of the cells this batch touches
+                old_fr = _rows_per_file(
+                    [os.path.join(root, f) for f in tgt["files"]]
+                )
             tgt["files"] = tgt["files"] + rel
+            tgt["file_rows"] = old_fr + frows
             tgt["n_rows"] = tgt["n_rows"] + n
         else:
-            parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
+            parts.append(
+                {
+                    "cell": ck[-1],
+                    "values": vals,
+                    "n_rows": n,
+                    "files": rel,
+                    "file_rows": frows,
+                }
+            )
     metrics2 = {
         **m["metrics"],
         "rows_written": m["metrics"]["rows_written"] + sum(counts.values()),
@@ -388,7 +504,7 @@ def append_rows(
             corpus_anchor_offset_m(spark.read.parquet(*appended_files)),
         )
     m2 = {
-        **{k: v for k, v in m.items() if k == "schema"},
+        **{k: v for k, v in m.items() if k in ("schema", "keys")},
         "snapshot_id": m["snapshot_id"] + 1,
         "parent_id": m["snapshot_id"],
         "partitions": parts,
@@ -398,26 +514,39 @@ def append_rows(
     return m2
 
 
+def _plan_schema(keys: list[str], extra: str = "") -> str:
+    return (
+        ", ".join(f"{k} string" for k in keys) + (", " if keys else "")
+    ) + "cell string" + extra
+
+
 def _write_cells_salted(
-    df: DataFrame, counts: dict, cap: int | None, data_dir: str
+    df: DataFrame,
+    counts: dict,
+    cap: int | None,
+    data_dir: str,
+    keys: list[str] | None = None,
 ) -> None:
-    """Append (cell, ...) rows into hive cell dirs honoring the per-file
-    row cap via the same data-driven salting as ``write_partitioned``:
-    cells over the cap shard into ceil(n/cap) doc-hash buckets so no
-    single writer task (and no expected output file) exceeds the cap —
-    without it, repartition-by-cell funnels a dense cell's whole append
-    into ONE task and one oversized file. Shared by :func:`append_rows`
-    and :func:`upsert_rows` (rows must carry ``doc_id`` for the salt).
-    """
+    """Append tagged rows into hive ``<k>=<v>/cell=<c>`` dirs honoring the
+    per-file row cap via the same data-driven salting as
+    ``write_partitioned``: partitions over the cap shard into ceil(n/cap)
+    doc-hash buckets so no single writer task (and no expected output file)
+    exceeds the cap — without it, repartition-by-cell funnels a dense
+    cell's whole append into ONE task and one oversized file. Shared by
+    :func:`append_rows`, :func:`upsert_rows` and :func:`delete_rows`
+    (rows must carry ``doc_id`` for the salt). ``counts`` is keyed by
+    (key values..., cell) tuples."""
+    keys = keys or []
     spark = df.sparkSession
+    on = [*keys, "cell"]
     if cap:
-        over = [(c, -(-n // cap)) for c, n in counts.items() if n > cap]
+        over = [(*ck, -(-n // cap)) for ck, n in counts.items() if n > cap]
         if over:
             shards_df = F.broadcast(
-                spark.createDataFrame(over, "cell string, _shards int")
+                spark.createDataFrame(over, _plan_schema(keys, ", _shards int"))
             )
             df = (
-                df.join(shards_df, "cell", "left")
+                df.join(shards_df, on, "left")
                 .withColumn(
                     "_salt",
                     F.when(
@@ -430,36 +559,60 @@ def _write_cells_salted(
         else:
             df = df.withColumn("_salt", F.lit(0))
         n_writers = max(1, -(-sum(counts.values()) // cap))
-        df = df.repartition(n_writers, F.col("cell"), F.col("_salt")).drop("_salt")
+        df = df.repartition(
+            n_writers, F.col("cell"), F.col("_salt"), *[F.col(k) for k in keys]
+        ).drop("_salt")
     else:
         n_writers = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        df = df.repartition(n_writers, F.col("cell"))
+        df = df.repartition(n_writers, F.col("cell"), *[F.col(k) for k in keys])
     (
-        df.sortWithinPartitions("cell", "quadkey")
+        df.sortWithinPartitions(*keys, "cell", "quadkey")
         .write.mode("append")
-        .partitionBy("cell")
+        .partitionBy(*keys, "cell")
         .option("compression", "snappy")
         .parquet(data_dir)
     )
 
 
-def _routing_plan(spark: SparkSession, m: dict, df: DataFrame):
+def _routing_plan(
+    spark: SparkSession, m: dict, df: DataFrame, keys: list[str] | None = None
+):
     """(existing-cells df, routing plan df) for a batch of rows: existing
-    leaves plus a new z12 leaf for every batch quadkey outside all of them
-    (z12 cells are never proper prefixes of leaves, so the plan stays
-    prefix-disjoint and every row matches exactly one entry). Shared by
-    :func:`append_rows` and :func:`upsert_rows`."""
+    (key values, leaf) partitions plus a new z12 leaf for every batch
+    (key values, quadkey) outside all of them (z12 cells are never proper
+    prefixes of leaves, so the plan stays prefix-disjoint per key group and
+    every row matches exactly one entry). A never-seen key value opens its
+    own z12 leaves. Shared by :func:`append_rows` and :func:`upsert_rows`."""
     from ..operators.partition import tag_cells
 
+    keys = keys or []
     cells_df = spark.createDataFrame(
-        [(p["cell"],) for p in m["partitions"]], "cell string"
+        [_part_key(p, keys) for p in m["partitions"]], _plan_schema(keys)
     )
-    batch12 = df.select(F.substring("quadkey", 1, 12).alias("quadkey")).distinct()
-    covered = tag_cells(batch12, cells_df).select("quadkey")
-    new_cells = batch12.join(covered, "quadkey", "left_anti").select(
-        F.col("quadkey").alias("cell")
+    batch12 = df.select(
+        *keys, F.substring("quadkey", 1, 12).alias("quadkey")
+    ).distinct()
+    covered = tag_cells(batch12, cells_df, keys).select(*keys, "quadkey")
+    new_cells = batch12.join(covered, [*keys, "quadkey"], "left_anti").select(
+        *keys, F.col("quadkey").alias("cell")
     )
     return cells_df, cells_df.unionByName(new_cells)
+
+
+def _read_partitions(
+    spark: SparkSession, root: str, m: dict, parts: list[dict]
+) -> DataFrame:
+    """Scan of exactly the given manifest partitions' files (keyed tables
+    recover their key columns from the directory names; ``cell`` is NOT
+    exposed — re-derive with ``tag_cells`` where needed)."""
+    files = [os.path.join(root, f) for p in parts for f in p["files"]]
+    keys = _manifest_keys(m)
+    if keys:
+        return _keyed_reader(spark, m, keys, root).parquet(*files).drop("cell")
+    reader = spark.read
+    if m.get("schema"):
+        reader = reader.schema(_schema_struct(m))
+    return reader.parquet(*files)
 
 
 def upsert_rows(
@@ -480,6 +633,12 @@ def upsert_rows(
     keys and keep their existing files, gaining the new ones — no
     copy-on-write amplification for pure inserts.
 
+    Keyed (hive) tables merge the same way: (partition key values, cell)
+    addresses the directory, and a row whose key value CHANGES (a doc
+    moving country) is found in its old partition, deleted there, and
+    written under its new one — the full scan that locates old versions is
+    key-agnostic.
+
     Guards (a MERGE must never corrupt the key invariant silently): the
     batch may not contain duplicate keys, and every batch row must route to
     a cell (a NULL/empty quadkey would otherwise delete the old version
@@ -496,16 +655,20 @@ def upsert_rows(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    if any(p["values"] for p in m["partitions"]):
-        raise NotImplementedError("upserts to key-partitioned tables")
+    part_keys = _manifest_keys(m)
     if m.get("schema"):
-        allowed = {f["name"] for f in m["schema"]}
+        allowed = {f["name"] for f in m["schema"]} | set(part_keys)
         extra = set(df.columns) - allowed
         if extra:
             raise ValueError(
                 f"upsert columns {sorted(extra)} not in table schema; "
                 f"add_column first"
             )
+    missing = set(part_keys) - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"upsert batch missing partition key columns {sorted(missing)}"
+        )
     cap = (
         max_per_file
         if max_per_file is not None
@@ -514,8 +677,8 @@ def upsert_rows(
     spark = df.sparkSession
     data_dir = os.path.join(root, "data")
 
-    cells_df, plan = _routing_plan(spark, m, df)
-    tagged = tag_cells(df, plan).persist()
+    cells_df, plan = _routing_plan(spark, m, df, part_keys)
+    tagged = tag_cells(df, plan, part_keys).persist()
     try:
         n_batch = df.count()
         n_dup_keys = (
@@ -527,21 +690,28 @@ def upsert_rows(
                 "source must be key-unique"
             )
         new_counts = {
-            r["cell"]: r["n"]
-            for r in tagged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+            tuple(r[k] for k in part_keys) + (r["cell"],): r["n"]
+            for r in tagged.groupBy(*part_keys, "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         if sum(new_counts.values()) != n_batch:
             raise ValueError(
                 f"{n_batch - sum(new_counts.values())} upsert rows have a "
-                "NULL or un-routable quadkey; refusing (the old versions "
-                "would be deleted with no replacement written)"
+                "NULL or un-routable quadkey or partition key; refusing "
+                "(the old versions would be deleted with no replacement "
+                "written)"
             )
         keys_df = df.select(key).distinct()
-        old_all = tag_cells(read_table(spark, root), cells_df)
+        # old versions can live under ANY partition (a row may change its
+        # partition key value — e.g. a doc moving country), so the rewrite
+        # set comes from a full manifest-planned scan with a broadcast
+        # semi-join on the merge key
+        old_all = tag_cells(read_table(spark, root), cells_df, part_keys)
         rewrite = sorted(
-            r["cell"]
+            tuple(r[k] for k in part_keys) + (r["cell"],)
             for r in old_all.join(F.broadcast(keys_df), key, "left_semi")
-            .select("cell")
+            .select(*part_keys, "cell")
             .distinct()
             .collect()
         )
@@ -550,55 +720,82 @@ def upsert_rows(
         if not affected:
             return m
         if rewrite:
-            rw_df = spark.createDataFrame([(c,) for c in rewrite], "cell string")
-            survivors = (
-                tag_cells(read_table_cells(spark, root, rewrite), cells_df)
-                .join(F.broadcast(rw_df), "cell")
-                .join(F.broadcast(keys_df), key, "left_anti")
-            )
+            rw_set = set(rewrite)
+            rw_parts = [
+                p for p in m["partitions"] if _part_key(p, part_keys) in rw_set
+            ]
+            survivors = tag_cells(
+                _read_partitions(spark, root, m, rw_parts), cells_df, part_keys
+            ).join(F.broadcast(keys_df), key, "left_anti")
             merged = survivors.unionByName(tagged.select(*survivors.columns))
         else:
             merged = tagged
         merged = merged.persist()
         counts = {
-            r["cell"]: r["n"]
-            for r in merged.groupBy("cell").agg(F.count("*").alias("n")).collect()
+            tuple(r[k] for k in part_keys) + (r["cell"],): r["n"]
+            for r in merged.groupBy(*part_keys, "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
         }
         pre_files = {
-            cell: set(
-                glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet"))
+            ck: set(
+                glob.glob(
+                    os.path.join(
+                        _part_dir(data_dir, part_keys, dict(zip(part_keys, ck)), ck[-1]),
+                        "*.parquet",
+                    )
+                )
             )
-            for cell in affected
+            for ck in affected
         }
-        _write_cells_salted(merged, counts, cap, data_dir)
+        _write_cells_salted(merged, counts, cap, data_dir, part_keys)
         merged.unpersist()
     finally:
         tagged.unpersist()
-    by_cell = {p["cell"]: p for p in m["partitions"]}
-    parts = [dict(p) for p in m["partitions"] if p["cell"] not in affected]
+    by_ck = {_part_key(p, part_keys): p for p in m["partitions"]}
+    aff_set = set(affected)
+    parts = [
+        dict(p) for p in m["partitions"] if _part_key(p, part_keys) not in aff_set
+    ]
     new_file_paths: list[str] = []
-    for cell in affected:
+    for ck in affected:
+        vals = dict(zip(part_keys, ck))
+        pdir = _part_dir(data_dir, part_keys, vals, ck[-1])
         post = sorted(
-            set(glob.glob(os.path.join(data_dir, f"cell={cell}", "*.parquet")))
-            - pre_files[cell]
+            set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
         )
         rel = [os.path.relpath(f, root) for f in post]
+        frows = _rows_per_file(post)
         new_file_paths.extend(post)
-        if cell in append_cells and cell in by_cell:
-            prior = by_cell[cell]
+        if ck in append_cells and ck in by_ck:
+            prior = by_ck[ck]
+            old_fr = prior.get("file_rows")
+            if old_fr is None:
+                old_fr = _rows_per_file(
+                    [os.path.join(root, f) for f in prior["files"]]
+                )
             parts.append(
                 {
                     **dict(prior),
                     "files": prior["files"] + rel,
-                    "n_rows": prior["n_rows"] + counts.get(cell, 0),
+                    "file_rows": old_fr + frows,
+                    "n_rows": prior["n_rows"] + counts.get(ck, 0),
                 }
             )
         else:
-            n = counts.get(cell, 0)
+            n = counts.get(ck, 0)
             if n == 0:
                 continue  # every row of this cell moved or was replaced away
-            parts.append({"cell": cell, "values": {}, "n_rows": n, "files": rel})
-    parts.sort(key=lambda p: p["cell"])
+            parts.append(
+                {
+                    "cell": ck[-1],
+                    "values": vals,
+                    "n_rows": n,
+                    "files": rel,
+                    "file_rows": frows,
+                }
+            )
+    parts.sort(key=lambda p: _part_key(p, part_keys))
     metrics2 = {
         **m["metrics"],
         "upserted_batches": m["metrics"].get("upserted_batches", 0) + 1,
@@ -615,11 +812,129 @@ def upsert_rows(
             corpus_anchor_offset_m(spark.read.parquet(*new_file_paths)),
         )
     m2 = {
-        **{k: v for k, v in m.items() if k == "schema"},
+        **{k: v for k, v in m.items() if k in ("schema", "keys")},
         "snapshot_id": m["snapshot_id"] + 1,
         "parent_id": m["snapshot_id"],
         "partitions": parts,
         "metrics": metrics2,
+    }
+    _commit_manifest(root, m2)
+    return m2
+
+
+def delete_rows(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    max_per_file: int | None = None,
+) -> dict:
+    """``DELETE FROM table WHERE predicate`` — the reference's in-place
+    row delete (google/process.py:149 ``DELETE FROM buildings WHERE
+    confidence < …``) as an Iceberg-style copy-on-write operation: cells
+    holding matching rows are rewritten WITHOUT them as new files and a new
+    snapshot swaps in; every older snapshot still time-travels to the
+    pre-delete state (reclaim superseded files with
+    :func:`expire_snapshots`). The takedown / contamination-purge
+    primitive a 10^12-doc corpus needs.
+
+    ``predicate``: SQL string or Column; rows where it is TRUE are removed
+    (NULL keeps the row — SQL DELETE semantics). Works on keyed tables.
+
+    Scale shape: finding affected partitions is one manifest-planned scan
+    with the predicate pushed into it (at planet scale the dominant,
+    bounded cost); the rewrite then re-reads ONLY the affected partitions'
+    files. Partitions left empty drop out of the manifest.
+    """
+    from ..operators.partition import tag_cells
+
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    keys = _manifest_keys(m)
+    cap = (
+        max_per_file
+        if max_per_file is not None
+        else m.get("metrics", {}).get("max_per_file")
+    )
+    data_dir = os.path.join(root, "data")
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    hit = F.coalesce(pred, F.lit(False))
+
+    cells_df = spark.createDataFrame(
+        [_part_key(p, keys) for p in m["partitions"]], _plan_schema(keys)
+    )
+    full = tag_cells(read_table(spark, root), cells_df, keys)
+    affected = sorted(
+        tuple(r[k] for k in keys) + (r["cell"],)
+        for r in full.filter(hit).select(*keys, "cell").distinct().collect()
+    )
+    if not affected:
+        return m
+    aff_set = set(affected)
+    aff_parts = [p for p in m["partitions"] if _part_key(p, keys) in aff_set]
+    survivors = tag_cells(
+        _read_partitions(spark, root, m, aff_parts), cells_df, keys
+    ).filter(~hit)
+    survivors = survivors.persist()
+    try:
+        counts = {
+            tuple(r[k] for k in keys) + (r["cell"],): r["n"]
+            for r in survivors.groupBy(*keys, "cell")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        pre_files = {
+            ck: set(
+                glob.glob(
+                    os.path.join(
+                        _part_dir(data_dir, keys, dict(zip(keys, ck)), ck[-1]),
+                        "*.parquet",
+                    )
+                )
+            )
+            for ck in affected
+        }
+        if counts:
+            _write_cells_salted(survivors, counts, cap, data_dir, keys)
+    finally:
+        survivors.unpersist()
+    parts = [
+        dict(p) for p in m["partitions"] if _part_key(p, keys) not in aff_set
+    ]
+    for ck in affected:
+        n = counts.get(ck, 0)
+        if n == 0:
+            continue  # every row of this partition matched: it disappears
+        vals = dict(zip(keys, ck))
+        pdir = _part_dir(data_dir, keys, vals, ck[-1])
+        post = sorted(
+            set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
+        )
+        rel = [os.path.relpath(f, root) for f in post]
+        parts.append(
+            {
+                "cell": ck[-1],
+                "values": vals,
+                "n_rows": n,
+                "files": rel,
+                "file_rows": _rows_per_file(post),
+            }
+        )
+    parts.sort(key=lambda p: _part_key(p, keys))
+    n_deleted = sum(p["n_rows"] for p in aff_parts) - sum(counts.values())
+    m2 = {
+        **{k: v for k, v in m.items() if k in ("schema", "keys")},
+        "snapshot_id": m["snapshot_id"] + 1,
+        "parent_id": m["snapshot_id"],
+        "partitions": parts,
+        "metrics": {
+            **m["metrics"],
+            # the stored kNN bound (max_anchor_offset_m) stays: deletion
+            # can only shrink the true offset, so it remains a valid upper
+            # bound for exactness
+            "rows_deleted": m["metrics"].get("rows_deleted", 0) + n_deleted,
+            "deleted_batches": m["metrics"].get("deleted_batches", 0) + 1,
+        },
     }
     _commit_manifest(root, m2)
     return m2
@@ -674,6 +989,17 @@ def read_table(
         if any(part["values"].get(k) != v for k, v in key_filters.items()):
             continue
         files.extend(os.path.join(root, f) for f in part["files"])
+    keys = _manifest_keys(m)
+    if keys:
+        # keyed table: key values live in directory names, recovered via
+        # basePath + explicit string schema (never inference)
+        reader = _keyed_reader(spark, m, keys, root)
+        if not files:
+            allf = [
+                os.path.join(root, f) for p in m["partitions"] for f in p["files"]
+            ]
+            return reader.parquet(*allf).limit(0).drop("cell")
+        return reader.parquet(*files).drop("cell")
     reader = spark.read
     if m.get("schema"):
         reader = reader.schema(_schema_struct(m))
@@ -741,6 +1067,15 @@ def read_table_cells(
         # whose prefix is a requested cell)
         if pc in want or any(pc[:k] in cellset for k in range(1, len(pc) + 1)):
             files.extend(os.path.join(root, f) for f in part["files"])
+    keys = _manifest_keys(m)
+    if keys:
+        reader = _keyed_reader(spark, m, keys, root)
+        if not files:
+            allf = [
+                os.path.join(root, f) for p in m["partitions"] for f in p["files"]
+            ]
+            return reader.parquet(*allf).limit(0).drop("cell")
+        return reader.parquet(*files).drop("cell")
     reader = spark.read
     if m.get("schema"):
         reader = reader.schema(_schema_struct(m))
@@ -755,13 +1090,24 @@ def metrics(root: str) -> dict:
     m = current_manifest(root)
     if m is None:
         return {}
+    keys = _manifest_keys(m)
     return {
         "snapshot_id": m["snapshot_id"],
         "n_partitions": len(m["partitions"]),
         "rows_written": m["metrics"]["rows_written"],
         "recomputed_cells": m["metrics"]["recomputed_cells"],
         "partitions": {
-            p["cell"]: p["n_rows"] for p in m["partitions"]
+            # keyed partitions address by their hive path (the bare cell
+            # string would collide across key values)
+            (
+                "/".join(
+                    [f"{k}={p['values'][k]}" for k in keys]
+                    + [f"cell={p['cell']}"]
+                )
+                if keys
+                else p["cell"]
+            ): p["n_rows"]
+            for p in m["partitions"]
         },
     }
 
@@ -785,12 +1131,17 @@ def compact_cells(
     ``max_rows_per_file`` overrides the cap (None + no stored cap = one
     file per cell).
 
-    Scale shape: candidate cells compact in parallel (repartition on cell,
-    one pyarrow writer per task walking its cells in clustered order); the
-    driver only swaps manifest entries. Streaming ingests that append many
-    micro-batch files per cell are the intended caller. Keyed tables
-    (partition value columns) are not supported — their key columns live
-    in directory names, not rows.
+    Scale shape: candidate cells compact in parallel (repartition on
+    (keys, cell), one pyarrow writer per task walking its partitions in
+    clustered order); the driver only swaps manifest entries. Streaming
+    ingests that append many micro-batch files per cell are the intended
+    caller. Keyed tables compact the same way — key columns are recovered
+    from the hive directory names and written back as directories, never
+    as data columns.
+
+    Selection is per FILE where the manifest records ``file_rows``: a cell
+    whose file count looks right but holds one skewed over-cap file (e.g.
+    999+1 rows at cap 500) is still selected and re-sharded.
     """
     import pyarrow as pa
     from pyspark import TaskContext
@@ -798,8 +1149,7 @@ def compact_cells(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    if any(p["values"] for p in m["partitions"]):
-        raise NotImplementedError("compaction of key-partitioned tables")
+    keys = _manifest_keys(m)
     cap = (
         max_rows_per_file
         if max_rows_per_file is not None
@@ -809,30 +1159,37 @@ def compact_cells(
     def needed(p) -> int:
         return 1 if not cap else -(-p["n_rows"] // cap)
 
+    def overcap_file(p) -> bool:
+        fr = p.get("file_rows")
+        return bool(cap) and fr is not None and any(x > cap for x in fr)
+
     todo = [
         p
         for p in m["partitions"]
         if len(p["files"]) > max(max_files, needed(p))
         # under-sharded: fewer files than the cap requires means the cell's
-        # average file exceeds the row cap (the manifest tracks rows per
-        # cell, not per file) — select it so the cap-rolling writer below
-        # re-shards the oversized file(s)
+        # average file exceeds the row cap — select it so the cap-rolling
+        # writer below re-shards the oversized file(s)
         or (cap and len(p["files"]) < needed(p))
+        # skewed: an individual file over the cap even though the per-cell
+        # aggregate looks fine (known exactly from the stored file_rows)
+        or overcap_file(p)
     ]
     if not todo:
         return m
     snap = m["snapshot_id"] + 1
     data_dir = os.path.join(root, "data")
-    files = [os.path.join(root, f) for p in todo for f in p["files"]]
-    src = spark.read.parquet(*files)
+    src = _read_partitions(spark, root, m, todo)
 
     from ..operators.partition import tag_cells
 
-    plan_df = spark.createDataFrame([(p["cell"],) for p in todo], "cell string")
+    plan_df = spark.createDataFrame(
+        [_part_key(p, keys) for p in todo], _plan_schema(keys)
+    )
     tagged = (
-        tag_cells(src, plan_df)
-        .repartition(max(len(todo), 1), "cell")
-        .sortWithinPartitions("cell", "quadkey")
+        tag_cells(src, plan_df, keys)
+        .repartition(max(len(todo), 1), *keys, "cell")
+        .sortWithinPartitions(*keys, "cell", "quadkey")
     )
 
     def write_part(batches):
@@ -841,8 +1198,8 @@ def compact_cells(
         tc = TaskContext.get()
         out_rows = []
         writer = None
-        cur = None
-        fname = None
+        cur = None  # (key values..., cell) of the open group
+        fname = None  # output path relative to data_dir
         n = 0
         seq = 0
 
@@ -850,9 +1207,13 @@ def compact_cells(
             nonlocal writer, n, fname
             if writer is not None:
                 writer.close()
+                final = os.path.join(data_dir, fname)
                 os.replace(
-                    os.path.join(data_dir, "." + fname + ".inprogress"),
-                    os.path.join(data_dir, fname),
+                    os.path.join(
+                        os.path.dirname(final),
+                        "." + os.path.basename(final) + ".inprogress",
+                    ),
+                    final,
                 )
                 out_rows.append((cur, fname, n))
                 writer, n, fname = None, 0, None
@@ -860,31 +1221,42 @@ def compact_cells(
         def open_file(schema):
             nonlocal writer, fname, seq
             seq += 1
-            fname = (
-                f"compact-{snap}-{cur or 'root'}-"
+            pdir = _part_dir(data_dir, keys, dict(zip(keys, cur)), cur[-1])
+            os.makedirs(pdir, exist_ok=True)
+            base = (
+                f"compact-{snap}-{cur[-1] or 'root'}-"
                 f"{tc.partitionId()}-{tc.taskAttemptId()}-{seq}.parquet"
             )
+            fname = os.path.relpath(os.path.join(pdir, base), data_dir)
             writer = pq.ParquetWriter(
-                os.path.join(data_dir, "." + fname + ".inprogress"),
+                os.path.join(pdir, "." + base + ".inprogress"),
                 schema,
                 compression="snappy",
             )
 
         for rb in batches:
+            if rb.num_rows == 0:
+                continue
             names = rb.schema.names
-            ci = names.index("cell")
-            cells = rb.column(ci).to_pylist()
+            gidx = [names.index(k) for k in keys] + [names.index("cell")]
+            gset = set(gidx)
+            groups = list(zip(*[rb.column(j).to_pylist() for j in gidx]))
             start = 0
-            for i in range(len(cells) + 1):
-                if i < len(cells) and cells[i] == cells[start]:
+            for i in range(len(groups) + 1):
+                if i < len(groups) and groups[i] == groups[start]:
                     continue
                 piece = rb.slice(start, i - start)
-                if cur != cells[start]:
+                if cur != groups[start]:
                     close()
-                    cur = cells[start]
-                arrays = [piece.column(j) for j in range(piece.num_columns) if j != ci]
+                    cur = groups[start]
+                arrays = [
+                    piece.column(j)
+                    for j in range(piece.num_columns)
+                    if j not in gset
+                ]
                 out = pa.record_batch(
-                    arrays, names=[nm for j, nm in enumerate(names) if j != ci]
+                    arrays,
+                    names=[nm for j, nm in enumerate(names) if j not in gset],
                 )
                 # roll files at the row cap (north_rule: no oversized
                 # output file, even when one task compacts a dense cell)
@@ -904,32 +1276,43 @@ def compact_cells(
                         close()
                 start = i
         close()
-        for cell, f, cnt in out_rows:
+        for grp, f, cnt in out_rows:
             yield pa.record_batch(
-                [pa.array([cell]), pa.array([f]), pa.array([cnt], type=pa.int64())],
-                names=["cell", "file", "n_rows"],
+                [pa.array([v]) for v in grp]
+                + [pa.array([f]), pa.array([cnt], type=pa.int64())],
+                names=[*keys, "cell", "file", "n_rows"],
             )
 
     results = tagged.mapInArrow(
-        write_part, "cell string, file string, n_rows long"
+        write_part, _plan_schema(keys, ", file string, n_rows long")
     ).collect()
-    new_files: dict[str, list] = {}
-    new_counts: dict[str, int] = {}
+    new_files: dict[tuple, list] = {}
     for r in results:
-        new_files.setdefault(r["cell"], []).append(os.path.join("data", r["file"]))
-        new_counts[r["cell"]] = new_counts.get(r["cell"], 0) + r["n_rows"]
-    # sanity: compaction must preserve row counts per cell
-    for p in todo:
-        assert new_counts.get(p["cell"], 0) == p["n_rows"], (
-            p["cell"], new_counts.get(p["cell"]), p["n_rows"],
+        ck = tuple(r[k] for k in keys) + (r["cell"],)
+        new_files.setdefault(ck, []).append(
+            (os.path.join("data", r["file"]), r["n_rows"])
         )
-    compacted = set(new_files)
-    parts = [
-        {**p, "files": sorted(new_files[p["cell"]])} if p["cell"] in compacted else p
-        for p in m["partitions"]
-    ]
+    # sanity: compaction must preserve row counts per partition
+    for p in todo:
+        ck = _part_key(p, keys)
+        got = sum(n for _, n in new_files.get(ck, []))
+        assert got == p["n_rows"], (ck, got, p["n_rows"])
+    parts = []
+    for p in m["partitions"]:
+        ck = _part_key(p, keys)
+        if ck in new_files:
+            pairs = sorted(new_files[ck])
+            parts.append(
+                {
+                    **p,
+                    "files": [f for f, _ in pairs],
+                    "file_rows": [n for _, n in pairs],
+                }
+            )
+        else:
+            parts.append(p)
     m2 = {
-        **{k: v for k, v in m.items() if k == "schema"},
+        **{k: v for k, v in m.items() if k in ("schema", "keys")},
         "snapshot_id": snap,
         "parent_id": m["snapshot_id"],
         "partitions": parts,

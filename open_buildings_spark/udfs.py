@@ -233,40 +233,130 @@ def make_pair_predicate(kernel):
 
     @F.pandas_udf(BooleanType())
     def within_pairs(wkt: pd.Series, aoi_wkt: pd.Series) -> pd.Series:
-        n = len(wkt)
+        return pd.Series(_pairs_eval(wkt, aoi_wkt, kernel))
+
+    return within_pairs
+
+
+def _pairs_eval(wkt: pd.Series, aoi_wkt: pd.Series, kernel) -> np.ndarray:
+    """Row-pair predicate core shared by :func:`make_pair_predicate` and
+    the skip-aware variant (see its docstring for the vectorization
+    shape)."""
+    n = len(wkt)
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    codes, uniques = pd.factorize(aoi_wkt)
+    batch = parse_wkt_batch(wkt)
+    ab = parse_wkt_batch(pd.Series(list(uniques), dtype=object))
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
+    # same contiguous-range trick for the AOI side: geom_rings(u) is an
+    # O(n_rings) scan, which per unique AOI would make the loop
+    # O(uniques x rings) — searchsorted once gives each AOI's ring
+    # range in O(log)
+    ab_ring_start = np.searchsorted(ab.ring_geom, np.arange(ab.n_geoms + 1))
+    bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
+    for u in range(len(uniques)):
+        lo, hi = bounds[u], bounds[u + 1]
+        if lo == hi or ab.gtype[u] == -1:
+            continue
+        idx = order[lo:hi]  # ascending (stable sort) — _gather_batch needs it
+        rings = [
+            (ab.ring(j), bool(ab.ring_is_hole[j]))
+            for j in range(ab_ring_start[u], ab_ring_start[u + 1])
+        ]
+        if not rings:
+            continue
+        sub = _gather_batch(batch, idx, ring_start)
+        m = kernel(sub, rings)
+        m[sub.gtype == -1] = False
+        out[idx] = m
+    return out
+
+
+def make_within_pairs_skip():
+    """ST_Within per row pair with an interior-cell FAST PATH: rows whose
+    ``skip`` flag is set (doc bbox inside a cover cell that lies strictly
+    inside the AOI — established natively before this eval) are TRUE with
+    no parse and no raycast; only boundary-cell candidates pay the exact
+    kernel. The caller blanks both WKT columns for skip rows so their
+    bytes don't cross the Arrow boundary either."""
+
+    @F.pandas_udf(BooleanType())
+    def within_pairs_skip(
+        wkt: pd.Series, aoi_wkt: pd.Series, skip: pd.Series
+    ) -> pd.Series:
+        sk = skip.fillna(False).astype(bool).to_numpy()
+        out = sk.copy()
+        rest = np.nonzero(~sk)[0]
+        if len(rest):
+            out[rest] = _pairs_eval(
+                wkt.iloc[rest].reset_index(drop=True),
+                aoi_wkt.iloc[rest].reset_index(drop=True),
+                kernels.within_mask,
+            )
+        return pd.Series(out)
+
+    return within_pairs_skip
+
+
+def make_cell_interior():
+    """Factory: pandas UDF classifying (AOI wkt, cover-cell rect) pairs as
+    INTERIOR — the rect lies strictly inside the AOI polygon
+    (kernels.rects_in_interior: center strictly in, no boundary segment
+    meets the rect, holes respected), so any geometry wholly inside the
+    rect is ST_Within the AOI without an exact test. Runs on the AOI side
+    of the big join (rows = AOI x cover cells — orders of magnitude
+    smaller than the doc side); AOIs grouped per batch so each parses
+    once. Reference analogue: the coarse-filter/exact-refine split of
+    download_buildings.py:246-250."""
+
+    @F.pandas_udf(BooleanType())
+    def cell_interior(
+        aoi_wkt: pd.Series,
+        cw: pd.Series,
+        cs: pd.Series,
+        ce: pd.Series,
+        cn: pd.Series,
+    ) -> pd.Series:
+        n = len(aoi_wkt)
         out = np.zeros(n, dtype=bool)
         if n == 0:
             return pd.Series(out)
         codes, uniques = pd.factorize(aoi_wkt)
-        batch = parse_wkt_batch(wkt)
         ab = parse_wkt_batch(pd.Series(list(uniques), dtype=object))
+        ab_ring_start = np.searchsorted(ab.ring_geom, np.arange(ab.n_geoms + 1))
+        rects = np.stack(
+            [
+                cw.to_numpy(dtype=np.float64),
+                cs.to_numpy(dtype=np.float64),
+                ce.to_numpy(dtype=np.float64),
+                cn.to_numpy(dtype=np.float64),
+            ],
+            axis=1,
+        )
         order = np.argsort(codes, kind="stable")
         sorted_codes = codes[order]
-        ring_start = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
-        # same contiguous-range trick for the AOI side: geom_rings(u) is an
-        # O(n_rings) scan, which per unique AOI would make the loop
-        # O(uniques x rings) — searchsorted once gives each AOI's ring
-        # range in O(log)
-        ab_ring_start = np.searchsorted(ab.ring_geom, np.arange(ab.n_geoms + 1))
         bounds = np.searchsorted(sorted_codes, np.arange(len(uniques) + 1))
         for u in range(len(uniques)):
             lo, hi = bounds[u], bounds[u + 1]
             if lo == hi or ab.gtype[u] == -1:
                 continue
-            idx = order[lo:hi]  # ascending (stable sort) — _gather_batch needs it
+            idx = order[lo:hi]
             rings = [
                 (ab.ring(j), bool(ab.ring_is_hole[j]))
                 for j in range(ab_ring_start[u], ab_ring_start[u + 1])
             ]
             if not rings:
                 continue
-            sub = _gather_batch(batch, idx, ring_start)
-            m = kernel(sub, rings)
-            m[sub.gtype == -1] = False
-            out[idx] = m
+            out[idx] = kernels.rects_in_interior(rings, rects[idx])
         return pd.Series(out)
 
-    return within_pairs
+    # pure, but marked nondeterministic to pin the plan: downstream
+    # references (the skip expression) must not split this into two evals
+    return cell_interior.asNondeterministic()
 
 
 def make_within_pairs():

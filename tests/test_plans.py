@@ -216,12 +216,12 @@ def test_big_aoi_join_is_shuffle_join_no_broadcast(spark, docs, sf_dir):
     count_nodes = lambda p: len(re.findall(r"^\(\d+\) ", p, re.M))  # noqa: E731
     assert count_nodes(plan_of(many)) == count_nodes(plan_of(few))
 
-    # exactly 3 python evals: docs enrichment, AOI cover, pair refine —
-    # none duplicated by filter pushdown
+    # exactly 4 python evals: docs enrichment, AOI cover, interior-cell
+    # classifier (AOI side), pair refine — none duplicated by pushdown
     nodes = re.findall(
         r"^\(\d+\) (MapInArrow|ArrowEvalPython|BatchEvalPython)", plan, re.M
     )
-    assert len(nodes) == 3, plan
+    assert len(nodes) == 4, plan
 
 
 def test_bm25_broadcasts_small_sides(spark):

@@ -841,3 +841,77 @@ def test_partition_plan_dirty_inputs(spark, docs):
 
     with _pytest.raises(ValueError, match="NULL"):
         partition.partition_plan(g, 10, keys=["country_iso"])
+
+
+def test_rects_in_interior_kernel():
+    """Interior-rect classifier: strict interior only — boundary contact,
+    holes (inside one or swallowing one), and outside rects all disqualify."""
+    from open_buildings_spark.geo import kernels
+
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    rings = [(outer, False), (hole, True)]
+    rects = np.array(
+        [
+            [1, 1, 2, 2],  # interior
+            [-1, 1, 2, 2],  # crosses the outer boundary
+            [4.5, 4.5, 5.5, 5.5],  # inside the hole
+            [3, 3, 7, 7],  # swallows the hole whole
+            [0, 0, 1, 1],  # touches the outer boundary
+            [9.0, 9.0, 9.9, 9.9],  # interior near a corner
+            [20, 20, 21, 21],  # fully outside
+        ],
+        float,
+    )
+    got = kernels.rects_in_interior(rings, rects).tolist()
+    assert got == [True, False, False, False, False, True, False]
+
+
+def test_big_aoi_join_interior_cells_bypass_refine(spark):
+    """Candidates whose doc bbox sits in an INTERIOR cover cell must skip
+    the exact refine entirely: a doc with an unparseable geometry (which
+    the exact path would reject) still joins when its bbox witnesses
+    containment — proof the parse never ran. Boundary cells keep the
+    exact path (same garbage geometry is dropped there; a valid one
+    survives)."""
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import spatial_join
+
+    w0, s0, _, _ = mercator.tile_bounds(2048, 2050, 12)  # SW cover tile
+    _, _, e1, n1 = mercator.tile_bounds(2050, 2048, 12)  # NE cover tile
+    W, S, E, N = w0 + 1e-6, s0 + 1e-6, e1 - 1e-6, n1 - 1e-6
+    aoi_wkt = f"POLYGON (({W} {S}, {E} {S}, {E} {N}, {W} {N}, {W} {S}))"
+    aois = spark.createDataFrame([(1, aoi_wkt)], "aoi_id int, wkt string")
+
+    def center(tx, ty):
+        cw, cs, ce, cn = mercator.tile_bounds(tx, ty, 12)
+        return (cw + ce) / 2.0, (cs + cn) / 2.0, (ce - cw)
+
+    icx, icy, iw = center(2049, 2049)  # interior cell (all 8 neighbors in AOI)
+    bcx, bcy, bw = center(2048, 2049)  # west-edge boundary cell
+    sq = (
+        f"POLYGON (({bcx - bw/8} {bcy - bw/8}, {bcx + bw/8} {bcy - bw/8}, "
+        f"{bcx + bw/8} {bcy + bw/8}, {bcx - bw/8} {bcy + bw/8}, "
+        f"{bcx - bw/8} {bcy - bw/8}))"
+    )
+    rows = [
+        # garbage WKT, bbox inside the interior cell -> must SURVIVE
+        ("skip-me", mercator.quadkey_from_tile(2049, 2049, 12),
+         f"POLYGON (({icx} {icy}, oops))",
+         icx - iw / 8, icy - iw / 8, icx + iw / 8, icy + iw / 8),
+        # same garbage in a boundary cell -> exact path parses and drops it
+        ("parse-me", mercator.quadkey_from_tile(2048, 2049, 12),
+         f"POLYGON (({bcx} {bcy}, oops))",
+         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+        # valid square in the same boundary cell -> exact path keeps it
+        ("good", mercator.quadkey_from_tile(2048, 2049, 12), sq,
+         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, quadkey string, wkt string, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+    out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == {"skip-me", "good"}

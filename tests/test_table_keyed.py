@@ -1,0 +1,237 @@
+"""Keyed (hive ``country_iso=XX``-style) table lifecycle: write, read,
+append, upsert, delete, compact — the reference's primary archive layout
+(overture/partition.py:168-170) maintained end-to-end, plus table-level
+DELETE (reference P8, google/process.py:149)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_buildings_spark.operators import enrich
+from open_buildings_spark.table import iceberg_lite as tbl
+
+
+@pytest.fixture(scope="module")
+def keyed(spark, docs):
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    # synthetic partition key with a leading zero: directory-value
+    # round-tripping must NOT coerce '03' to the integer 3
+    return g.withColumn(
+        "ckey", F.concat(F.lit("0"), F.substring("quadkey", 4, 1))
+    ).cache()
+
+
+def test_keyed_write_read_prune(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    m = tbl.write_partitioned(keyed, root, max_per_file=500, keys=["ckey"])
+    assert m["keys"] == ["ckey"]
+    back = tbl.read_table(spark, root)
+    assert back.count() == keyed.count()
+    assert "cell" not in back.columns
+    # key values recovered verbatim from directory names (leading zeros)
+    vals = {r["ckey"] for r in back.select("ckey").distinct().collect()}
+    truth = {r["ckey"] for r in keyed.select("ckey").distinct().collect()}
+    assert vals == truth and all(v.startswith("0") for v in vals)
+    # per-key pruning reads only that key's partitions
+    one = sorted(truth)[0]
+    sub = tbl.read_table(spark, root, ckey=one)
+    assert sub.count() == keyed.filter(F.col("ckey") == one).count()
+    assert {r["ckey"] for r in sub.select("ckey").distinct().collect()} == {one}
+    # data files do NOT carry the key column (it lives in the dir name)
+    f = os.path.join(root, m["partitions"][0]["files"][0])
+    assert "ckey" not in spark.read.parquet(f).columns
+    # every partition records per-file row counts
+    assert all(
+        len(p["file_rows"]) == len(p["files"]) and sum(p["file_rows"]) == p["n_rows"]
+        for p in m["partitions"]
+    )
+
+
+def test_keyed_append_routes_and_opens_new_key(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    tbl.write_partitioned(keyed, root, max_per_file=500, keys=["ckey"])
+    base = keyed.count()
+    batch = keyed.limit(50).withColumn(
+        "doc_id", F.concat(F.lit("ap-"), F.col("doc_id"))
+    )
+    newkey = keyed.limit(5).select(
+        F.concat(F.lit("nk-"), F.col("doc_id")).alias("doc_id"),
+        *[c for c in keyed.columns if c not in ("doc_id", "ckey")],
+        F.lit("ZZ").alias("ckey"),
+    ).select(*batch.columns)
+    m2 = tbl.append_rows(batch.unionByName(newkey), root, batch_id=1)
+    back = tbl.read_table(spark, root)
+    assert back.count() == base + 55
+    assert back.filter(F.col("ckey") == "ZZ").count() == 5
+    assert any(p["values"] == {"ckey": "ZZ"} for p in m2["partitions"])
+
+
+def test_keyed_append_unroutable_raises(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    tbl.write_partitioned(keyed.limit(200), root, max_per_file=500, keys=["ckey"])
+    bad_qk = keyed.limit(3).withColumn("quadkey", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="un-routable"):
+        tbl.append_rows(bad_qk, root, batch_id=1)
+    bad_key = keyed.limit(3).withColumn("ckey", F.lit(None).cast("string"))
+    with pytest.raises(ValueError, match="un-routable"):
+        tbl.append_rows(bad_key, root, batch_id=1)
+    # and the failed appends committed nothing
+    assert tbl.current_manifest(root)["snapshot_id"] == 1
+
+
+def test_append_missing_key_column_raises(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    tbl.write_partitioned(keyed.limit(200), root, max_per_file=500, keys=["ckey"])
+    with pytest.raises(ValueError, match="partition key"):
+        tbl.append_rows(keyed.limit(3).drop("ckey"), root, batch_id=1)
+
+
+def test_keyed_upsert_moves_partition_key(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    tbl.write_partitioned(keyed, root, max_per_file=500, keys=["ckey"])
+    total = keyed.count()
+    cur = tbl.read_table(spark, root)
+    movers = cur.filter(F.col("doc_id").endswith("7")).withColumn(
+        "ckey", F.lit("09")
+    )
+    n_moved = movers.count()
+    assert n_moved > 0
+    tbl.upsert_rows(movers, root, key="doc_id")
+    back = tbl.read_table(spark, root)
+    # MERGE: no duplicates, total unchanged, movers now live under ckey=09
+    assert back.count() == total
+    assert back.filter(F.col("doc_id").endswith("7")).count() == n_moved
+    assert (
+        back.filter(F.col("doc_id").endswith("7"))
+        .filter(F.col("ckey") != "09")
+        .count()
+        == 0
+    )
+    # old snapshot still shows the pre-move keys (time travel)
+    old = tbl.read_table(spark, root, snapshot_id=1)
+    assert old.filter(F.col("ckey") == "09").count() == 0
+    assert old.count() == total
+
+
+def test_keyed_compact_after_appends(spark, keyed, tmp_path):
+    root = str(tmp_path / "kt")
+    tbl.write_partitioned(keyed, root, max_per_file=50_000, keys=["ckey"])
+    for i in range(1, 4):
+        batch = keyed.limit(30).withColumn(
+            "doc_id", F.concat(F.lit(f"b{i}-"), F.col("doc_id"))
+        )
+        tbl.append_rows(batch, root, batch_id=i)
+    total = tbl.read_table(spark, root).count()
+    m_before = tbl.current_manifest(root)
+    frag = max(len(p["files"]) for p in m_before["partitions"])
+    assert frag > 1
+    m2 = tbl.compact_cells(spark, root)
+    assert max(len(p["files"]) for p in m2["partitions"]) < frag
+    back = tbl.read_table(spark, root)
+    assert back.count() == total
+    # compacted files live under their hive dirs and parse standalone
+    for p in m2["partitions"]:
+        assert sum(p["file_rows"]) == p["n_rows"]
+        for f in p["files"]:
+            assert f"ckey={p['values']['ckey']}" in f and f"cell={p['cell']}" in f
+
+
+def test_compact_reshards_skewed_overcap_file(spark, tmp_path):
+    """A cell whose file COUNT matches its shard count but whose files are
+    skewed (999+1 at cap 500) must still be selected: the per-file row
+    counts in the manifest expose the over-cap file (r3 ADVICE #4)."""
+    root = str(tmp_path / "skew")
+    big = spark.range(999).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("300110130330").alias("quadkey"),
+    )
+    tbl.write_partitioned(big, root, max_per_file=1000)
+    one = spark.createDataFrame([("d-extra", "300110130330")], "doc_id string, quadkey string")
+    tbl.append_rows(one, root, batch_id=1)
+    m = tbl.current_manifest(root)
+    (part,) = m["partitions"]
+    assert sorted(part["file_rows"]) == [1, 999]
+    m2 = tbl.compact_cells(spark, root, max_files=2, max_rows_per_file=500)
+    (part2,) = m2["partitions"]
+    assert part2["n_rows"] == 1000
+    assert all(fr <= 500 for fr in part2["file_rows"])
+    assert tbl.read_table(spark, root).count() == 1000
+
+
+def test_append_backfills_missing_file_rows(spark, tmp_path):
+    """Appending to a pre-r4 manifest (no file_rows) backfills the touched
+    partition's per-file counts from the parquet footers."""
+    root = str(tmp_path / "legacy")
+    df = spark.range(100).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("300110130330").alias("quadkey"),
+    )
+    tbl.write_partitioned(df, root, max_per_file=1000)
+    # strip file_rows to simulate an older manifest
+    m = tbl.current_manifest(root)
+    for p in m["partitions"]:
+        p.pop("file_rows", None)
+    vf = os.path.join(root, "metadata", "VERSION")
+    with open(os.path.join(root, "metadata", open(vf).read().strip()), "w") as f:
+        json.dump(m, f)
+    one = spark.createDataFrame([("dx", "300110130330")], "doc_id string, quadkey string")
+    m2 = tbl.append_rows(one, root, batch_id=1)
+    (part,) = m2["partitions"]
+    assert sorted(part["file_rows"]) == [1, 100]
+
+
+def test_delete_rows_copy_on_write(spark, docs, tmp_path):
+    root = str(tmp_path / "del")
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    tbl.write_partitioned(g, root, max_per_file=500)
+    n0 = g.count()
+    ndel = g.filter(F.col("doc_id").endswith("3")).count()
+    assert 0 < ndel < n0
+    m2 = tbl.delete_rows(spark, root, "doc_id LIKE '%3'")
+    back = tbl.read_table(spark, root)
+    assert back.count() == n0 - ndel
+    assert back.filter(F.col("doc_id").endswith("3")).count() == 0
+    assert m2["metrics"]["rows_deleted"] == ndel
+    # older snapshot still time-travels to the pre-delete state
+    old = tbl.read_table(spark, root, snapshot_id=1)
+    assert old.count() == n0
+    # delete with no matches is a no-op (same snapshot)
+    m3 = tbl.delete_rows(spark, root, "doc_id = 'nope'")
+    assert m3["snapshot_id"] == m2["snapshot_id"]
+
+
+def test_delete_rows_null_predicate_keeps_row(spark, tmp_path):
+    root = str(tmp_path / "delnull")
+    df = spark.createDataFrame(
+        [("a", "300110130330", 1), ("b", "300110130330", None)],
+        "doc_id string, quadkey string, score int",
+    )
+    tbl.write_partitioned(df, root, max_per_file=100)
+    tbl.delete_rows(spark, root, "score < 5")
+    back = tbl.read_table(spark, root)
+    # SQL DELETE semantics: NULL predicate does not delete
+    assert [r["doc_id"] for r in back.collect()] == ["b"]
+
+
+def test_delete_rows_keyed_drops_empty_partition(spark, keyed, tmp_path):
+    root = str(tmp_path / "delk")
+    tbl.write_partitioned(keyed, root, max_per_file=500, keys=["ckey"])
+    n0 = keyed.count()
+    victim = sorted(
+        r["ckey"] for r in keyed.select("ckey").distinct().collect()
+    )[0]
+    nvict = keyed.filter(F.col("ckey") == victim).count()
+    m2 = tbl.delete_rows(spark, root, f"ckey = '{victim}'")
+    assert all(p["values"]["ckey"] != victim for p in m2["partitions"])
+    back = tbl.read_table(spark, root)
+    assert back.count() == n0 - nvict
+    assert back.filter(F.col("ckey") == victim).count() == 0
+
+
+def test_write_partitioned_rejects_key_mismatch(spark, keyed, tmp_path):
+    root = str(tmp_path / "km")
+    tbl.write_partitioned(keyed.limit(100), root, max_per_file=500, keys=["ckey"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        tbl.write_partitioned(keyed.limit(100), root, max_per_file=500)
