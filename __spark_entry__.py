@@ -608,9 +608,10 @@ def _q_ann_ivf(spark, sf_dir):
 
 def _q_kmeans_ivf(spark, sf_dir):
     """Lloyd k-means IVF quantizer training (3 rounds, deterministic sample
-    init). Iterative float means are engine-order-sensitive, so this is a
-    rows-only gate (no SQL oracle — the documented carve-out for iterative
-    algorithms); emitted columns are the integer (cid, n_assigned) so the
+    init), gated against a 3-round unrolled DuckDB mirror: the assignment
+    rule rounds cosine similarity to 6 dp (cid-ascending tie-break), which
+    absorbs the engines' float-sum-order drift in the double-precision
+    means; emitted columns are the integer (cid, n_assigned) so the
     schema stays float-free."""
     fitted = similarity.kmeans_fit(_emb(spark, sf_dir), n_iter=3)
     return fitted.select("cid", "n_assigned").orderBy("cid")

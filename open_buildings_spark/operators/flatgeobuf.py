@@ -324,11 +324,18 @@ def encode_feature(gtype: int, rings, columns, prop_row) -> bytes:
 
 
 def encode_header(
-    name: str, envelope, geometry_type: int, columns, features_count: int
+    name: str,
+    envelope,
+    geometry_type: int,
+    columns,
+    features_count: int,
+    index_node_size: int = 0,
 ) -> bytes:
-    """Size-prefixed Header flatbuffer; index_node_size=0 (no spatial index;
-    the quadkey table layer is the engine's pruning structure), CRS EPSG:4326
-    (FGB files carry lon/lat like the reference's GDAL exports)."""
+    """Size-prefixed Header flatbuffer; CRS EPSG:4326 (FGB files carry
+    lon/lat like the reference's GDAL exports). ``index_node_size`` 0
+    means no spatial index; the writers pass 16 when they emit the packed
+    Hilbert R-tree (the flatbuffer default is 16, so 0 must be stored
+    explicitly)."""
     b = _FBBuilder()
     col_pos = []
     for cname, ctype in columns:
@@ -340,13 +347,147 @@ def encode_header(
         (2, "u8", geometry_type),
         (7, "offset", b.offset_vector(col_pos)),
         (8, "u64", features_count),
-        (9, "u16", 0),  # index_node_size: default is 16, must store 0
+        (9, "u16", index_node_size),
         (10, "offset", crs),
     ]
     if envelope is not None:
         fields.append((1, "offset", b.vector("d", [float(v) for v in envelope], 8)))
     fb = b.finish(b.table(fields))
     return struct.pack("<I", len(fb)) + fb
+
+
+# --------------------------------------------------------------------------
+# Packed Hilbert R-tree index (FlatGeobuf spec: 40-byte nodes — 4 f64 bbox
+# + u64 offset — serialized root level first, leaves last; an internal
+# node's offset is the NODE INDEX of its first child, a leaf's offset is
+# its feature's byte position in the features section). The index is what
+# lets FGB consumers (QGIS/GDAL HTTP range reads) fetch windows without
+# scanning; the reference's GDAL-written files carry it.
+
+INDEX_NODE_SIZE = 16
+_HILBERT_MAX = (1 << 16) - 1
+_NODE_DT = np.dtype(
+    [("minx", "<f8"), ("miny", "<f8"), ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")]
+)
+
+
+def _interleave16(x: np.ndarray) -> np.ndarray:
+    x = (x | (x << 8)) & np.uint32(0x00FF00FF)
+    x = (x | (x << 4)) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & np.uint32(0x33333333)
+    x = (x | (x << 1)) & np.uint32(0x55555555)
+    return x
+
+
+def hilbert_u32(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert curve index of 16-bit (x, y) pairs, vectorized uint32 —
+    the Lam–Shapiro outside-in bit-twiddling used by the FlatGeobuf
+    packed R-tree (public-domain algorithm, rawrunprotected/
+    hilbert_curves). Only feature ORDER depends on this; index validity
+    does not."""
+    x = np.asarray(x, dtype=np.uint32)
+    y = np.asarray(y, dtype=np.uint32)
+    F16 = np.uint32(0xFFFF)
+    a = x ^ y
+    b = F16 ^ a
+    c = F16 ^ (x | y)
+    d = x & (y ^ F16)
+    A = a | (b >> 1)
+    B = (a >> 1) ^ a
+    C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C = C ^ ((a & (c >> 2)) ^ (b & (d >> 2)))
+    D = D ^ ((b & (c >> 2)) ^ ((a ^ b) & (d >> 2)))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C = C ^ ((a & (c >> 4)) ^ (b & (d >> 4)))
+    D = D ^ ((b & (c >> 4)) ^ ((a ^ b) & (d >> 4)))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> 8)) ^ (b & (d >> 8)))
+    D = D ^ ((b & (c >> 8)) ^ ((a ^ b) & (d >> 8)))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    i0 = x ^ y
+    i1 = b | (F16 ^ (i0 | a))
+    return (_interleave16(i1) << 1) | _interleave16(i0)
+
+
+def hilbert_from_lonlat(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Hilbert value of WGS84 points scaled over the WORLD extent (fixed
+    extent instead of the data bbox so no extra pass over the data is
+    needed; granularity is 360/2^16 ≈ 0.005° ≈ 600 m — ties within a
+    cell keep input order, which is already quadkey-clustered)."""
+    fx = np.clip((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0, 0.0, 1.0)
+    fy = np.clip((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0, 0.0, 1.0)
+    return hilbert_u32(
+        np.floor(fx * _HILBERT_MAX).astype(np.uint32),
+        np.floor(fy * _HILBERT_MAX).astype(np.uint32),
+    )
+
+
+def _index_level_layout(features_count: int, node_size: int):
+    """(level_num, level_offsets) per spec: level 0 = leaves; level i
+    starts at node index level_offsets[i] (root level starts at 0)."""
+    level_num = [features_count]
+    m = features_count
+    while True:
+        m = -(-m // node_size)
+        level_num.append(m)
+        if m == 1:
+            break
+    num_nodes = sum(level_num)
+    level_offsets = []
+    acc = num_nodes
+    for size in level_num:
+        acc -= size
+        level_offsets.append(acc)
+    return level_num, level_offsets
+
+
+def build_index(
+    leaf_bboxes: np.ndarray,
+    leaf_offsets: np.ndarray,
+    node_size: int = INDEX_NODE_SIZE,
+) -> bytes:
+    """Serialize the packed R-tree for features ALREADY in file order:
+    ``leaf_bboxes`` (N,4) and ``leaf_offsets`` (feature byte positions in
+    the features section). Internal bboxes union upward via reduceat —
+    O(N) numpy, ~43 bytes/feature of driver memory (inherent to the
+    format: index bytes precede the features in one file; planet-scale
+    exports shard instead)."""
+    n = len(leaf_offsets)
+    if n == 0:
+        return b""
+    level_num, level_offsets = _index_level_layout(n, node_size)
+    num_nodes = sum(level_num)
+    nodes = np.zeros(num_nodes, dtype=_NODE_DT)
+    lo = level_offsets[0]
+    nodes["minx"][lo : lo + n] = leaf_bboxes[:, 0]
+    nodes["miny"][lo : lo + n] = leaf_bboxes[:, 1]
+    nodes["maxx"][lo : lo + n] = leaf_bboxes[:, 2]
+    nodes["maxy"][lo : lo + n] = leaf_bboxes[:, 3]
+    nodes["off"][lo : lo + n] = leaf_offsets.astype(np.uint64)
+    for i in range(len(level_num) - 1):
+        cpos = level_offsets[i]
+        cend = cpos + level_num[i]
+        ppos = level_offsets[i + 1]
+        starts = np.arange(cpos, cend, node_size)
+        rel = starts - cpos
+        for fld, red in (
+            ("minx", np.minimum),
+            ("miny", np.minimum),
+            ("maxx", np.maximum),
+            ("maxy", np.maximum),
+        ):
+            nodes[fld][ppos : ppos + len(starts)] = red.reduceat(
+                nodes[fld][cpos:cend], rel
+            )
+        nodes["off"][ppos : ppos + len(starts)] = starts.astype(np.uint64)
+    return nodes.tobytes()
 
 
 _SPARK_CT = {
@@ -359,28 +500,165 @@ _SPARK_CT = {
 }
 
 
-def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> int:
-    """DataFrame (WKT geometry + scalar columns) -> single FlatGeobuf file.
-
-    Distributed encode: one mapInArrow pass parses WKT and emits each task's
-    features as a blob scratch file plus (count, bbox, gtypes) stats; the
-    driver then writes magic + header and streams the blobs in partition
-    order (deterministic for a deterministic input partitioning). Returns
-    the feature count. Rows with missing/unparseable geometry are skipped,
-    matching the reference's GDAL export of geometry-bearing rows only.
-    """
-    import pyarrow as pa
-    from pyspark import TaskContext
-
+def fgb_columns(schema_fields, wkt_col: str) -> list[tuple[str, int]]:
+    """Spark schema -> FGB header columns (name, ColumnType); raises on
+    unmappable attribute types. Shared by the single-file and sharded
+    writers so both validate identically."""
     columns = []
-    for f in df.schema.fields:
+    for f in schema_fields:
         if f.name == wkt_col:
             continue
         st = f.dataType.simpleString()
         if st not in _SPARK_CT:
             raise ValueError(f"unsupported FGB column type {st} for {f.name}")
         columns.append((f.name, _SPARK_CT[st]))
+    return columns
+
+
+def write_fgb_pandas(
+    pdf: pd.DataFrame,
+    path: str,
+    columns: list[tuple[str, int]],
+    wkt_col: str = "wkt",
+    name: str | None = None,
+) -> int:
+    """One in-memory pandas frame -> one complete .fgb file (magic, header
+    with count/envelope, features). The executor-side builder behind
+    :func:`sharded export <..sharded.sharded_export>` — a shard fits in a
+    task, so count and envelope are known before the header is written
+    without the driver funnel ``write_fgb`` needs for one global file.
+    ``columns`` must come from :func:`fgb_columns` on the SPARK schema
+    (pandas dtypes lose int-ness under nulls). Features are Hilbert-sorted
+    in memory and the packed R-tree index written (the shard IS in memory,
+    so the spec's preferred layout is free here). Atomic via .inprogress."""
+    feats: list[bytes] = []
+    bboxes: list[tuple[float, float, float, float]] = []
+    gtypes: set[int] = set()
     col_names = [c for c, _ in columns]
+    prop_lists = [pdf[c].tolist() for c in col_names]
+    batch = parse_wkt_batch(pdf[wkt_col])
+    bounds = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
+    ro = batch.ring_offsets
+    coords = batch.coords
+    holes = batch.ring_is_hole
+    for g in range(batch.n_geoms):
+        gt = int(batch.gtype[g])
+        if gt == GT_MISSING:
+            continue
+        rings = [
+            (coords[ro[r] : ro[r + 1]], bool(holes[r]))
+            for r in range(bounds[g], bounds[g + 1])
+        ]
+        row = [pl[g] for pl in prop_lists]
+        feats.append(encode_feature(gt, rings, columns, row))
+        gtypes.add(gt)
+        c = coords[ro[bounds[g]] : ro[bounds[g + 1]]]
+        bboxes.append(
+            (
+                float(c[:, 0].min()),
+                float(c[:, 1].min()),
+                float(c[:, 0].max()),
+                float(c[:, 1].max()),
+            )
+        )
+    n = len(feats)
+    bb = np.asarray(bboxes, dtype=np.float64).reshape(n, 4)
+    if n:
+        order = np.argsort(
+            hilbert_from_lonlat((bb[:, 0] + bb[:, 2]) / 2, (bb[:, 1] + bb[:, 3]) / 2),
+            kind="stable",
+        )
+        feats = [feats[i] for i in order]
+        bb = bb[order]
+    envelope = (
+        [float(bb[:, 0].min()), float(bb[:, 1].min()),
+         float(bb[:, 2].max()), float(bb[:, 3].max())]
+        if n
+        else None
+    )
+    gtype = gtypes.pop() if len(gtypes) == 1 else GEOM_UNKNOWN
+    header = encode_header(
+        name or os.path.splitext(os.path.basename(path))[0],
+        envelope,
+        gtype,
+        columns,
+        n,
+        INDEX_NODE_SIZE if n else 0,
+    )
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        "." + os.path.basename(path) + ".inprogress",
+    )
+    with open(tmp, "wb") as out:
+        out.write(MAGIC)
+        out.write(header)
+        if n:
+            sizes = np.asarray([len(f) for f in feats], dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            out.write(build_index(bb, offsets))
+        for f in feats:
+            out.write(f)
+    os.replace(tmp, path)
+    return n
+
+
+def write_fgb(
+    df,
+    path: str,
+    wkt_col: str = "wkt",
+    name: str | None = None,
+    index_node_size: int = INDEX_NODE_SIZE,
+    hilbert_sort: bool = False,
+) -> int:
+    """DataFrame (WKT geometry + scalar columns) -> single FlatGeobuf file
+    with the spec's packed Hilbert R-tree index (``index_node_size=0``
+    writes no index, matching the pre-r4 files).
+
+    Distributed encode: one mapInArrow pass parses WKT and emits each
+    task's features as a blob scratch file plus per-feature (bbox, size)
+    stats; the driver builds the index from the stats (O(40 B/feature)
+    memory — inherent to the format, since index bytes precede the
+    features; planet-scale exports use ``sharded_export``) and streams the
+    blobs in partition order. The index is VALID for any feature order —
+    search correctness needs only parent bboxes covering children — so the
+    default keeps the input's order (engine pipelines are already
+    quadkey-clustered, i.e. Z-order locality). ``hilbert_sort=True``
+    additionally pre-sorts rows by the Hilbert value of the geometry's
+    first vertex (extracted natively, no extra parse) over the world
+    extent — the spec's preferred layout — at the cost of one global range
+    sort, whose sampling pass re-runs the upstream plan: ~7x slower on an
+    enrichment pipeline, so opt-in. (``sharded_export`` shards get the
+    Hilbert layout for free, in task memory.) Returns the feature count.
+    Rows with missing/unparseable geometry are skipped, matching the
+    reference's GDAL export of geometry-bearing rows only.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    columns = fgb_columns(df.schema.fields, wkt_col)
+    col_names = [c for c, _ in columns]
+
+    if hilbert_sort:
+        from .aoi import first_vertex_xy
+
+        @F.pandas_udf(LongType())
+        def _hkey(fx: pd.Series, fy: pd.Series) -> pd.Series:
+            h = hilbert_from_lonlat(
+                fx.to_numpy(dtype=np.float64, na_value=0.0),
+                fy.to_numpy(dtype=np.float64, na_value=0.0),
+            )
+            return pd.Series(h.astype(np.int64))
+
+        fx, fy = first_vertex_xy(wkt_col)
+        df = (
+            df.withColumn("__obs_hkey", _hkey(fx, fy))
+            .orderBy("__obs_hkey")
+            .drop("__obs_hkey")
+        )
+
     widx = df.columns.index(wkt_col)
     cidx = [df.columns.index(c) for c in col_names]
 
@@ -391,15 +669,17 @@ def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> i
     os.makedirs(work)
 
     def enc(batches):
+        from ..geo import kernels
+
         tc = TaskContext.get()
         fname = os.path.join(
             work, f"part-{tc.partitionId():05d}-{tc.taskAttemptId()}.bin"
         )
         tmp = fname + ".inprogress"
-        n = 0
-        minx = miny = float("inf")
-        maxx = maxy = float("-inf")
-        gtypes: set[int] = set()
+        seq = 0
+        bbs: list[np.ndarray] = []
+        gts: list[np.ndarray] = []
+        fsize: list[int] = []
         with open(tmp, "wb") as fh:
             for rb in batches:
                 prop_lists = [rb.column(i).to_pylist() for i in cidx]
@@ -421,48 +701,58 @@ def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> i
                         for r in range(bounds[g], bounds[g + 1])
                     ]
                     row = [pl[g] for pl in prop_lists]
-                    fh.write(encode_feature(gt, rings, columns, row))
-                    n += 1
-                    gtypes.add(gt)
-                if batch.coords.size:
-                    minx = min(minx, float(batch.coords[:, 0].min()))
-                    maxx = max(maxx, float(batch.coords[:, 0].max()))
-                    miny = min(miny, float(batch.coords[:, 1].min()))
-                    maxy = max(maxy, float(batch.coords[:, 1].max()))
+                    feat = encode_feature(gt, rings, columns, row)
+                    fh.write(feat)
+                    fsize.append(len(feat))
+                    seq += 1
+                # per-feature leaf bboxes come from the vectorized kernel,
+                # not per-row numpy mins (which dominated the encode loop)
+                keep = gtype_arr != GT_MISSING
+                bbs.append(kernels.bboxes(batch)[keep])
+                gts.append(gtype_arr[keep])
         os.replace(tmp, fname)
+        bb = (
+            np.concatenate(bbs) if bbs else np.empty((0, 4), dtype=np.float64)
+        )
+        gt_all = (
+            np.concatenate(gts) if gts else np.empty(0, dtype=np.int64)
+        )
         yield pa.record_batch(
             [
-                pa.array([os.path.basename(fname)]),
-                pa.array([n], type=pa.int64()),
-                pa.array([minx if n else None], type=pa.float64()),
-                pa.array([miny if n else None], type=pa.float64()),
-                pa.array([maxx if n else None], type=pa.float64()),
-                pa.array([maxy if n else None], type=pa.float64()),
-                pa.array([",".join(str(t) for t in sorted(gtypes))]),
+                pa.array([os.path.basename(fname)] * seq),
+                pa.array(np.arange(seq, dtype=np.int64)),
+                pa.array(bb[:, 0]),
+                pa.array(bb[:, 1]),
+                pa.array(bb[:, 2]),
+                pa.array(bb[:, 3]),
+                pa.array(np.asarray(fsize, dtype=np.int64)),
+                pa.array(gt_all.astype(np.int32)),
             ],
-            names=["file", "n", "minx", "miny", "maxx", "maxy", "gtypes"],
+            names=["file", "seq", "minx", "miny", "maxx", "maxy", "nbytes", "gt"],
         )
 
     stats = df.mapInArrow(
         enc,
-        "file string, n long, minx double, miny double, "
-        "maxx double, maxy double, gtypes string",
-    ).collect()
+        "file string, seq long, minx double, miny double, "
+        "maxx double, maxy double, nbytes long, gt int",
+    ).toPandas()
+    stats = stats.sort_values(["file", "seq"], kind="stable").reset_index(drop=True)
 
-    kept = sorted(r["file"] for r in stats)
-    total = sum(r["n"] for r in stats)
-    nonempty = [r for r in stats if r["n"]]
+    # assembly order = the stats' file order (a retried task's orphan blob
+    # must not be concatenated; empty parts hold zero bytes and are skipped)
+    kept = sorted(stats["file"].unique())
+    total = len(stats)
     envelope = (
         [
-            min(r["minx"] for r in nonempty),
-            min(r["miny"] for r in nonempty),
-            max(r["maxx"] for r in nonempty),
-            max(r["maxy"] for r in nonempty),
+            float(stats["minx"].min()),
+            float(stats["miny"].min()),
+            float(stats["maxx"].max()),
+            float(stats["maxy"].max()),
         ]
-        if nonempty
+        if total
         else None
     )
-    seen_types = {int(t) for r in nonempty for t in r["gtypes"].split(",") if t}
+    seen_types = {int(t) for t in stats["gt"].unique()} if total else set()
     gtype = seen_types.pop() if len(seen_types) == 1 else GEOM_UNKNOWN
 
     header = encode_header(
@@ -471,10 +761,21 @@ def write_fgb(df, path: str, wkt_col: str = "wkt", name: str | None = None) -> i
         gtype,
         columns,
         total,
+        index_node_size if total else 0,
     )
     with open(path + ".inprogress", "wb") as out:
         out.write(MAGIC)
         out.write(header)
+        if total and index_node_size:
+            sizes = stats["nbytes"].to_numpy()
+            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+            out.write(
+                build_index(
+                    stats[["minx", "miny", "maxx", "maxy"]].to_numpy(),
+                    offsets,
+                    index_node_size,
+                )
+            )
         for fname in kept:
             with open(os.path.join(work, fname), "rb") as src:
                 shutil.copyfileobj(src, out)
@@ -709,6 +1010,73 @@ def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
         # object dtype instead of raising — the values were still decoded
         pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
     return pdf, columns
+
+
+def fgb_bbox_search(path: str, rect: tuple[float, float, float, float]) -> pd.DataFrame:
+    """Window query USING the packed R-tree index: walk the tree from the
+    root, descend only into nodes whose bbox intersects ``rect``, and
+    decode only the matched leaves' features (seek by the leaf's stored
+    byte offset — the access pattern that lets FGB consumers read windows
+    of a remote file without scanning). Raises if the file carries no
+    index. Returns the same frame shape as :func:`read_fgb`, restricted
+    to features whose bbox intersects ``rect``."""
+    qminx, qminy, qmaxx, qmaxy = rect
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:7] != MAGIC[:7]:
+        raise ValueError(f"{path} is not a FlatGeobuf v3 file")
+    hsize = _u32(buf, 8)
+    header = _FBTable(buf, 12 + _u32(buf, 12))
+    gtype = header.scalar(2, "B", 0)
+    node_size = header.scalar(9, "H", 16)
+    fcount = header.scalar(8, "Q", 0)
+    columns = [
+        (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
+    ]
+    if node_size == 0 or fcount == 0:
+        raise ValueError(f"{path} carries no spatial index")
+    tree_pos = 12 + hsize
+    isize = _index_size(fcount, node_size)
+    nodes = np.frombuffer(buf, dtype=_NODE_DT, count=isize // 40, offset=tree_pos)
+    feat_pos = tree_pos + isize
+    level_num, level_offsets = _index_level_layout(fcount, node_size)
+    num_nodes = sum(level_num)
+    rows = []
+    queue = [(0, len(level_num) - 1)]
+    while queue:
+        node_index, level = queue.pop()
+        is_leaf = node_index >= num_nodes - fcount
+        end = min(node_index + node_size, level_offsets[level] + level_num[level])
+        for pos in range(node_index, end):
+            nd = nodes[pos]
+            if (
+                qmaxx < nd["minx"]
+                or qmaxy < nd["miny"]
+                or qminx > nd["maxx"]
+                or qminy > nd["maxy"]
+            ):
+                continue
+            if is_leaf:
+                off = feat_pos + int(nd["off"])
+                fsize = _u32(buf, off)
+                fbuf = buf[off + 4 : off + 4 + fsize]
+                feat = _FBTable(fbuf, _u32(fbuf, 0))
+                row = {
+                    "wkt": _decode_geometry_wkt(
+                        _FBTable(fbuf, feat.indirect(0)), gtype
+                    )
+                }
+                props = feat.vector(1, "B", 1)
+                if props:
+                    row.update(_decode_properties(bytes(props), columns))
+                rows.append(row)
+            else:
+                queue.append((int(nd["off"]), level - 1))
+    cols = ["wkt"] + [c for c, _ in columns]
+    pdf = pd.DataFrame(rows, columns=cols)
+    for cname, ctype in columns:
+        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
+    return pdf
 
 
 def read_fgb(path: str) -> pd.DataFrame:

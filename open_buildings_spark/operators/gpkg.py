@@ -95,6 +95,109 @@ def _init_gpkg(db: sqlite3.Connection) -> None:
     )
 
 
+def gpkg_columns(schema_fields, wkt_col: str) -> list[tuple[str, str]]:
+    """Spark schema -> GPKG attribute columns (name, sqlite type); raises
+    on unmappable or reserved names. Shared by the single-file and sharded
+    writers."""
+    columns = []
+    for f in schema_fields:
+        if f.name == wkt_col:
+            continue
+        st = f.dataType.simpleString()
+        if st not in _SQLITE_TYPES:
+            raise ValueError(f"unsupported GPKG column type {st} for {f.name}")
+        columns.append((f.name, _SQLITE_TYPES[st]))
+    reserved = {c for c, _ in columns if c.lower() in ("geom", "fid")}
+    if reserved:
+        raise ValueError(
+            f"column names reserved by the GPKG layer schema: {sorted(reserved)}"
+        )
+    return columns
+
+
+def write_gpkg_pandas(
+    pdf: pd.DataFrame,
+    path: str,
+    columns: list[tuple[str, str]],
+    wkt_col: str = "wkt",
+    layer: str | None = None,
+    last_change: str = "2023-05-30T00:00:00Z",
+) -> int:
+    """One in-memory pandas frame -> one complete .gpkg file (OGC
+    12-128r19 metadata tables + feature layer). The executor-side builder
+    behind sharded export; ``columns`` must come from :func:`gpkg_columns`
+    on the SPARK schema (pandas dtypes lose int-ness under nulls).
+    Atomic via .inprogress."""
+    from ..geo import kernels
+    from ..geo.wkt import GT_MULTIPOLYGON, GT_POINT, GT_POLYGON, parse_wkt_batch, wkb_from_batch
+
+    layer = layer or os.path.splitext(os.path.basename(path))[0]
+    col_names = [c for c, _ in columns]
+    batch = parse_wkt_batch(pdf[wkt_col])
+    wkb = wkb_from_batch(batch)
+    bb = kernels.bboxes(batch)
+    idx = np.nonzero(batch.gtype != -1)[0]
+    val_cols = []
+    for c in col_names:
+        s = pdf[c]
+        lst = s.astype(object).where(s.notna(), None).tolist()
+        val_cols.append([v.item() if isinstance(v, np.generic) else v for v in lst])
+    tmp = os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        "." + os.path.basename(path) + ".inprogress",
+    )
+    if os.path.exists(tmp):
+        os.remove(tmp)
+    gnames = {GT_POINT: "POINT", GT_POLYGON: "POLYGON", GT_MULTIPOLYGON: "MULTIPOLYGON"}
+    db = sqlite3.connect(tmp)
+    try:
+        _init_gpkg(db)
+        cols_sql = ", ".join(f'"{c}" {t}' for c, t in columns)
+        db.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f"geom BLOB{', ' + cols_sql if cols_sql else ''})"
+        )
+        placeholders = ", ".join(["?"] * (1 + len(col_names)))
+        quoted_cols = ", ".join(f'"{c}"' for c in col_names)
+        rows = [
+            (
+                gp_header(4326, (bb[i, 0], bb[i, 1], bb[i, 2], bb[i, 3]))
+                + bytes(wkb[i]),
+                *(col[i] for col in val_cols),
+            )
+            for i in idx
+        ]
+        if rows:
+            db.executemany(
+                f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
+                f"{quoted_cols}) VALUES ({placeholders})",
+                rows,
+            )
+        n = len(rows)
+        seen = {int(t) for t in np.unique(batch.gtype[idx])} if n else set()
+        gtype_name = gnames[next(iter(seen))] if len(seen) == 1 else "GEOMETRY"
+        db.execute(
+            "INSERT INTO gpkg_contents VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (
+                layer, "features", layer, "", last_change,
+                float(bb[idx, 0].min()) if n else None,
+                float(bb[idx, 1].min()) if n else None,
+                float(bb[idx, 2].max()) if n else None,
+                float(bb[idx, 3].max()) if n else None,
+                4326,
+            ),
+        )
+        db.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,?,?)",
+            (layer, "geom", gtype_name, 4326, 0, 0),
+        )
+        db.commit()
+    finally:
+        db.close()
+    os.replace(tmp, path)
+    return n
+
+
 def write_gpkg(
     df,
     path: str,
@@ -116,14 +219,7 @@ def write_gpkg(
     from ..geo.wkt import GT_MULTIPOLYGON, GT_POINT, GT_POLYGON, parse_wkt_batch, wkb_from_batch
 
     layer = layer or os.path.splitext(os.path.basename(path))[0]
-    columns = []
-    for f in df.schema.fields:
-        if f.name == wkt_col:
-            continue
-        st = f.dataType.simpleString()
-        if st not in _SQLITE_TYPES:
-            raise ValueError(f"unsupported GPKG column type {st} for {f.name}")
-        columns.append((f.name, _SQLITE_TYPES[st]))
+    columns = gpkg_columns(df.schema.fields, wkt_col)
     col_names = [c for c, _ in columns]
     widx = df.columns.index(wkt_col)
     cidx = [df.columns.index(c) for c in col_names]
@@ -141,14 +237,6 @@ def write_gpkg(
     clash = {_g, _t, _x0, _y0, _x1, _y1} & set(col_names)
     if clash:
         raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
-    reserved = {c for c in col_names if c.lower() in ("geom", "fid")}
-    if reserved:
-        # fail BEFORE the distributed encode: 'geom' is the geometry BLOB
-        # column and 'fid' the PK in the output table (SQLite names are
-        # case-insensitive)
-        raise ValueError(
-            f"column names reserved by the GPKG layer schema: {sorted(reserved)}"
-        )
     out_schema = (
         f"{_g} binary, {_t} int, {_x0} double, {_y0} double, "
         f"{_x1} double, {_y1} double, "

@@ -111,6 +111,141 @@ def _dbf_value(v, ftype: str, length: int, dec: int) -> bytes:
     return s.rjust(length).encode("ascii")
 
 
+# ESRI shapefile caps: every internal offset/length is a signed 32-bit
+# quantity of 16-bit words, so .shp/.shx/.dbf may not reach 2 GiB. The
+# writer enforces this BEFORE assembling the final files — at planet
+# scale use the sharded export (one file per quadkey shard) instead.
+SHP_MAX_BYTES = 2**31 - 1
+
+
+def shp_columns(schema_fields, wkt_col: str) -> list[tuple[str, str]]:
+    """Spark schema -> (name, spark simple type) attribute list; validated
+    by :func:`_dbf_fields`. Shared by single-file and sharded writers."""
+    columns = [
+        (f.name, f.dataType.simpleString())
+        for f in schema_fields
+        if f.name != wkt_col
+    ]
+    _dbf_fields(columns)  # raises on unmappable types
+    return columns
+
+
+def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
+                  shape_type, bbox) -> None:
+    """Write the .shp/.shx/.dbf triple from accumulated record bytes."""
+    minx, miny, maxx, maxy = bbox
+
+    def header(total_words: int) -> bytes:
+        return (
+            struct.pack(">i", 9994)
+            + b"\x00" * 20
+            + struct.pack(">i", total_words)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<dddd", minx, miny, maxx, maxy)
+            + struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)
+        )
+
+    with open(base + ".shp", "wb") as f:
+        f.write(header((_HEADER_LEN + len(shp_records)) // 2))
+        f.write(shp_records)
+    with open(base + ".shx", "wb") as f:
+        f.write(header((_HEADER_LEN + len(shx_records)) // 2))
+        f.write(shx_records)
+
+    rec_size = 1 + sum(fl for _, _, fl, _ in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += bytes([0x03, 95, 5, 30])  # dBASE III, fixed date (deterministic)
+    dbf += struct.pack("<i", n)
+    dbf += struct.pack("<HH", hdr_size, rec_size)
+    dbf += b"\x00" * 20
+    for fname, ftype, flen, fdec in fields:
+        dbf += fname.encode("ascii").ljust(11, b"\x00")
+        dbf += ftype.encode("ascii")
+        dbf += b"\x00" * 4
+        dbf += bytes([flen, fdec])
+        dbf += b"\x00" * 14
+    dbf += b"\x0d"
+    dbf += dbf_records
+    dbf += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(dbf)
+
+
+def write_shp_pandas(
+    pdf: pd.DataFrame,
+    path: str,
+    columns: list[tuple[str, str]],
+    wkt_col: str = "wkt",
+) -> int:
+    """One in-memory pandas frame -> one .shp/.shx/.dbf triple. The
+    executor-side builder behind sharded export; ``columns`` must come
+    from :func:`shp_columns` on the SPARK schema."""
+    from ..geo.wkt import GT_POINT, parse_wkt_batch
+
+    base = path[:-4] if path.endswith(".shp") else path
+    fields = _dbf_fields(columns)
+    col_names = [c for c, _ in columns]
+    val_cols = []
+    for c in col_names:
+        s = pdf[c]
+        val_cols.append(s.astype(object).where(s.notna(), None).tolist())
+    batch = parse_wkt_batch(pdf[wkt_col])
+    bounds = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
+    shp_records = bytearray()
+    shx_records = bytearray()
+    dbf_records = bytearray()
+    n = 0
+    minx = miny = float("inf")
+    maxx = maxy = float("-inf")
+    shape_type = None
+    offset_words = _HEADER_LEN // 2
+    for g in range(batch.n_geoms):
+        gt = int(batch.gtype[g])
+        if gt == -1:
+            continue
+        rings = [
+            (batch.ring(r), bool(batch.ring_is_hole[r]))
+            for r in range(bounds[g], bounds[g + 1])
+        ]
+        if gt == GT_POINT:
+            rec = _point_record(rings[0][0][0, 0], rings[0][0][0, 1])
+            st = SHP_POINT
+            bx0, by0, bx1, by1 = (rings[0][0][0, 0], rings[0][0][0, 1]) * 2
+        else:
+            rec = _polygon_record(rings)
+            st = SHP_POLYGON
+            bx0, by0, bx1, by1 = struct.unpack_from("<dddd", rec, 4)
+        if shape_type is None:
+            shape_type = st
+        elif shape_type != st:
+            raise ValueError("shapefile cannot mix point and polygon shapes")
+        n += 1
+        clen = len(rec) // 2
+        shp_records += struct.pack(">ii", n, clen) + rec
+        shx_records += struct.pack(">ii", offset_words, clen)
+        offset_words += 4 + clen
+        minx, miny = min(minx, bx0), min(miny, by0)
+        maxx, maxy = max(maxx, bx1), max(maxy, by1)
+        row = b" "
+        for (fname, ftype, flen, fdec), col in zip(fields, val_cols):
+            row += _dbf_value(col[g], ftype, flen, fdec)
+        dbf_records += row
+    if shape_type is None:
+        shape_type = SHP_POLYGON
+        minx = miny = maxx = maxy = 0.0
+    if _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES:
+        raise ValueError(
+            "shapefile shard exceeds the format's 2 GiB cap; use a deeper "
+            "shard level"
+        )
+    _assemble_shp(
+        base, shp_records, shx_records, dbf_records, fields, n, shape_type,
+        (minx, miny, maxx, maxy),
+    )
+    return n
+
+
 def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     """DataFrame (WKT + scalar columns) -> .shp/.shx/.dbf triple at ``path``
     (pass 'out.shp'; siblings are derived). One shape type per file: POINT
@@ -123,11 +258,7 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     from ..geo.wkt import GT_POINT, parse_wkt_batch
 
     base = path[:-4] if path.endswith(".shp") else path
-    columns = []
-    for f in df.schema.fields:
-        if f.name == wkt_col:
-            continue
-        columns.append((f.name, f.dataType.simpleString()))
+    columns = shp_columns(df.schema.fields, wkt_col)
     fields = _dbf_fields(columns)
     col_names = [c for c, _ in columns]
     widx = df.columns.index(wkt_col)
@@ -187,6 +318,10 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     maxx = maxy = float("-inf")
     shape_type = None
     offset_words = _HEADER_LEN // 2
+    # format cap bookkeeping: dbf record size is fixed per schema, so the
+    # projected .dbf size is linear in n and checkable incrementally
+    _dbf_rec_size = 1 + sum(fl for _, _, fl, _ in fields)
+    _dbf_hdr_size = 32 + 32 * len(fields) + 1
     # types_mapper keeps nullable ints as pandas Int64 (default to_pandas
     # degrades them to float64 and corrupts values beyond 2^53); positional
     # Series access instead of itertuples getattr, which renames keyword /
@@ -217,6 +352,19 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
             shp_records += struct.pack(">ii", n, clen) + rec
             shx_records += struct.pack(">ii", offset_words, clen)
             offset_words += 4 + clen
+            if (
+                _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES
+                or _dbf_hdr_size + _dbf_rec_size * n + 1 > SHP_MAX_BYTES
+            ):
+                # fail BEFORE any final file is opened (every internal
+                # offset is signed-32 in 16-bit words): at this size the
+                # format is the wrong tool — export sharded instead
+                shutil.rmtree(scratch)
+                raise ValueError(
+                    "output exceeds the shapefile format's 2 GiB cap; use "
+                    "sharded_export (one file per quadkey shard) or "
+                    "FlatGeobuf for data this size"
+                )
             if st == SHP_POINT:
                 x, y = struct.unpack_from("<dd", rec, 4)
                 bx0, by0, bx1, by1 = x, y, x, y
@@ -232,42 +380,10 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     if shape_type is None:
         shape_type = SHP_POLYGON
         minx = miny = maxx = maxy = 0.0
-
-    def header(total_words: int) -> bytes:
-        return (
-            struct.pack(">i", 9994)
-            + b"\x00" * 20
-            + struct.pack(">i", total_words)
-            + struct.pack("<ii", 1000, shape_type)
-            + struct.pack("<dddd", minx, miny, maxx, maxy)
-            + struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)
-        )
-
-    with open(base + ".shp", "wb") as f:
-        f.write(header((_HEADER_LEN + len(shp_records)) // 2))
-        f.write(shp_records)
-    with open(base + ".shx", "wb") as f:
-        f.write(header((_HEADER_LEN + len(shx_records)) // 2))
-        f.write(shx_records)
-
-    rec_size = 1 + sum(fl for _, _, fl, _ in fields)
-    hdr_size = 32 + 32 * len(fields) + 1
-    dbf = bytearray()
-    dbf += bytes([0x03, 95, 5, 30])  # dBASE III, fixed date (deterministic)
-    dbf += struct.pack("<i", n)
-    dbf += struct.pack("<HH", hdr_size, rec_size)
-    dbf += b"\x00" * 20
-    for fname, ftype, flen, fdec in fields:
-        dbf += fname.encode("ascii").ljust(11, b"\x00")
-        dbf += ftype.encode("ascii")
-        dbf += b"\x00" * 4
-        dbf += bytes([flen, fdec])
-        dbf += b"\x00" * 14
-    dbf += b"\x0d"
-    dbf += dbf_records
-    dbf += b"\x1a"
-    with open(base + ".dbf", "wb") as f:
-        f.write(dbf)
+    _assemble_shp(
+        base, shp_records, shx_records, dbf_records, fields, n, shape_type,
+        (minx, miny, maxx, maxy),
+    )
     return n
 
 

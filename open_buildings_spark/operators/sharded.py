@@ -1,0 +1,151 @@
+"""Sharded geo export: one complete file per quadkey shard + a manifest.
+
+Single-file geo formats (FlatGeobuf / GeoPackage / Shapefile) are
+inherently single-writer at assembly time: the engine's ``write_fgb`` /
+``write_gpkg`` / ``write_shp`` stream distributed-encoded parts through
+one driver loop, and the reference pays the same funnel inside one GDAL
+process (``ogr2ogr``-style, download_buildings.py:306-309). At planet
+scale that funnel — and shapefile's hard 2 GiB cap — make ONE file the
+wrong tool. This module writes one spec-complete file PER quadkey shard
+from inside its own executor task, so the export parallelizes with the
+cluster; a JSON manifest lists the shards. Every shard file round-trips
+with the engine's standard readers (and GDAL/QGIS — plain .fgb/.gpkg/.shp
+files).
+
+Scale shape: one shuffle groups rows by ``substring(quadkey, 1, level)``;
+``applyInPandas`` hands each shard to one task, which sorts it by quadkey
+(clustered like the single-file writers) and builds the file with the
+same from-spec encoders. A shard must fit in task memory — pick ``level``
+so the densest shard does (the partition planner's histogram tells you);
+the shapefile builder additionally enforces the format's 2 GiB cap per
+shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EXT = {"fgb": ".fgb", "gpkg": ".gpkg", "shp": ".shp"}
+
+
+def sharded_export(
+    df: DataFrame,
+    out_dir: str,
+    fmt: str = "fgb",
+    level: int = 4,
+    wkt_col: str = "wkt",
+    prefix: str = "part",
+) -> dict:
+    """Write ``df`` as one ``fmt`` file per quadkey shard under
+    ``out_dir`` and return the manifest (also written to
+    ``out_dir/manifest.json``). ``df`` needs a ``quadkey`` column (enrich
+    first) plus WKT geometry; attribute columns follow the format's type
+    rules (validated up front on the Spark schema — pandas dtypes are not
+    trusted)."""
+    from . import flatgeobuf, gpkg, shapefile
+
+    if fmt not in _EXT:
+        raise ValueError(f"unknown sharded export format {fmt!r}")
+    if "quadkey" not in df.columns:
+        raise ValueError("sharded_export needs a quadkey column; enrich first")
+    if "_obs_shard" in df.columns:
+        raise ValueError("column name _obs_shard is reserved")
+
+    fields = list(df.schema.fields)
+    if fmt == "fgb":
+        columns = flatgeobuf.fgb_columns(fields, wkt_col)
+
+        def build(pdf, path):
+            return flatgeobuf.write_fgb_pandas(pdf, path, columns, wkt_col)
+
+    elif fmt == "gpkg":
+        columns = gpkg.gpkg_columns(fields, wkt_col)
+
+        def build(pdf, path):
+            return gpkg.write_gpkg_pandas(pdf, path, columns, wkt_col)
+
+    else:
+        columns = shapefile.shp_columns(fields, wkt_col)
+
+        def build(pdf, path):
+            return shapefile.write_shp_pandas(pdf, path, columns, wkt_col)
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = _EXT[fmt]
+    out_abs = os.path.abspath(out_dir)
+
+    def write_shard(key, pdf):
+        import pandas as pd
+
+        cell = key[0]
+        pdf = pdf.sort_values("quadkey", kind="stable").drop(columns=["_obs_shard"])
+        path = os.path.join(out_abs, f"{prefix}-{cell}{ext}")
+        n = build(pdf, path)
+        return pd.DataFrame({"cell": [cell], "file": [os.path.basename(path)], "n_rows": [n]})
+
+    sh = df.filter(F.col("quadkey").isNotNull()).withColumn(
+        "_obs_shard", F.substring("quadkey", 1, level)
+    )
+    rows = (
+        sh.groupBy("_obs_shard")
+        .applyInPandas(write_shard, "cell string, file string, n_rows long")
+        .collect()
+    )
+    shards = sorted(
+        (
+            {"cell": r["cell"], "file": r["file"], "n_rows": r["n_rows"]}
+            for r in rows
+            if r["n_rows"] > 0
+        ),
+        key=lambda s: s["cell"],
+    )
+    # shards with zero encodable rows may have left an empty file behind
+    for r in rows:
+        if r["n_rows"] == 0:
+            for suffix in (
+                [ext] if fmt != "shp" else [".shp", ".shx", ".dbf"]
+            ):
+                p = os.path.join(
+                    out_abs, f"{prefix}-{r['cell']}{suffix}"
+                )
+                if os.path.exists(p):
+                    os.remove(p)
+    manifest = {
+        "format": fmt,
+        "level": level,
+        "prefix": prefix,
+        "total_rows": sum(s["n_rows"] for s in shards),
+        "shards": shards,
+    }
+    tmp = os.path.join(out_abs, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_abs, "manifest.json"))
+    return manifest
+
+
+def read_sharded(out_dir: str):
+    """Concatenate every shard back into one pandas DataFrame (test/interop
+    helper; production readers open individual shards by cell)."""
+    import pandas as pd
+
+    from . import flatgeobuf, gpkg, shapefile
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    readers = {
+        "fgb": flatgeobuf.read_fgb,
+        "gpkg": gpkg.read_gpkg,
+        "shp": shapefile.read_shp,
+    }
+    rd = readers[manifest["format"]]
+    frames = [
+        rd(os.path.join(out_dir, s["file"])) for s in manifest["shards"]
+    ]
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)

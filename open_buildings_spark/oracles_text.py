@@ -632,6 +632,51 @@ r AS (
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3
 """
 
+    # Lloyd k-means (3 unrolled rounds, mirrors operators.similarity.
+    # kmeans_fit): same deterministic sample init as ivf_centroids, same
+    # assignment rule as s_ann_ivf (cosine ROUNDED to 6 dp, cid-ascending
+    # tie-break — the rounding absorbs the engines' float-sum-order drift
+    # in the double-precision means), per-component double means between
+    # rounds. Gated projection is the integer (cid, n_assigned) of the
+    # final assignment.
+    def _km_assign(cent: str) -> str:
+        return f"""(
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+               DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    def _km_means(asg: str) -> str:
+        return f"""(
+  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cid, comp.pos, avg(comp.x) AS m
+    FROM {asg} a JOIN comp ON comp.vec_id = a.vec_id
+    GROUP BY a.cid, comp.pos)
+  GROUP BY cid
+)"""
+
+    sqls["s_kmeans_ivf"] = f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id / {CENTROID_STRIDE} AS INT) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+  WHERE vec_id % {CENTROID_STRIDE} = 0 AND vec_id < {N_CENTROIDS * CENTROID_STRIDE}
+),
+a1 AS {_km_assign("c0")},
+c1 AS {_km_means("a1")},
+a2 AS {_km_assign("c1")},
+c2 AS {_km_means("a2")},
+a3 AS {_km_assign("c2")}
+SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_assigned FROM a3 GROUP BY cid
+"""
+
     # ---------------- multimodal decode (deterministic stub) -----------------
 
     bld = datagen.buildings_sql_cte()

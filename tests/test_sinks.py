@@ -1,6 +1,7 @@
 """GeoParquet / GeoJSON sinks + WKB countries ingestion path."""
 
 import json
+import os
 
 import pyarrow.parquet as pq
 import pytest
@@ -222,3 +223,48 @@ def test_gpkg_shp_awkward_columns_and_big_ints(spark, tmp_path):
         for _, r in back2.iterrows()
     }
     assert vals2 == {"x": big, "y": None}
+
+
+def test_sharded_export_roundtrip_all_formats(spark, tmp_path):
+    """Sharded geo export (one spec-complete file per quadkey shard +
+    manifest) must round-trip through the standard per-file readers for
+    all three formats, and shards must partition the corpus exactly."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import enrich, sharded
+
+    docs = datagen.interleaved_docs(spark, "/root/testdata/sf0.001").limit(800)
+    g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+        "doc_id", "quadkey", "wkt"
+    )
+    total = g.count()
+    for fmt in ("fgb", "gpkg", "shp"):
+        out = str(tmp_path / f"shards_{fmt}")
+        manifest = sharded.sharded_export(g, out, fmt=fmt, level=6)
+        assert manifest["total_rows"] == total
+        assert len(manifest["shards"]) > 1  # actually sharded
+        cells = [s["cell"] for s in manifest["shards"]]
+        assert len(set(cells)) == len(cells)
+        back = sharded.read_sharded(out)
+        assert len(back) == total
+        assert set(back["doc_id"]) == set(
+            r["doc_id"] for r in g.select("doc_id").collect()
+        )
+
+
+def test_shp_writer_enforces_2gib_cap(spark, tmp_path, monkeypatch):
+    """The shapefile format's signed-32 word offsets cap files at 2 GiB:
+    the writer must refuse BEFORE assembling the final triple (cap
+    shrunk via monkeypatch so the test stays small)."""
+    import pytest
+
+    from open_buildings_spark.operators import shapefile
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))") for i in range(50)],
+        "doc_id string, wkt string",
+    )
+    monkeypatch.setattr(shapefile, "SHP_MAX_BYTES", 2000)
+    dst = str(tmp_path / "cap.shp")
+    with pytest.raises(ValueError, match="2 GiB"):
+        shapefile.write_shp(df, dst)
+    assert not os.path.exists(dst)  # nothing partial left behind
