@@ -243,6 +243,21 @@ def main() -> None:
         t = tbl.read_table(spark, table_root).select("doc_id", "wkt", "quadkey")
         gpkg.write_gpkg(t, "/tmp/ob_spark_bench/export.gpkg")
 
+    def q_fgb_sharded():
+        # the planet-scale export shape: one spec-complete Hilbert-indexed
+        # .fgb per quadkey shard, written inside its own task — no driver
+        # byte-funnel (contrast with fgb/gpkg/shp_export's single-file
+        # assembly, which is inherent to those formats)
+        import shutil
+
+        from open_buildings_spark.operators import sharded
+        from open_buildings_spark.table import iceberg_lite as tbl
+
+        out = "/tmp/ob_spark_bench/export_shards"
+        shutil.rmtree(out, ignore_errors=True)
+        t = tbl.read_table(spark, table_root).select("doc_id", "wkt", "quadkey")
+        sharded.sharded_export(t, out, fmt="fgb", level=6)
+
     def q_shp_export():
         from open_buildings_spark.operators import shapefile
         from open_buildings_spark.table import iceberg_lite as tbl
@@ -295,6 +310,7 @@ def main() -> None:
         "cosine_topk": q_cosine_topk,
         "windowed_agg": q_windowed_agg,
         "fgb_export": q_fgb_export,
+        "fgb_sharded": q_fgb_sharded,
         "gpkg_export": q_gpkg_export,
         "shp_export": q_shp_export,
         "big_aoi_join": q_big_aoi_join,

@@ -150,8 +150,9 @@ def cmd_partition(args) -> None:
 
     spark = get_spark(app_name="ob-partition")
     docs = spark.read.parquet(args.src)
+    keys = [k for k in (args.keys or "").split(",") if k]
     m = tbl.write_partitioned(docs, args.dst, max_per_file=args.max_per_file,
-                              cells_per_commit=args.cells_per_commit)
+                              cells_per_commit=args.cells_per_commit, keys=keys)
     print(f"snapshot {m['snapshot_id']}: {len(m['partitions'])} partitions")
 
 
@@ -240,6 +241,82 @@ def cmd_stac(args) -> None:
     print(f"wrote STAC catalog with {n} items under {args.table}/metadata/stac")
 
 
+def cmd_delete(args) -> None:
+    """DELETE FROM table WHERE predicate (reference google/process.py:149)
+    as a copy-on-write snapshot: old snapshots still time-travel."""
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-delete")
+    m = tbl.delete_rows(spark, args.table, args.where)
+    print(
+        f"snapshot {m['snapshot_id']}: {m['metrics'].get('rows_deleted', 0)} "
+        f"rows deleted total, {len(m['partitions'])} partitions remain"
+    )
+
+
+def cmd_update(args) -> None:
+    """UPDATE table SET col=expr WHERE predicate (reference
+    overture/add_columns.py:40-47) as a copy-on-write MERGE."""
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-update")
+    assignments = {}
+    for a in args.set:
+        col, _, expr = a.partition("=")
+        if not expr:
+            raise SystemExit(f"--set needs col=expr, got {a!r}")
+        assignments[col.strip()] = expr
+    m = tbl.update_rows(
+        spark, args.table, assignments, predicate=args.where, key=args.key
+    )
+    print(f"snapshot {m['snapshot_id']}: update committed")
+
+
+def cmd_compact(args) -> None:
+    """Small-file compaction + optional old-snapshot expiry."""
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-compact")
+    m = tbl.compact_cells(spark, args.table, max_files=args.max_files)
+    print(
+        f"snapshot {m['snapshot_id']}: compacted "
+        f"{m['metrics'].get('compacted_cells', 0)} cells"
+    )
+    if args.expire:
+        deleted = tbl.expire_snapshots(args.table, keep_last=args.keep_last)
+        print(f"expired snapshots: {deleted} files reclaimed")
+
+
+def cmd_export_sharded(args) -> None:
+    """Sharded geo export (one spec-complete file per quadkey shard +
+    manifest) from a table — the export shape with no driver byte-funnel."""
+    from .operators import sharded
+    from .session import get_spark
+    from .table import iceberg_lite as tbl
+
+    spark = get_spark(app_name="ob-export-sharded")
+    df = tbl.read_table(spark, args.table)
+    # geo formats carry scalar attributes only: drop nested columns (spans,
+    # media payloads) like the reference's GDAL export of attribute columns
+    scalar = {"string", "double", "float", "bigint", "int", "boolean"}
+    keep = [f.name for f in df.schema.fields if f.dataType.simpleString() in scalar]
+    dropped = sorted(set(df.columns) - set(keep))
+    if "wkt" not in keep:
+        raise SystemExit(f"table at {args.table} has no wkt geometry column")
+    if dropped:
+        print(f"skipping non-scalar columns: {dropped}")
+    manifest = sharded.sharded_export(
+        df.select(*keep), args.dst, fmt=args.format, level=args.level
+    )
+    print(
+        f"wrote {len(manifest['shards'])} {args.format} shards "
+        f"({manifest['total_rows']} rows) under {args.dst}"
+    )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="open_buildings_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -281,6 +358,10 @@ def main(argv: list[str] | None = None) -> None:
     pt.add_argument("--dst", required=True)
     pt.add_argument("--max-per-file", type=int, default=10_000_000)
     pt.add_argument("--cells-per-commit", type=int, default=0)
+    pt.add_argument(
+        "--keys", default="",
+        help="comma-separated hive partition key columns (country_iso=XX layout)",
+    )
     pt.set_defaults(fn=cmd_partition)
 
     bm = sub.add_parser("benchmark", help="conversion timing matrix (process x format)")
@@ -297,6 +378,37 @@ def main(argv: list[str] | None = None) -> None:
     st.add_argument("--table", required=True, help="iceberg-lite table root")
     st.add_argument("--item-datetime", default="2023-05-30T00:00:00Z")
     st.set_defaults(fn=cmd_stac)
+
+    dl = sub.add_parser("delete", help="DELETE FROM table WHERE predicate")
+    dl.add_argument("--table", required=True, help="iceberg-lite table root")
+    dl.add_argument("--where", required=True, help="SQL predicate; TRUE rows delete")
+    dl.set_defaults(fn=cmd_delete)
+
+    up = sub.add_parser("update", help="UPDATE table SET col=expr WHERE pred")
+    up.add_argument("--table", required=True, help="iceberg-lite table root")
+    up.add_argument(
+        "--set", action="append", required=True, metavar="COL=EXPR",
+        help="assignment (repeatable)",
+    )
+    up.add_argument("--where", default=None, help="SQL predicate (default: all rows)")
+    up.add_argument("--key", default="doc_id", help="unique row key column")
+    up.set_defaults(fn=cmd_update)
+
+    cp = sub.add_parser("compact", help="compact fragmented cells")
+    cp.add_argument("--table", required=True, help="iceberg-lite table root")
+    cp.add_argument("--max-files", type=int, default=1)
+    cp.add_argument("--expire", action="store_true", help="expire old snapshots after")
+    cp.add_argument("--keep-last", type=int, default=1)
+    cp.set_defaults(fn=cmd_compact)
+
+    ex = sub.add_parser(
+        "export-sharded", help="one geo file per quadkey shard + manifest"
+    )
+    ex.add_argument("--table", required=True, help="iceberg-lite table root")
+    ex.add_argument("--dst", required=True, help="output directory")
+    ex.add_argument("--format", choices=["fgb", "gpkg", "shp"], default="fgb")
+    ex.add_argument("--level", type=int, default=4, help="quadkey shard level")
+    ex.set_defaults(fn=cmd_export_sharded)
 
     args = p.parse_args(argv)
     args.fn(args)

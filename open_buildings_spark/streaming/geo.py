@@ -77,6 +77,8 @@ def ingest_to_table(
     checkpoint_dir: str,
     max_per_file: int = 200_000,
     max_files_per_trigger: int = 4,
+    keys: list[str] | None = None,
+    transform=None,
 ):
     """Stream docs straight into the MANIFEST table (not a plain file sink):
     each micro-batch appends through ``iceberg_lite.append_rows`` inside
@@ -90,10 +92,16 @@ def ingest_to_table(
     A first batch against an empty root bootstraps via ``write_partitioned``
     (which also plans the initial leaf cells). Returns the streaming query
     (caller awaits termination).
+
+    ``keys`` builds/maintains a KEY-PARTITIONED (hive ``country_iso=XX``)
+    table — pass ``transform`` to derive the key column(s) on the enriched
+    stream; subsequent appends route through the keyed directories.
     """
     from ..table import iceberg_lite as tbl
 
     out = enrich_stream(spark, docs_dir, max_files_per_trigger)
+    if transform is not None:
+        out = transform(out)
 
     def commit_batch(bdf, batch_id: int) -> None:
         if tbl.current_manifest(table_root) is None:
@@ -108,9 +116,12 @@ def ingest_to_table(
                 bdf,
                 table_root,
                 max_per_file=max_per_file,
+                keys=keys,
                 extra_metrics={"last_append_batch_id": batch_id},
             )
         else:
+            # keyed tables: append_rows reads the key list from the
+            # manifest the bootstrap committed
             tbl.append_rows(bdf, table_root, batch_id=batch_id,
                             max_per_file=max_per_file)
 

@@ -97,13 +97,40 @@ def _part_key(part: dict, keys: list[str]) -> tuple:
     return tuple(part["values"].get(k) for k in keys) + (part["cell"],)
 
 
-def _rows_per_file(paths: list[str]) -> list[int]:
-    """Exact per-file row counts from the parquet footers (metadata-only
-    reads at the driver, bounded by the files a commit just wrote). Stored
-    in the manifest as ``file_rows`` so compaction can find individual
-    over-cap files — the per-cell aggregate can't see 999+1 skew."""
+def _rows_per_file(
+    paths: list[str], spark: SparkSession | None = None
+) -> list[int]:
+    """Exact per-file row counts from the parquet footers, stored in the
+    manifest as ``file_rows`` so compaction can find individual over-cap
+    files — the per-cell aggregate can't see 999+1 skew. Metadata-only
+    reads: small commits read at the driver; above a threshold (a planet
+    build's final commit can reference 10^5+ files) the footer reads fan
+    out as one Spark job."""
     import pyarrow.parquet as pq
 
+    if spark is not None and len(paths) > 256:
+        def read_meta(it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame(
+                    {
+                        "path": pdf["path"],
+                        "n": [
+                            pq.ParquetFile(p).metadata.num_rows
+                            for p in pdf["path"]
+                        ],
+                    }
+                )
+
+        pdf = (
+            spark.createDataFrame([(p,) for p in paths], "path string")
+            .repartition(min(len(paths) // 64 + 1, 64))
+            .mapInPandas(read_meta, "path string, n long")
+            .toPandas()
+        )
+        by_path = dict(zip(pdf["path"], pdf["n"]))
+        return [int(by_path[p]) for p in paths]
     return [pq.ParquetFile(p).metadata.num_rows for p in paths]
 
 
@@ -274,24 +301,31 @@ def write_partitioned(
             .option("compression", "snappy")
             .parquet(data_dir)
         )
-        new_parts = []
+        group_files: list[list[str]] = []
         for r in group:
             part_dir = data_dir
-            vals = {k: r[k] for k in keys}
             for k in keys:
                 part_dir = os.path.join(part_dir, f"{k}={r[k]}")
             part_dir = os.path.join(part_dir, f"cell={r['cell']}")
-            files = sorted(
-                set(glob.glob(os.path.join(part_dir, "*.parquet")))
-                - pre_files[part_dir]
+            group_files.append(
+                sorted(
+                    set(glob.glob(os.path.join(part_dir, "*.parquet")))
+                    - pre_files[part_dir]
+                )
             )
+        # one batched footer pass for the whole commit group (fans out as
+        # a Spark job when the group wrote many files)
+        flat = [p for fl in group_files for p in fl]
+        flat_rows = iter(_rows_per_file(flat, spark))
+        new_parts = []
+        for r, files in zip(group, group_files):
             new_parts.append(
                 {
                     "cell": r["cell"],
-                    "values": vals,
+                    "values": {k: r[k] for k in keys},
                     "n_rows": r["n_rows"],
                     "files": [os.path.relpath(p, root) for p in files],
-                    "file_rows": _rows_per_file(files),
+                    "file_rows": [next(flat_rows) for _ in files],
                 }
             )
         is_final_group = group is groups[-1]
@@ -820,6 +854,41 @@ def upsert_rows(
     }
     _commit_manifest(root, m2)
     return m2
+
+
+def update_rows(
+    spark: SparkSession,
+    root: str,
+    assignments: dict,
+    predicate=None,
+    key: str = "doc_id",
+    max_per_file: int | None = None,
+) -> dict:
+    """``UPDATE table SET col = expr [WHERE pred]`` — the reference's
+    in-place column compute (P9, overture/add_columns.py:40-47
+    ``UPDATE buildings SET quadkey = …``) as a copy-on-write snapshot.
+
+    Implemented as a MERGE of the updated rows (:func:`upsert_rows`):
+    an assignment may change ``quadkey`` (the reference's own use case),
+    which MOVES the row to a different leaf cell — the merge path already
+    routes rows, rewrites the cells that lose them, and keeps older
+    snapshots time-traveling. ``assignments`` maps column name -> SQL
+    expression string (or Column); ``predicate`` (SQL string or Column,
+    None = all rows) selects the rows to update. The table needs a unique
+    ``key`` column. Returns the new manifest (or the current one when
+    nothing matches)."""
+    m = current_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    cur = read_table(spark, root)
+    if predicate is not None:
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        cur = cur.filter(F.coalesce(pred, F.lit(False)))
+    for cname, e in assignments.items():
+        cur = cur.withColumn(cname, F.expr(e) if isinstance(e, str) else e)
+    if not cur.limit(1).count():
+        return m
+    return upsert_rows(cur, root, key=key, max_per_file=max_per_file)
 
 
 def delete_rows(

@@ -149,3 +149,36 @@ def test_cli_get_buildings_fgb(spark, docs, tmp_path, capsys):
     back = flatgeobuf.read_fgb(dst)
     assert len(back) == expected > 0
     assert set(back.columns) >= {"wkt", "doc_id", "quadkey"}
+
+
+def test_cli_delete_compact_export_sharded(spark, docs, tmp_path, capsys):
+    """Maintenance + scale-export CLI surface: `delete` removes rows copy-on-
+    write, `compact` defragments, `export-sharded` writes one FGB per shard
+    with a manifest."""
+    import json as _json
+    import os
+
+    from open_buildings_spark import cli
+    from open_buildings_spark.operators import enrich
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    root = str(tmp_path / "tbl")
+    g = enrich.add_geo_columns(docs, drop_nongeo=True)
+    tbl.write_partitioned(g, root, max_per_file=500)
+    n0 = tbl.read_table(spark, root).count()
+    ndel = g.filter(g.doc_id.endswith("9")).count()
+
+    cli.main(["delete", "--table", root, "--where", "doc_id LIKE '%9'"])
+    out = capsys.readouterr().out
+    assert f"{ndel} rows deleted" in out
+    assert tbl.read_table(spark, root).count() == n0 - ndel
+
+    cli.main(["compact", "--table", root])
+    assert "compacted" in capsys.readouterr().out
+
+    dst = str(tmp_path / "shards")
+    cli.main(["export-sharded", "--table", root, "--dst", dst, "--level", "6"])
+    out = capsys.readouterr().out
+    assert "shards" in out
+    manifest = _json.load(open(os.path.join(dst, "manifest.json")))
+    assert manifest["total_rows"] == n0 - ndel

@@ -104,3 +104,41 @@ def test_ingest_to_table_matches_batch(spark, docs, geo, tmp_path):
     )
     q2.awaitTermination()
     assert tbl.read_table(spark, root).count() == len(expect)
+
+
+def test_ingest_to_table_keyed(spark, docs, geo, tmp_path):
+    """Streaming ingest INTO a key-partitioned table: the bootstrap builds
+    with keys, every later micro-batch routes through the keyed dirs, and
+    the final state matches the batch enrichment with its key column."""
+    from open_buildings_spark.streaming import geo as geo_stream
+
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(6).write.parquet(docs_dir)
+    root = str(tmp_path / "ktable")
+
+    def add_key(df):
+        return df.withColumn(
+            "ckey", F.concat(F.lit("0"), F.substring("quadkey", 4, 1))
+        )
+
+    q = geo_stream.ingest_to_table(
+        spark, docs_dir, root, str(tmp_path / "kckpt"),
+        max_per_file=5000, max_files_per_trigger=2,
+        keys=["ckey"], transform=add_key,
+    )
+    q.awaitTermination()
+    m = tbl.current_manifest(root)
+    assert m["keys"] == ["ckey"]
+    assert m["metrics"].get("appended_batches", 0) >= 1
+    back = tbl.read_table(spark, root)
+    expect = add_key(geo)
+    assert back.count() == expect.count()
+    got = {
+        (r["doc_id"], r["ckey"])
+        for r in back.select("doc_id", "ckey").collect()
+    }
+    want = {
+        (r["doc_id"], r["ckey"])
+        for r in expect.select("doc_id", "ckey").collect()
+    }
+    assert got == want
