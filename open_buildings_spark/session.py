@@ -21,6 +21,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Arrow-backed toPandas/createDataFrame: driver-bound collects (the
+    # partition planner's histogram, footer fan-out results) are ~4x
+    # faster than the default pickle path
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.ui.showConsoleProgress": "false",
 }
