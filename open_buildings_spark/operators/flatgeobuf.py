@@ -12,7 +12,8 @@ copied from either project.
 File layout (spec v3):
   magic bytes ``fgb\\x03fgb\\x01`` (8 bytes)
   size-prefixed FlatBuffer ``Header`` table
-  optional packed Hilbert R-tree index (we write none: index_node_size=0)
+  packed Hilbert R-tree index (written since r4: node_size 16; the
+  window-query structure QGIS/GDAL range reads rely on)
   size-prefixed FlatBuffer ``Feature`` tables, one per feature
 
 Scale shape: feature ENCODING is distributed (one mapInArrow pass; each
@@ -254,7 +255,11 @@ def _encode_properties(columns, row) -> bytes:
     out = bytearray()
     for i, (_, ctype) in enumerate(columns):
         v = row[i]
-        if v is None or (isinstance(v, float) and np.isnan(v)):
+        # None / float NaN / pandas NA (nullable Int64/boolean frames hand
+        # the builders pd.NA scalars) all encode as absent
+        if v is None or v is getattr(pd, "NA", None) or (
+            isinstance(v, float) and np.isnan(v)
+        ):
             continue
         out += struct.pack("<H", i)
         if ctype == CT_STRING:
@@ -436,6 +441,10 @@ def hilbert_from_lonlat(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
 def _index_level_layout(features_count: int, node_size: int):
     """(level_num, level_offsets) per spec: level 0 = leaves; level i
     starts at node index level_offsets[i] (root level starts at 0)."""
+    if node_size < 2:
+        # same guard as the read path's _index_size: ceil(n/1) never
+        # converges and the loop below would run unbounded
+        raise ValueError(f"invalid FGB index_node_size {node_size}")
     level_num = [features_count]
     m = features_count
     while True:
@@ -642,6 +651,11 @@ def write_fgb(
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if index_node_size < 0 or index_node_size == 1:
+        raise ValueError(
+            f"invalid FGB index_node_size {index_node_size} (0 = no index, "
+            "else >= 2)"
+        )
     columns = fgb_columns(df.schema.fields, wkt_col)
     col_names = [c for c, _ in columns]
 
@@ -1025,7 +1039,13 @@ def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
             row.update(_decode_properties(bytes(props), columns))
         rows.append(row)
     cols = ["wkt"] + [c for c, _ in columns]
-    pdf = pd.DataFrame(rows, columns=cols)
+    # per-column OBJECT construction first: pd.DataFrame(rows) would infer
+    # float64 for int columns containing any None and silently corrupt
+    # values beyond 2^53 BEFORE the nullable astype below could save them
+    pdf = pd.DataFrame(
+        {c: pd.Series([r.get(c) for r in rows], dtype=object) for c in cols},
+        columns=cols,
+    )
     for cname, ctype in columns:
         # unmapped ColumnType codes (e.g. future spec additions) degrade to
         # object dtype instead of raising — the values were still decoded
@@ -1042,59 +1062,75 @@ def fgb_bbox_search(path: str, rect: tuple[float, float, float, float]) -> pd.Da
     index. Returns the same frame shape as :func:`read_fgb`, restricted
     to features whose bbox intersects ``rect``."""
     qminx, qminy, qmaxx, qmaxy = rect
-    with open(path, "rb") as fh:
-        buf = fh.read()
-    if buf[:7] != MAGIC[:7]:
-        raise ValueError(f"{path} is not a FlatGeobuf v3 file")
-    hsize = _u32(buf, 8)
-    header = _FBTable(buf, 12 + _u32(buf, 12))
-    gtype = header.scalar(2, "B", 0)
-    node_size = header.scalar(9, "H", 16)
-    fcount = header.scalar(8, "Q", 0)
-    columns = [
-        (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
-    ]
-    if node_size == 0 or fcount == 0:
-        raise ValueError(f"{path} carries no spatial index")
-    tree_pos = 12 + hsize
-    isize = _index_size(fcount, node_size)
-    nodes = np.frombuffer(buf, dtype=_NODE_DT, count=isize // 40, offset=tree_pos)
-    feat_pos = tree_pos + isize
-    level_num, level_offsets = _index_level_layout(fcount, node_size)
-    num_nodes = sum(level_num)
     rows = []
-    queue = [(0, len(level_num) - 1)]
-    while queue:
-        node_index, level = queue.pop()
-        is_leaf = node_index >= num_nodes - fcount
-        end = min(node_index + node_size, level_offsets[level] + level_num[level])
-        for pos in range(node_index, end):
-            nd = nodes[pos]
-            if (
-                qmaxx < nd["minx"]
-                or qmaxy < nd["miny"]
-                or qminx > nd["maxx"]
-                or qminy > nd["maxy"]
-            ):
-                continue
-            if is_leaf:
-                off = feat_pos + int(nd["off"])
-                fsize = _u32(buf, off)
-                fbuf = buf[off + 4 : off + 4 + fsize]
-                feat = _FBTable(fbuf, _u32(fbuf, 0))
-                row = {
-                    "wkt": _decode_geometry_wkt(
-                        _FBTable(fbuf, feat.indirect(0)), gtype
-                    )
-                }
-                props = feat.vector(1, "B", 1)
-                if props:
-                    row.update(_decode_properties(bytes(props), columns))
-                rows.append(row)
-            else:
-                queue.append((int(nd["off"]), level - 1))
+    with open(path, "rb") as fh:
+        # windowed access: only the header, the VISITED index node runs,
+        # and the MATCHED features are read (seek per region) — the point
+        # of the packed R-tree for remote/large files; never a full scan
+        head = fh.read(16)
+        if head[:7] != MAGIC[:7]:
+            raise ValueError(f"{path} is not a FlatGeobuf v3 file")
+        hsize = _u32(head, 8)
+        fh.seek(8)
+        hbuf = fh.read(4 + 4 + hsize)  # size prefix + root offset + header
+        header = _FBTable(hbuf, 4 + _u32(hbuf, 4))
+        gtype = header.scalar(2, "B", 0)
+        node_size = header.scalar(9, "H", 16)
+        fcount = header.scalar(8, "Q", 0)
+        columns = [
+            (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
+        ]
+        if node_size == 0 or fcount == 0:
+            raise ValueError(f"{path} carries no spatial index")
+        tree_pos = 12 + hsize
+        isize = _index_size(fcount, node_size)
+        feat_pos = tree_pos + isize
+        level_num, level_offsets = _index_level_layout(fcount, node_size)
+        num_nodes = sum(level_num)
+        queue = [(0, len(level_num) - 1)]
+        while queue:
+            node_index, level = queue.pop()
+            is_leaf = node_index >= num_nodes - fcount
+            end = min(
+                node_index + node_size, level_offsets[level] + level_num[level]
+            )
+            fh.seek(tree_pos + node_index * 40)
+            nodes = np.frombuffer(
+                fh.read((end - node_index) * 40), dtype=_NODE_DT
+            )
+            for pos in range(node_index, end):
+                nd = nodes[pos - node_index]
+                if (
+                    qmaxx < nd["minx"]
+                    or qmaxy < nd["miny"]
+                    or qminx > nd["maxx"]
+                    or qminy > nd["maxy"]
+                ):
+                    continue
+                if is_leaf:
+                    fh.seek(feat_pos + int(nd["off"]))
+                    fsize = _u32(fh.read(4), 0)
+                    fbuf = fh.read(fsize)
+                    feat = _FBTable(fbuf, _u32(fbuf, 0))
+                    row = {
+                        "wkt": _decode_geometry_wkt(
+                            _FBTable(fbuf, feat.indirect(0)), gtype
+                        )
+                    }
+                    props = feat.vector(1, "B", 1)
+                    if props:
+                        row.update(_decode_properties(bytes(props), columns))
+                    rows.append(row)
+                else:
+                    queue.append((int(nd["off"]), level - 1))
     cols = ["wkt"] + [c for c, _ in columns]
-    pdf = pd.DataFrame(rows, columns=cols)
+    # per-column OBJECT construction first: pd.DataFrame(rows) would infer
+    # float64 for int columns containing any None and silently corrupt
+    # values beyond 2^53 BEFORE the nullable astype below could save them
+    pdf = pd.DataFrame(
+        {c: pd.Series([r.get(c) for r in rows], dtype=object) for c in cols},
+        columns=cols,
+    )
     for cname, ctype in columns:
         pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
     return pdf

@@ -234,7 +234,11 @@ def write_shp_pandas(
     if shape_type is None:
         shape_type = SHP_POLYGON
         minx = miny = maxx = maxy = 0.0
-    if _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES:
+    dbf_size = 32 + 32 * len(fields) + 1 + len(dbf_records) + 1
+    if (
+        _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES
+        or dbf_size > SHP_MAX_BYTES
+    ):
         raise ValueError(
             "shapefile shard exceeds the format's 2 GiB cap; use a deeper "
             "shard level"

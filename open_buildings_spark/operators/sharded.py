@@ -12,13 +12,16 @@ cluster; a JSON manifest lists the shards. Every shard file round-trips
 with the engine's standard readers (and GDAL/QGIS — plain .fgb/.gpkg/.shp
 files).
 
-Scale shape: one shuffle groups rows by ``substring(quadkey, 1, level)``;
-``applyInPandas`` hands each shard to one task, which sorts it by quadkey
-(clustered like the single-file writers) and builds the file with the
-same from-spec encoders. A shard must fit in task memory — pick ``level``
-so the densest shard does (the partition planner's histogram tells you);
-the shapefile builder additionally enforces the format's 2 GiB cap per
-shard.
+Scale shape: one shuffle groups rows by ``substring(quadkey, 1, level)``
+(repartition + sortWithinPartitions, so each task walks its shards as
+contiguous quadkey-sorted runs) and a ``mapInArrow`` pass builds each
+shard's file. Arrow batches — NOT ``applyInPandas`` — carry the rows to
+the builder: Spark's pandas conversion degrades nullable int64 columns to
+float64, silently corrupting integers beyond 2^53; the explicit
+``to_pandas(types_mapper=Int64)`` here keeps them exact. A shard must fit
+in task memory — pick ``level`` so the densest shard does (the partition
+planner's histogram tells you); the shapefile builder additionally
+enforces the format's 2 GiB cap per shard.
 """
 
 from __future__ import annotations
@@ -32,6 +35,17 @@ from pyspark.sql import functions as F
 _EXT = {"fgb": ".fgb", "gpkg": ".gpkg", "shp": ".shp"}
 
 
+def _exact_pandas(batches):
+    """Arrow record batches -> pandas with integer exactness preserved
+    (nullable Int64/Int32 instead of the default float64 degrade)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    table = pa.Table.from_batches(batches)
+    intmap = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
+    return table.to_pandas(types_mapper=intmap)
+
+
 def sharded_export(
     df: DataFrame,
     out_dir: str,
@@ -39,17 +53,25 @@ def sharded_export(
     level: int = 4,
     wkt_col: str = "wkt",
     prefix: str = "part",
+    on_null_quadkey: str = "error",
 ) -> dict:
     """Write ``df`` as one ``fmt`` file per quadkey shard under
     ``out_dir`` and return the manifest (also written to
     ``out_dir/manifest.json``). ``df`` needs a ``quadkey`` column (enrich
     first) plus WKT geometry; attribute columns follow the format's type
     rules (validated up front on the Spark schema — pandas dtypes are not
-    trusted)."""
+    trusted).
+
+    ``on_null_quadkey``: a NULL quadkey cannot be routed to a shard —
+    ``'error'`` (default) fails the export loudly, like the table layer's
+    append guard; ``'skip'`` drops such rows (they appear in no shard and
+    no manifest count)."""
     from . import flatgeobuf, gpkg, shapefile
 
     if fmt not in _EXT:
         raise ValueError(f"unknown sharded export format {fmt!r}")
+    if on_null_quadkey not in ("error", "skip"):
+        raise ValueError(f"on_null_quadkey must be 'error' or 'skip'")
     if "quadkey" not in df.columns:
         raise ValueError("sharded_export needs a quadkey column; enrich first")
     if "_obs_shard" in df.columns:
@@ -78,23 +100,74 @@ def sharded_export(
     ext = _EXT[fmt]
     out_abs = os.path.abspath(out_dir)
 
-    def write_shard(key, pdf):
-        import pandas as pd
-
-        cell = key[0]
-        pdf = pdf.sort_values("quadkey", kind="stable").drop(columns=["_obs_shard"])
-        path = os.path.join(out_abs, f"{prefix}-{cell}{ext}")
-        n = build(pdf, path)
-        return pd.DataFrame({"cell": [cell], "file": [os.path.basename(path)], "n_rows": [n]})
-
-    sh = df.filter(F.col("quadkey").isNotNull()).withColumn(
-        "_obs_shard", F.substring("quadkey", 1, level)
+    if on_null_quadkey == "error":
+        # the shard key is the groupBy key, so this raise_error branch is
+        # never pruned: an unroutable row fails the job (mirrors
+        # append_rows' refusal) instead of silently vanishing
+        shard_col = F.when(
+            F.col("quadkey").isNotNull(), F.substring("quadkey", 1, level)
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "sharded_export: NULL quadkey row cannot be routed to a "
+                    "shard; enrich/filter first or pass on_null_quadkey='skip'"
+                )
+            )
+        )
+        sh = df.withColumn("_obs_shard", shard_col)
+    else:
+        sh = df.filter(F.col("quadkey").isNotNull()).withColumn(
+            "_obs_shard", F.substring("quadkey", 1, level)
+        )
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sh = sh.repartition(nparts, "_obs_shard").sortWithinPartitions(
+        "_obs_shard", "quadkey"
     )
-    rows = (
-        sh.groupBy("_obs_shard")
-        .applyInPandas(write_shard, "cell string, file string, n_rows long")
-        .collect()
-    )
+    sidx = sh.columns.index("_obs_shard")
+
+    def enc(batches):
+        import pyarrow as pa
+
+        out_rows = []
+        cur = None
+        pending: list = []
+
+        def flush():
+            nonlocal pending, cur
+            if cur is None:
+                return
+            pdf = _exact_pandas(pending).drop(columns=["_obs_shard"])
+            path = os.path.join(out_abs, f"{prefix}-{cur}{ext}")
+            n = build(pdf, path)
+            out_rows.append((cur, os.path.basename(path), n))
+            pending = []
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cells = rb.column(sidx).to_pylist()
+            start = 0
+            for i in range(len(cells) + 1):
+                if i < len(cells) and cells[i] == cells[start]:
+                    continue
+                if cur != cells[start]:
+                    flush()
+                    cur = cells[start]
+                pending.append(rb.slice(start, i - start))
+                start = i
+        flush()
+        for cell, fname, n in out_rows:
+            yield pa.record_batch(
+                [
+                    pa.array([cell]),
+                    pa.array([fname]),
+                    pa.array([n], type=pa.int64()),
+                ],
+                names=["cell", "file", "n_rows"],
+            )
+
+    rows = sh.mapInArrow(enc, "cell string, file string, n_rows long").collect()
     shards = sorted(
         (
             {"cell": r["cell"], "file": r["file"], "n_rows": r["n_rows"]}

@@ -229,9 +229,7 @@ def write_partitioned(
     from ..operators.partition import tag_cells
 
     spark = df.sparkSession
-    plan_schema = (
-        ", ".join(f"{k} string" for k in keys) + (", " if keys else "")
-    ) + "cell string, n_rows long"
+    plan_schema = _plan_schema(keys, ", n_rows long")
     for group in groups:
         # Tag rows with their leaf cell via a broadcast hash equi-join on
         # quadkey-prefix = cell (tag_cells). The inner join doubles as the

@@ -268,3 +268,67 @@ def test_shp_writer_enforces_2gib_cap(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="2 GiB"):
         shapefile.write_shp(df, dst)
     assert not os.path.exists(dst)  # nothing partial left behind
+
+
+def test_sharded_export_exact_int64_with_nulls(spark, tmp_path):
+    """Nullable bigint attributes beyond 2^53 must survive sharded export
+    EXACTLY in every format: the shard builder receives Arrow batches and
+    converts with Int64 nullable dtypes (Spark's default pandas conversion
+    degrades int64-with-null columns to float64 and silently corrupts)."""
+    from open_buildings_spark.operators import sharded
+
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [
+            ("a", "300110130330", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", big),
+            ("b", "300110130331", "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))", None),
+            ("c", "122220000000", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))", big + 2),
+        ],
+        "doc_id string, quadkey string, wkt string, score bigint",
+    )
+    for fmt in ("fgb", "gpkg", "shp"):
+        out = str(tmp_path / f"exact_{fmt}")
+        sharded.sharded_export(df, out, fmt=fmt, level=4)
+        back = sharded.read_sharded(out).set_index("doc_id")
+        assert int(back.loc["a", "score"]) == big, fmt
+        assert int(back.loc["c", "score"]) == big + 2, fmt
+        assert back.loc["b", "score"] is None or str(back.loc["b", "score"]) in (
+            "nan", "<NA>", "None",
+        ), fmt
+
+
+def test_sharded_export_null_quadkey_policy(spark, tmp_path):
+    """Unroutable (NULL-quadkey) rows must fail the export loudly by
+    default — mirroring the table layer's append guard — and drop only
+    under the explicit skip policy."""
+    import pytest
+
+    from open_buildings_spark.operators import sharded
+
+    df = spark.createDataFrame(
+        [
+            ("a", "300110130330", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            ("b", None, "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"),
+        ],
+        "doc_id string, quadkey string, wkt string",
+    )
+    with pytest.raises(Exception, match="NULL quadkey"):
+        sharded.sharded_export(df, str(tmp_path / "err"), fmt="fgb", level=4)
+    manifest = sharded.sharded_export(
+        df, str(tmp_path / "skip"), fmt="fgb", level=4, on_null_quadkey="skip"
+    )
+    assert manifest["total_rows"] == 1
+
+
+def test_write_fgb_rejects_invalid_node_size(spark, tmp_path):
+    import pytest
+
+    from open_buildings_spark.operators import flatgeobuf as fgb
+
+    df = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",)], "wkt string"
+    )
+    with pytest.raises(ValueError, match="index_node_size"):
+        fgb.write_fgb(df, str(tmp_path / "bad.fgb"), index_node_size=1)
+    with pytest.raises(ValueError, match="index_node_size"):
+        fgb.write_fgb(df, str(tmp_path / "bad2.fgb"), index_node_size=-1)
