@@ -197,10 +197,28 @@ def aoi_join_big(
             "cs",
             F.degrees(F.atan(F.sinh(pi * (1.0 - 2.0 * (F.col("_cty") + 1) / z2)))),
         )
+        # native candidate pre-guard: a cell on the cover bbox's edge
+        # ring is almost never strictly interior (it touches the AOI's
+        # extremal rows/columns) — blank the classifier's WKT input for
+        # those rows so small AOIs (1-2 cells per axis, the common case)
+        # pay ~nothing for classification. Conservative only: a blanked
+        # row classifies boundary and takes the exact refine.
+        .withColumn(
+            "_int_cand",
+            (F.col("_ctx") > F.col("x0"))
+            & (F.col("_ctx") < F.col("x1"))
+            & (F.col("_cty") > F.col("y0"))
+            & (F.col("_cty") < F.col("y1")),
+        )
         .withColumn(
             "_interior",
-            interior(
-                F.col("_aoi_wkt"), F.col("cw"), F.col("cs"), F.col("ce"), F.col("cn")
+            F.col("_int_cand")
+            & interior(
+                F.when(F.col("_int_cand"), F.col("_aoi_wkt")).otherwise(F.lit("")),
+                F.col("cw"),
+                F.col("cs"),
+                F.col("ce"),
+                F.col("cn"),
             ),
         )
         .select(
