@@ -297,17 +297,38 @@ def cmd_export_sharded(args) -> None:
     from .session import get_spark
     from .table import iceberg_lite as tbl
 
+    from .operators import flatgeobuf, gpkg, shapefile
+
     spark = get_spark(app_name="ob-export-sharded")
     df = tbl.read_table(spark, args.table)
-    # geo formats carry scalar attributes only: drop nested columns (spans,
-    # media payloads) like the reference's GDAL export of attribute columns
-    scalar = {"string", "double", "float", "bigint", "int", "boolean"}
-    keep = [f.name for f in df.schema.fields if f.dataType.simpleString() in scalar]
+    # the chosen FORMAT's own column validator decides what exports (one
+    # source of truth — a hardcoded scalar whitelist here would drift):
+    # unsupported columns (nested spans, media payloads, reserved names)
+    # are dropped with a notice, like GDAL exporting attribute columns
+    validators = {
+        "fgb": flatgeobuf.fgb_columns,
+        "gpkg": gpkg.gpkg_columns,
+        "shp": shapefile.shp_columns,
+    }
+    validate = validators[args.format]
+
+    def exportable(field) -> bool:
+        try:
+            validate([field], wkt_col="__none__")
+            return True
+        except ValueError:
+            return False
+
+    keep = [
+        f.name
+        for f in df.schema.fields
+        if f.name == "wkt" or exportable(f)
+    ]
     dropped = sorted(set(df.columns) - set(keep))
     if "wkt" not in keep:
         raise SystemExit(f"table at {args.table} has no wkt geometry column")
     if dropped:
-        print(f"skipping non-scalar columns: {dropped}")
+        print(f"skipping columns the {args.format} format cannot carry: {dropped}")
     manifest = sharded.sharded_export(
         df.select(*keep), args.dst, fmt=args.format, level=args.level
     )

@@ -598,9 +598,14 @@ def write_fgb_pandas(
         n,
         INDEX_NODE_SIZE if n else 0,
     )
+    # attempt-unique tmp name: concurrent task attempts (speculation, a
+    # retry racing a still-flushing first attempt) must never interleave
+    # writes into one tmp file; os.replace makes last-commit-wins atomic
+    import uuid
+
     tmp = os.path.join(
         os.path.dirname(os.path.abspath(path)),
-        "." + os.path.basename(path) + ".inprogress",
+        f".{os.path.basename(path)}.{os.getpid()}-{uuid.uuid4().hex[:8]}.inprogress",
     )
     with open(tmp, "wb") as out:
         out.write(MAGIC)
@@ -1004,6 +1009,33 @@ _CT_SPARK_TYPE = {
 }
 
 
+def _decode_feature(fbuf: bytes, gtype: int, columns) -> dict:
+    """One size-stripped Feature flatbuffer -> {'wkt': ..., props...}.
+    Shared by the sequential reader and the index-walking window query so
+    the decode (and any future ColumnType addition) lives once."""
+    feat = _FBTable(fbuf, _u32(fbuf, 0))
+    row = {"wkt": _decode_geometry_wkt(_FBTable(fbuf, feat.indirect(0)), gtype)}
+    props = feat.vector(1, "B", 1)
+    if props:
+        row.update(_decode_properties(bytes(props), columns))
+    return row
+
+
+def _feature_frame(rows: list, columns) -> pd.DataFrame:
+    """Row dicts -> typed frame: per-column OBJECT construction first
+    (pdexact.frame_from_rows — default DataFrame-from-rows infers float64
+    for int columns with any None and corrupts beyond 2^53), then the
+    header-declared dtypes; unmapped ColumnType codes degrade to object
+    instead of raising."""
+    from ..pdexact import frame_from_rows
+
+    cols = ["wkt"] + [c for c, _ in columns]
+    pdf = frame_from_rows(rows, cols)
+    for cname, ctype in columns:
+        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
+    return pdf
+
+
 def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
     """FGB file -> (pandas DataFrame, header column list). The DataFrame
     always materializes EVERY header-declared column (None-filled when a
@@ -1031,26 +1063,8 @@ def read_fgb_with_schema(path: str) -> tuple[pd.DataFrame, list]:
         fsize = _u32(buf, off)
         fbuf = buf[off + 4 : off + 4 + fsize]
         off += 4 + fsize
-        feat = _FBTable(fbuf, _u32(fbuf, 0))
-        geom_pos = feat.indirect(0)
-        row = {"wkt": _decode_geometry_wkt(_FBTable(fbuf, geom_pos), gtype)}
-        props = feat.vector(1, "B", 1)
-        if props:
-            row.update(_decode_properties(bytes(props), columns))
-        rows.append(row)
-    cols = ["wkt"] + [c for c, _ in columns]
-    # per-column OBJECT construction first: pd.DataFrame(rows) would infer
-    # float64 for int columns containing any None and silently corrupt
-    # values beyond 2^53 BEFORE the nullable astype below could save them
-    pdf = pd.DataFrame(
-        {c: pd.Series([r.get(c) for r in rows], dtype=object) for c in cols},
-        columns=cols,
-    )
-    for cname, ctype in columns:
-        # unmapped ColumnType codes (e.g. future spec additions) degrade to
-        # object dtype instead of raising — the values were still decoded
-        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
-    return pdf, columns
+        rows.append(_decode_feature(fbuf, gtype, columns))
+    return _feature_frame(rows, columns), columns
 
 
 def fgb_bbox_search(path: str, rect: tuple[float, float, float, float]) -> pd.DataFrame:
@@ -1110,30 +1124,10 @@ def fgb_bbox_search(path: str, rect: tuple[float, float, float, float]) -> pd.Da
                 if is_leaf:
                     fh.seek(feat_pos + int(nd["off"]))
                     fsize = _u32(fh.read(4), 0)
-                    fbuf = fh.read(fsize)
-                    feat = _FBTable(fbuf, _u32(fbuf, 0))
-                    row = {
-                        "wkt": _decode_geometry_wkt(
-                            _FBTable(fbuf, feat.indirect(0)), gtype
-                        )
-                    }
-                    props = feat.vector(1, "B", 1)
-                    if props:
-                        row.update(_decode_properties(bytes(props), columns))
-                    rows.append(row)
+                    rows.append(_decode_feature(fh.read(fsize), gtype, columns))
                 else:
                     queue.append((int(nd["off"]), level - 1))
-    cols = ["wkt"] + [c for c, _ in columns]
-    # per-column OBJECT construction first: pd.DataFrame(rows) would infer
-    # float64 for int columns containing any None and silently corrupt
-    # values beyond 2^53 BEFORE the nullable astype below could save them
-    pdf = pd.DataFrame(
-        {c: pd.Series([r.get(c) for r in rows], dtype=object) for c in cols},
-        columns=cols,
-    )
-    for cname, ctype in columns:
-        pdf[cname] = pdf[cname].astype(_CT_PD_DTYPE.get(ctype, object))
-    return pdf
+    return _feature_frame(rows, columns)
 
 
 def read_fgb(path: str) -> pd.DataFrame:

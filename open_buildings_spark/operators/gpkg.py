@@ -142,12 +142,14 @@ def write_gpkg_pandas(
         s = pdf[c]
         lst = s.astype(object).where(s.notna(), None).tolist()
         val_cols.append([v.item() if isinstance(v, np.generic) else v for v in lst])
+    # attempt-unique tmp name (see write_fgb_pandas): concurrent task
+    # attempts must not share one tmp SQLite file
+    import uuid
+
     tmp = os.path.join(
         os.path.dirname(os.path.abspath(path)),
-        "." + os.path.basename(path) + ".inprogress",
+        f".{os.path.basename(path)}.{os.getpid()}-{uuid.uuid4().hex[:8]}.inprogress",
     )
-    if os.path.exists(tmp):
-        os.remove(tmp)
     gnames = {GT_POINT: "POINT", GT_POLYGON: "POLYGON", GT_MULTIPOLYGON: "MULTIPOLYGON"}
     db = sqlite3.connect(tmp)
     try:
@@ -291,7 +293,9 @@ def write_gpkg(
         # default to_pandas degrades them to float64, silently corrupting
         # integers beyond 2^53; positional .iat access (not itertuples
         # getattr) survives keyword/non-identifier column names
-        _intmap = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
+        from ..pdexact import int_types_mapper
+
+        _intmap = int_types_mapper()
         ds = pads.dataset(scratch, format="parquet")
         for rb in ds.to_batches():
             pdf = rb.to_pandas(types_mapper=_intmap)

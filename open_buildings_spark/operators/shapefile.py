@@ -132,8 +132,13 @@ def shp_columns(schema_fields, wkt_col: str) -> list[tuple[str, str]]:
 
 def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
                   shape_type, bbox) -> None:
-    """Write the .shp/.shx/.dbf triple from accumulated record bytes."""
+    """Write the .shp/.shx/.dbf triple from accumulated record bytes.
+    Each file lands via an attempt-unique tmp + atomic rename, so a killed
+    or concurrent attempt never leaves a truncated/interleaved final."""
+    import uuid
+
     minx, miny, maxx, maxy = bbox
+    token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
     def header(total_words: int) -> bytes:
         return (
@@ -145,12 +150,18 @@ def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
             + struct.pack("<dddd", 0.0, 0.0, 0.0, 0.0)
         )
 
-    with open(base + ".shp", "wb") as f:
-        f.write(header((_HEADER_LEN + len(shp_records)) // 2))
-        f.write(shp_records)
-    with open(base + ".shx", "wb") as f:
-        f.write(header((_HEADER_LEN + len(shx_records)) // 2))
-        f.write(shx_records)
+    def commit(suffix: str, payload: bytes) -> None:
+        final = base + suffix
+        tmp = os.path.join(
+            os.path.dirname(os.path.abspath(final)),
+            f".{os.path.basename(final)}.{token}.inprogress",
+        )
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, final)
+
+    commit(".shp", header((_HEADER_LEN + len(shp_records)) // 2) + bytes(shp_records))
+    commit(".shx", header((_HEADER_LEN + len(shx_records)) // 2) + bytes(shx_records))
 
     rec_size = 1 + sum(fl for _, _, fl, _ in fields)
     hdr_size = 32 + 32 * len(fields) + 1
@@ -168,8 +179,7 @@ def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
     dbf += b"\x0d"
     dbf += dbf_records
     dbf += b"\x1a"
-    with open(base + ".dbf", "wb") as f:
-        f.write(dbf)
+    commit(".dbf", bytes(dbf))
 
 
 def write_shp_pandas(
@@ -332,7 +342,9 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     # non-identifier column names to _N
     import pyarrow as _pa
 
-    _intmap = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
+    from ..pdexact import int_types_mapper
+
+    _intmap = int_types_mapper()
     for rb in ds.to_batches():
         pdf = rb.to_pandas(types_mapper=_intmap)
         # vectorized extraction once per batch — per-cell .iat in the row

@@ -35,15 +35,7 @@ from pyspark.sql import functions as F
 _EXT = {"fgb": ".fgb", "gpkg": ".gpkg", "shp": ".shp"}
 
 
-def _exact_pandas(batches):
-    """Arrow record batches -> pandas with integer exactness preserved
-    (nullable Int64/Int32 instead of the default float64 degrade)."""
-    import pandas as pd
-    import pyarrow as pa
-
-    table = pa.Table.from_batches(batches)
-    intmap = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
-    return table.to_pandas(types_mapper=intmap)
+from ..pdexact import exact_pandas as _exact_pandas
 
 
 def sharded_export(
@@ -104,21 +96,25 @@ def sharded_export(
         # the shard key is the groupBy key, so this raise_error branch is
         # never pruned: an unroutable row fails the job (mirrors
         # append_rows' refusal) instead of silently vanishing
+        routable = F.col("quadkey").isNotNull() & (
+            F.length("quadkey") >= level
+        )
         shard_col = F.when(
-            F.col("quadkey").isNotNull(), F.substring("quadkey", 1, level)
+            routable, F.substring("quadkey", 1, level)
         ).otherwise(
             F.raise_error(
                 F.lit(
-                    "sharded_export: NULL quadkey row cannot be routed to a "
-                    "shard; enrich/filter first or pass on_null_quadkey='skip'"
+                    "sharded_export: NULL or too-short quadkey row cannot "
+                    "be routed to a shard; enrich/filter first or pass "
+                    "on_null_quadkey='skip'"
                 )
             )
         )
         sh = df.withColumn("_obs_shard", shard_col)
     else:
-        sh = df.filter(F.col("quadkey").isNotNull()).withColumn(
-            "_obs_shard", F.substring("quadkey", 1, level)
-        )
+        sh = df.filter(
+            F.col("quadkey").isNotNull() & (F.length("quadkey") >= level)
+        ).withColumn("_obs_shard", F.substring("quadkey", 1, level))
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sh = sh.repartition(nparts, "_obs_shard").sortWithinPartitions(

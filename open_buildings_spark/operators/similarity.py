@@ -233,9 +233,12 @@ def kmeans_fit(
     or collects; each round is one broadcast-join assignment pass plus one
     map-side-combinable avg groupBy on (cid, component). Only the centroid
     table (n_centroids x dim doubles) comes to the driver between rounds,
-    which also keeps the plan lineage flat across iterations. Iterative
-    float means are engine-order-sensitive, so this operator is gated
-    rows-only (no SQL oracle); the pytest fixture pins cluster recovery.
+    which also keeps the plan lineage flat across iterations. The driver
+    gate mirrors the trainer with a 3-round unrolled DuckDB Lloyd
+    (oracles_text.s_kmeans_ivf): the assignment rule — cosine similarity
+    ROUNDED to 6 dp, cid-ascending tie-break — absorbs the engines'
+    float-sum-order drift in the means, so changing that rule breaks the
+    oracle; the pytest fixture additionally pins cluster recovery.
 
     Returns (cid, cv, n_assigned) for the final round. A centroid that
     loses every vector drops out (standard Lloyd shrinkage) — the output

@@ -230,7 +230,9 @@ def to_geojson_features(df: DataFrame, wkt_col: str = "wkt", limit_cols: list | 
 
     # Arrow collect + Int64 mapper: plain toPandas() degrades a nullable
     # long column to float64 and corrupts integer properties beyond 2^53
-    _intmap = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
+    from ..pdexact import int_types_mapper
+
+    _intmap = int_types_mapper()
     pdf = df.select(*cols, wkt_col).toArrow().to_pandas(types_mapper=_intmap)
     batch = parse_wkt_batch(pdf[wkt_col])
     # ring_geom is ascending by construction: one searchsorted gives each

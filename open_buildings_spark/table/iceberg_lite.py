@@ -486,24 +486,36 @@ def append_rows(
     by_ck = {_part_key(p, keys): p for p in m["partitions"]}
     parts = [dict(p) for p in m["partitions"]]
     appended_files: list[str] = []
-    for ck, n in counts.items():
-        vals = dict(zip(keys, ck))
-        pdir = _part_dir(data_dir, keys, vals, ck[-1])
-        files = sorted(
+    # one BATCHED footer pass for the whole commit (fans out as a Spark
+    # job past the threshold) — per-cell serial driver reads would stall
+    # a wide append exactly the way _rows_per_file's docstring warns
+    new_files: dict[tuple, list[str]] = {}
+    backfill: dict[tuple, list[str]] = {}
+    for ck in counts:
+        pdir = _part_dir(data_dir, keys, dict(zip(keys, ck)), ck[-1])
+        new_files[ck] = sorted(
             set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
         )
+        if ck in by_ck and by_ck[ck].get("file_rows") is None:
+            # opportunistic backfill for pre-r4 manifests, bounded by the
+            # files of the cells this batch touches
+            backfill[ck] = [os.path.join(root, f) for f in by_ck[ck]["files"]]
+    flat = [p for ck in counts for p in new_files[ck]] + [
+        p for fl in backfill.values() for p in fl
+    ]
+    it = iter(_rows_per_file(flat, spark))
+    frows_by = {ck: [next(it) for _ in new_files[ck]] for ck in counts}
+    bf_by = {ck: [next(it) for _ in fl] for ck, fl in backfill.items()}
+    for ck, n in counts.items():
+        files = new_files[ck]
         rel = [os.path.relpath(p, root) for p in files]
-        frows = _rows_per_file(files)
+        frows = frows_by[ck]
         appended_files.extend(os.path.join(root, f) for f in rel)
         if ck in by_ck:
             tgt = next(p for p in parts if _part_key(p, keys) == ck)
             old_fr = tgt.get("file_rows")
             if old_fr is None:
-                # opportunistic backfill for pre-r4 manifests, bounded by
-                # the files of the cells this batch touches
-                old_fr = _rows_per_file(
-                    [os.path.join(root, f) for f in tgt["files"]]
-                )
+                old_fr = bf_by[ck]
             tgt["files"] = tgt["files"] + rel
             tgt["file_rows"] = old_fr + frows
             tgt["n_rows"] = tgt["n_rows"] + n
@@ -511,7 +523,7 @@ def append_rows(
             parts.append(
                 {
                     "cell": ck[-1],
-                    "values": vals,
+                    "values": dict(zip(keys, ck)),
                     "n_rows": n,
                     "files": rel,
                     "file_rows": frows,
@@ -790,22 +802,37 @@ def upsert_rows(
         dict(p) for p in m["partitions"] if _part_key(p, part_keys) not in aff_set
     ]
     new_file_paths: list[str] = []
+    # batched footer pass (see append_rows): never per-cell serial reads
+    post_by: dict[tuple, list[str]] = {}
+    backfill = {}
     for ck in affected:
-        vals = dict(zip(part_keys, ck))
-        pdir = _part_dir(data_dir, part_keys, vals, ck[-1])
-        post = sorted(
+        pdir = _part_dir(data_dir, part_keys, dict(zip(part_keys, ck)), ck[-1])
+        post_by[ck] = sorted(
             set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
         )
+        if (
+            ck in append_cells
+            and ck in by_ck
+            and by_ck[ck].get("file_rows") is None
+        ):
+            backfill[ck] = [os.path.join(root, f) for f in by_ck[ck]["files"]]
+    flat = [p for ck in affected for p in post_by[ck]] + [
+        p for fl in backfill.values() for p in fl
+    ]
+    it = iter(_rows_per_file(flat, spark))
+    frows_by = {ck: [next(it) for _ in post_by[ck]] for ck in affected}
+    bf_by = {ck: [next(it) for _ in fl] for ck, fl in backfill.items()}
+    for ck in affected:
+        vals = dict(zip(part_keys, ck))
+        post = post_by[ck]
         rel = [os.path.relpath(f, root) for f in post]
-        frows = _rows_per_file(post)
+        frows = frows_by[ck]
         new_file_paths.extend(post)
         if ck in append_cells and ck in by_ck:
             prior = by_ck[ck]
             old_fr = prior.get("file_rows")
             if old_fr is None:
-                old_fr = _rows_per_file(
-                    [os.path.join(root, f) for f in prior["files"]]
-                )
+                old_fr = bf_by[ck]
             parts.append(
                 {
                     **dict(prior),
@@ -878,6 +905,14 @@ def update_rows(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
+    if key in assignments:
+        # rewriting the merge key would make the MERGE see only the NEW
+        # values: old rows never match, survive untouched, and the updated
+        # rows insert as duplicates — refuse instead
+        raise ValueError(
+            f"UPDATE may not assign the merge key column {key!r} "
+            "(old rows could not be matched for replacement)"
+        )
     cur = read_table(spark, root)
     if predicate is not None:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
@@ -968,23 +1003,34 @@ def delete_rows(
     parts = [
         dict(p) for p in m["partitions"] if _part_key(p, keys) not in aff_set
     ]
-    for ck in affected:
-        n = counts.get(ck, 0)
-        if n == 0:
-            continue  # every row of this partition matched: it disappears
-        vals = dict(zip(keys, ck))
-        pdir = _part_dir(data_dir, keys, vals, ck[-1])
-        post = sorted(
-            set(glob.glob(os.path.join(pdir, "*.parquet"))) - pre_files[ck]
+    # batched footer pass (see append_rows): never per-cell serial reads
+    survivors_cks = [ck for ck in affected if counts.get(ck, 0) > 0]
+    post_by = {
+        ck: sorted(
+            set(
+                glob.glob(
+                    os.path.join(
+                        _part_dir(data_dir, keys, dict(zip(keys, ck)), ck[-1]),
+                        "*.parquet",
+                    )
+                )
+            )
+            - pre_files[ck]
         )
-        rel = [os.path.relpath(f, root) for f in post]
+        for ck in survivors_cks
+    }
+    it = iter(
+        _rows_per_file([p for ck in survivors_cks for p in post_by[ck]], spark)
+    )
+    for ck in survivors_cks:
+        post = post_by[ck]
         parts.append(
             {
                 "cell": ck[-1],
-                "values": vals,
-                "n_rows": n,
-                "files": rel,
-                "file_rows": _rows_per_file(post),
+                "values": dict(zip(keys, ck)),
+                "n_rows": counts[ck],
+                "files": [os.path.relpath(f, root) for f in post],
+                "file_rows": [next(it) for _ in post],
             }
         )
     parts.sort(key=lambda p: _part_key(p, keys))

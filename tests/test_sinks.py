@@ -312,7 +312,7 @@ def test_sharded_export_null_quadkey_policy(spark, tmp_path):
         ],
         "doc_id string, quadkey string, wkt string",
     )
-    with pytest.raises(Exception, match="NULL quadkey"):
+    with pytest.raises(Exception, match="NULL or too-short quadkey"):
         sharded.sharded_export(df, str(tmp_path / "err"), fmt="fgb", level=4)
     manifest = sharded.sharded_export(
         df, str(tmp_path / "skip"), fmt="fgb", level=4, on_null_quadkey="skip"

@@ -273,3 +273,15 @@ def test_update_rows_moves_quadkey(spark, docs, tmp_path):
     # no-match update is a no-op
     m3 = tbl.update_rows(spark, root, {"quadkey": "quadkey"}, predicate="doc_id = 'zz'")
     assert m3["snapshot_id"] == m2["snapshot_id"]
+
+
+def test_update_rows_rejects_key_assignment(spark, tmp_path):
+    """UPDATE may not rewrite the merge key: old rows could not be matched
+    for replacement and would survive as duplicates."""
+    root = str(tmp_path / "updkey")
+    df = spark.createDataFrame(
+        [("a", "300110130330")], "doc_id string, quadkey string"
+    )
+    tbl.write_partitioned(df, root, max_per_file=100)
+    with pytest.raises(ValueError, match="merge key"):
+        tbl.update_rows(spark, root, {"doc_id": "upper(doc_id)"})
