@@ -654,6 +654,13 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+def _q_lm_score(spark, sf_dir):
+    """Statistical-LM quality score: word-bigram LM with add-k smoothing
+    self-trained on the corpus (CCNet-style perplexity filtering, public
+    method); per-doc mean log P(w2|w1) rounded to 6 dp."""
+    return textstats.lm_score(_docs_table(spark, sf_dir))
+
+
 def _q_hash_split(spark, sf_dir):
     """Deterministic train/val/test split keyed on md5(doc_id) — membership
     is a pure function of the id (stable under corpus growth)."""
@@ -819,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
         "t_hash_split": _q_hash_split,  # sampling: t_stratified_sample
         "s_ann_lsh": _q_ann_lsh,  # ANN: s_ann_ivf
+        "t_lm_score": _q_lm_score,  # quality scores: t_quality (gated)
     }
 
 

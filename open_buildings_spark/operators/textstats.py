@@ -144,3 +144,63 @@ def fingerprint(df: DataFrame, window: int = 8, id_col: str = "doc_id") -> DataF
         F.md5(F.lower(F.col("text"))).alias("fp_full"),
         F.array_min(grams).alias("fp_min"),
     )
+
+
+LM_SMOOTH_K = 0.5
+
+
+def lm_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Statistical-LM quality score (the CCNet-style perplexity filter,
+    public method: docs far from the corpus LM are candidates for the
+    low-quality bucket). No external LM exists here, so the model is a
+    word-bigram LM with add-k smoothing trained on the SAME corpus
+    (self-scoring — the standard wiki-LM stand-in), and each doc scores
+    its mean log P(w_i | w_{i-1}).
+
+    Scale shape: training is two map-side-combinable groupBys (unigram +
+    bigram counts); the model broadcasts to the scoring join (at planet
+    scale prune to top-N bigrams first — the brief's broadcast-small-dims
+    rule); scoring is one pass over the exploded bigram positions. The
+    mean is rounded to 6 dp before emission so the DuckDB oracle matches
+    despite float-sum-order drift (same device as BM25).
+
+    Returns (id, n_bigrams, avg_logp); docs with < 2 tokens have no
+    bigram and are absent (filter them with the token-count gate first).
+    """
+    from .dedup import tokens_col
+
+    k = F.lit(LM_SMOOTH_K)
+    t = df.select(id_col, tokens_col().alias("tk")).filter(F.size("tk") >= 2)
+    pairs = t.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), i -> struct("
+                "element_at(tk, cast(i as int)) as w1, "
+                "element_at(tk, cast(i + 1 as int)) as w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    uni = (
+        df.select(F.explode(tokens_col()).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    scored = (
+        pairs.join(F.broadcast(bc), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + k)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + k * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )

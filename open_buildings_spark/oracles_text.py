@@ -430,6 +430,37 @@ FROM r WHERE sample_rank <= 40
     # integer compare of the 3-hex-digit prefix (mirrors hash_split — a
     # string compare breaks at the 4096 boundary, where the edge is 4 chars)
     _pfx = _hex_bigint("substr(md5(CAST(doc_id AS VARCHAR)), 1, 3)")
+    # word-bigram LM score (CCNet-style perplexity filter; mirrors
+    # operators.textstats.lm_score): add-0.5 smoothing, mean log
+    # P(w2|w1) per doc, rounded to 6 dp BEFORE emission (absorbs the
+    # engines' float-sum-order drift — same device as t_bm25)
+    sqls["t_lm_score"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+big AS (
+  SELECT doc_id, tk[CAST(u.i AS INT)] AS w1, tk[CAST(u.i + 1 AS INT)] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk), 1))) AS i) u
+  WHERE len(tk) >= 2
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(tk) AS w1 FROM toks)
+  GROUP BY 1
+),
+vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+scored AS (
+  SELECT b.doc_id,
+         ln((COALESCE(bc.c2, 0) + 5e-1) / (COALESCE(u.c1, 0) + 5e-1 * vv.v)) AS lp
+  FROM big b
+  LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  LEFT JOIN uni u ON u.w1 = b.w1
+  CROSS JOIN vv
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+"""
+
     sqls["t_hash_split"] = f"""
 SELECT doc_id,
        CASE WHEN {_pfx} < {TRAIN_PER_4096} THEN 'train'

@@ -915,3 +915,22 @@ def test_big_aoi_join_interior_cells_bypass_refine(spark):
     out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
     got = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert got == {"skip-me", "good"}
+
+
+def test_lm_score_semantics(spark):
+    """The bigram LM must score corpus-typical word sequences above rare
+    ones: a doc repeating the corpus's dominant bigram outranks a doc of
+    unique never-repeated words; docs under 2 tokens are absent."""
+    from open_buildings_spark.operators import textstats
+
+    rows = [(i, "the table scans fast") for i in range(10)]
+    rows += [(100, "zyx qwv jkl mnop")]  # all-unique words, unseen bigrams
+    rows += [(101, "one")]  # single token: no bigram
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.lm_score(docs).collect()}
+    assert 101 not in out
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logp"] > out[100]["avg_logp"]
+    # deterministic across runs
+    again = {r["doc_id"]: r["avg_logp"] for r in textstats.lm_score(docs).collect()}
+    assert again[0] == out[0]["avg_logp"]
