@@ -598,15 +598,9 @@ def write_fgb_pandas(
         n,
         INDEX_NODE_SIZE if n else 0,
     )
-    # attempt-unique tmp name: concurrent task attempts (speculation, a
-    # retry racing a still-flushing first attempt) must never interleave
-    # writes into one tmp file; os.replace makes last-commit-wins atomic
-    import uuid
+    from ..pdexact import attempt_tmp
 
-    tmp = os.path.join(
-        os.path.dirname(os.path.abspath(path)),
-        f".{os.path.basename(path)}.{os.getpid()}-{uuid.uuid4().hex[:8]}.inprogress",
-    )
+    tmp = attempt_tmp(path)
     with open(tmp, "wb") as out:
         out.write(MAGIC)
         out.write(header)

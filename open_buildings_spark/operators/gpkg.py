@@ -142,14 +142,9 @@ def write_gpkg_pandas(
         s = pdf[c]
         lst = s.astype(object).where(s.notna(), None).tolist()
         val_cols.append([v.item() if isinstance(v, np.generic) else v for v in lst])
-    # attempt-unique tmp name (see write_fgb_pandas): concurrent task
-    # attempts must not share one tmp SQLite file
-    import uuid
+    from ..pdexact import attempt_tmp
 
-    tmp = os.path.join(
-        os.path.dirname(os.path.abspath(path)),
-        f".{os.path.basename(path)}.{os.getpid()}-{uuid.uuid4().hex[:8]}.inprogress",
-    )
+    tmp = attempt_tmp(path)
     gnames = {GT_POINT: "POINT", GT_POLYGON: "POLYGON", GT_MULTIPOLYGON: "MULTIPOLYGON"}
     db = sqlite3.connect(tmp)
     try:

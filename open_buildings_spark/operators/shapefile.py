@@ -135,10 +135,9 @@ def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
     """Write the .shp/.shx/.dbf triple from accumulated record bytes.
     Each file lands via an attempt-unique tmp + atomic rename, so a killed
     or concurrent attempt never leaves a truncated/interleaved final."""
-    import uuid
+    from ..pdexact import attempt_tmp
 
     minx, miny, maxx, maxy = bbox
-    token = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
 
     def header(total_words: int) -> bytes:
         return (
@@ -152,10 +151,7 @@ def _assemble_shp(base, shp_records, shx_records, dbf_records, fields, n,
 
     def commit(suffix: str, payload: bytes) -> None:
         final = base + suffix
-        tmp = os.path.join(
-            os.path.dirname(os.path.abspath(final)),
-            f".{os.path.basename(final)}.{token}.inprogress",
-        )
+        tmp = attempt_tmp(final)
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, final)
@@ -340,8 +336,6 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     # degrades them to float64 and corrupts values beyond 2^53); positional
     # Series access instead of itertuples getattr, which renames keyword /
     # non-identifier column names to _N
-    import pyarrow as _pa
-
     from ..pdexact import int_types_mapper
 
     _intmap = int_types_mapper()

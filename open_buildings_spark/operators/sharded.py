@@ -54,7 +54,8 @@ def sharded_export(
     rules (validated up front on the Spark schema — pandas dtypes are not
     trusted).
 
-    ``on_null_quadkey``: a NULL quadkey cannot be routed to a shard —
+    ``on_null_quadkey``: a NULL quadkey — or one shorter than ``level``,
+    which cannot form a full shard key either — cannot be routed:
     ``'error'`` (default) fails the export loudly, like the table layer's
     append guard; ``'skip'`` drops such rows (they appear in no shard and
     no manifest count)."""
@@ -164,6 +165,15 @@ def sharded_export(
             )
 
     rows = sh.mapInArrow(enc, "cell string, file string, n_rows long").collect()
+    # sweep orphan tmp files from killed/retried attempts (the unique
+    # .inprogress names never self-overwrite, so failures would leak them)
+    import glob as _glob
+
+    for orphan in _glob.glob(os.path.join(out_abs, ".*.inprogress")):
+        try:
+            os.remove(orphan)
+        except OSError:
+            pass
     shards = sorted(
         (
             {"cell": r["cell"], "file": r["file"], "n_rows": r["n_rows"]}

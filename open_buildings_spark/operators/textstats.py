@@ -160,7 +160,9 @@ def lm_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Scale shape: training is two map-side-combinable groupBys (unigram +
     bigram counts); the model broadcasts to the scoring join (at planet
     scale prune to top-N bigrams first — the brief's broadcast-small-dims
-    rule); scoring is one pass over the exploded bigram positions. The
+    rule); scoring re-derives the bigram explode as the fact side of the
+    join (persist the pairs lineage at corpus scale to pay the explode
+    once instead of twice). The
     mean is rounded to 6 dp before emission so the DuckDB oracle matches
     despite float-sum-order drift (same device as BM25).
 

@@ -41,3 +41,19 @@ def frame_from_rows(rows, cols):
         {c: pd.Series([r.get(c) for r in rows], dtype=object) for c in cols},
         columns=cols,
     )
+
+
+def attempt_tmp(path: str) -> str:
+    """Attempt-unique hidden tmp sibling for atomic publish via
+    ``os.replace``: concurrent task attempts (speculation, a retry racing
+    a still-flushing first attempt) must never interleave writes into one
+    tmp file. Callers ``os.replace(tmp, path)`` on success; orphans from
+    killed attempts match ``.*.inprogress`` and are swept by the driver
+    after the job (sharded_export) or left for the next overwrite."""
+    import os
+    import uuid
+
+    return os.path.join(
+        os.path.dirname(os.path.abspath(path)),
+        f".{os.path.basename(path)}.{os.getpid()}-{uuid.uuid4().hex[:8]}.inprogress",
+    )

@@ -905,10 +905,11 @@ def update_rows(
     m = current_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
-    if key in assignments:
+    if key.lower() in {c.lower() for c in assignments}:
         # rewriting the merge key would make the MERGE see only the NEW
         # values: old rows never match, survive untouched, and the updated
-        # rows insert as duplicates — refuse instead
+        # rows insert as duplicates — refuse (case-insensitively: Spark's
+        # default resolver would bind 'DOC_ID' to doc_id)
         raise ValueError(
             f"UPDATE may not assign the merge key column {key!r} "
             "(old rows could not be matched for replacement)"
