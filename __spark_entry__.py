@@ -305,6 +305,29 @@ def _q_delete_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tbl.read_table(spark, root).select("doc_id", "quadkey")
 
 
+def _q_sharded_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-FGB window query: one Hilbert-indexed .fgb per quadkey
+    shard (built once per sf, manifest-listed), then a bbox window read
+    that prunes shards at the manifest level and walks each surviving
+    shard's packed R-tree — the distributed read half of the scale-path
+    export. Semantics: geometry bbox INTERSECTS the window."""
+    import os
+
+    from open_buildings_spark.operators import sharded
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = f"/tmp/ob_spark_entry/shards_{sf}_rev{datagen.DATAGEN_REV}"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        g = enrich.add_geo_columns(
+            datagen.interleaved_docs(spark, sf_dir), drop_nongeo=True
+        ).select("doc_id", "quadkey", "wkt")
+        sharded.sharded_export(g, out, fmt="fgb", level=6)
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    return sharded.sharded_to_df(spark, out, bbox=(w, s, e, n)).select(
+        "doc_id", "quadkey"
+    )
+
+
 def _q_sql_aoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL surface: the flagship AOI query expressed as ``spark.sql``
     over a table view + the registered ``ob_*`` functions (sqlapi) — the
@@ -827,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_hash_split": _q_hash_split,  # sampling: t_stratified_sample
         "s_ann_lsh": _q_ann_lsh,  # ANN: s_ann_ivf
         "t_lm_score": _q_lm_score,  # quality scores: t_quality (gated)
+        "g_sharded_window": _q_sharded_window,  # window read: g_aoi_query
     }
 
 

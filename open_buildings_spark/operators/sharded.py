@@ -228,3 +228,87 @@ def read_sharded(out_dir: str):
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)
+
+
+def sharded_to_df(
+    spark,
+    out_dir: str,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Distributed SOURCE over a sharded FlatGeobuf export — the read half
+    of the scale path: shards open in parallel (one task per shard, no
+    driver funnel in either direction), and a ``bbox`` window query prunes
+    at BOTH levels before any byte of feature data moves:
+
+      1. manifest level — shards whose quadkey cell's tile bounds don't
+         intersect the bbox are never opened (the same cell-prune idea as
+         the table layer's manifest planning);
+      2. file level — surviving shards are searched through their packed
+         Hilbert R-tree (``fgb_bbox_search``), reading only the visited
+         node runs and matched features.
+
+    The Spark schema comes from the first shard's HEADER (column names +
+    ColumnTypes — a function of the export schema, not of data content).
+    FlatGeobuf only: it is the format whose index makes windowed shard
+    reads cheap; gpkg/shp shards are plain files for their own readers.
+    """
+    from ..geo import mercator
+    from . import flatgeobuf
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format"] != "fgb":
+        raise ValueError(
+            f"sharded_to_df reads FlatGeobuf shard sets; this one is "
+            f"{manifest['format']!r} (use the format's own reader per shard)"
+        )
+    out_abs = os.path.abspath(out_dir)
+    shards = manifest["shards"]
+    if bbox is not None:
+        w, s, e, n = bbox
+        kept = []
+        for sh in shards:
+            x, y, z = mercator.tile_from_quadkey(sh["cell"])
+            cw, cs, ce, cn = mercator.tile_bounds(x, y, z)
+            if cw <= e and ce >= w and cs <= n and cn >= s:
+                kept.append(sh)
+        shards = kept
+    # schema from the first shard's header (empty export -> empty frame
+    # with just the wkt column)
+    if not shards:
+        return spark.createDataFrame([], "wkt string")
+    first = os.path.join(out_abs, shards[0]["file"])
+    with open(first, "rb") as fh:
+        head = fh.read(16)
+        hsize = flatgeobuf._u32(head, 8)
+        fh.seek(8)
+        hbuf = fh.read(8 + hsize)
+    header = flatgeobuf._FBTable(hbuf, 4 + flatgeobuf._u32(hbuf, 4))
+    columns = [
+        (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
+    ]
+    schema = ", ".join(
+        ["wkt string"]
+        + [
+            f"`{c}` {flatgeobuf._CT_SPARK_TYPE.get(t, 'string')}"
+            for c, t in columns
+        ]
+    )
+    files_df = spark.createDataFrame(
+        [(os.path.join(out_abs, sh["file"]),) for sh in shards], "path string"
+    ).repartition(max(len(shards) // 4, 1))
+
+    def read_shards(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                if bbox is not None:
+                    out = flatgeobuf.fgb_bbox_search(path, bbox)
+                else:
+                    out = flatgeobuf.read_fgb(path)
+                # nullable pandas dtypes trip the non-Arrow fallback of
+                # createDataFrame-like conversion; ship plain objects
+                yield out.astype(object).where(out.notna(), None)
+
+    return files_df.mapInPandas(read_shards, schema)

@@ -143,6 +143,16 @@ WITH {bld}
 SELECT doc_id, qk AS quadkey FROM bld WHERE has_geom AND doc_id NOT LIKE '%33'
 """
 
+    # sharded-FGB window query: shards pruned by cell, features through
+    # each shard's packed Hilbert R-tree; semantics = geometry bbox
+    # INTERSECTS the window (overlap, not containment like g_aoi_query)
+    sqls["g_sharded_window"] = f"""
+WITH {bld},
+fp AS (SELECT doc_id, qk, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT doc_id, qk AS quadkey FROM fp
+WHERE fminx <= {e} AND fmaxx >= {w} AND fminy <= {n} AND fmaxy >= {s}
+"""
+
     # streaming enrichment runs the identical logical plan, so its oracle
     # is the batch enrichment SQL; the table ingest (foreachBatch ->
     # append_rows) must land the same rows in the manifest table

@@ -332,3 +332,46 @@ def test_write_fgb_rejects_invalid_node_size(spark, tmp_path):
         fgb.write_fgb(df, str(tmp_path / "bad.fgb"), index_node_size=1)
     with pytest.raises(ValueError, match="index_node_size"):
         fgb.write_fgb(df, str(tmp_path / "bad2.fgb"), index_node_size=-1)
+
+
+def test_sharded_to_df_window_query(spark, tmp_path):
+    """The sharded FGB source must (1) round-trip all rows distributed,
+    and (2) answer a bbox window query by pruning shards at the manifest
+    level and features through each shard's packed R-tree — matching a
+    brute-force bbox filter exactly."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+    from open_buildings_spark.operators import enrich, sharded
+
+    docs = datagen.interleaved_docs(spark, "/root/testdata/sf0.001").limit(600)
+    g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+        "doc_id", "quadkey", "wkt"
+    )
+    out = str(tmp_path / "src_shards")
+    manifest = sharded.sharded_export(g, out, fmt="fgb", level=6)
+    total = manifest["total_rows"]
+
+    back = sharded.sharded_to_df(spark, out)
+    assert back.count() == total
+    assert set(r["doc_id"] for r in back.select("doc_id").collect()) == set(
+        r["doc_id"] for r in g.select("doc_id").collect()
+    )
+
+    # window: the first city block's AOI bbox
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    win = sharded.sharded_to_df(spark, out, bbox=(w, s, e, n)).toPandas()
+    full = sharded.read_sharded(out)
+    batch = parse_wkt_batch(full["wkt"])
+    bb = kernels.bboxes(batch)
+    want = (
+        (bb[:, 0] <= e) & (bb[:, 2] >= w) & (bb[:, 1] <= n) & (bb[:, 3] >= s)
+    )
+    assert set(win["doc_id"]) == set(full["doc_id"][want])
+    # mismatched format refuses
+    import pytest
+
+    out2 = str(tmp_path / "src_gpkg")
+    sharded.sharded_export(g.limit(50), out2, fmt="gpkg", level=6)
+    with pytest.raises(ValueError, match="FlatGeobuf"):
+        sharded.sharded_to_df(spark, out2)
