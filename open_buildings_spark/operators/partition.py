@@ -61,30 +61,37 @@ def hier_histogram(
     their z12 rows, never both, so prefix-range sums over the mixed rows
     are exact.
 
-    The under/over split happens Spark-side (anti/semi join against the
-    over-cap coarse set, which is tiny and broadcasts), so the driver runs
-    ONE collect of exactly the final histogram — the r3 shape collected
-    the full coarse rollup AND an over-cap z12 superset in two sequential
-    jobs, then resolved membership row-at-a-time in pandas.
+    The under/over split happens Spark-side with ONE window sum over the
+    z12 aggregate (partitionBy keys + coarse prefix): under-cap coarse
+    cells emit their windowed total (local distinct — the window's hash
+    partitioning already clusters them), over-cap ones emit their z12
+    rows. No broadcast build job, no cache pin, and — unlike equi-joins —
+    window partitioning groups NULL key values together, so a NULL
+    partition-key group over the cap still splits to z12 correctly. The
+    two filter branches share one lineage, so exchange reuse runs the
+    data shuffle exactly once; the driver runs ONE collect of exactly the
+    final histogram.
     """
+    from pyspark.sql import Window
+
     keys = keys or []
-    agg12 = cell_histogram(df, keys).persist()
-    try:
-        h8 = agg12.groupBy(
-            *keys, F.substring("qk12", 1, coarse_level).alias("qk")
-        ).agg(F.sum("n").alias("n"))
-        # over-cap coarse cells: bounded by 4^coarse (65k at z8) rows,
-        # independent of table size -> safe to broadcast
-        over8 = h8.filter(F.col("n") > max_per_file).select(*keys, "qk")
-        under8 = h8.join(F.broadcast(over8), [*keys, "qk"], "left_anti")
-        h12 = (
-            agg12.withColumn("qk", F.substring("qk12", 1, coarse_level))
-            .join(F.broadcast(over8), [*keys, "qk"], "left_semi")
-            .select(*keys, F.col("qk12").alias("qk"), "n")
+    a = (
+        cell_histogram(df, keys)
+        .withColumn("qk", F.substring("qk12", 1, coarse_level))
+        .withColumn(
+            "nc",
+            F.sum("n").over(Window.partitionBy(*keys, "qk")),
         )
-        hist = under8.unionByName(h12).toPandas()
-    finally:
-        agg12.unpersist()
+    )
+    under = (
+        a.filter(F.col("nc") <= max_per_file)
+        .select(*keys, "qk", F.col("nc").alias("n"))
+        .distinct()
+    )
+    over = a.filter(F.col("nc") > max_per_file).select(
+        *keys, F.col("qk12").alias("qk"), "n"
+    )
+    hist = under.unionByName(over).toPandas()
     return hist, len(hist)
 
 

@@ -155,6 +155,25 @@ def _keyed_reader(spark: SparkSession, m: dict, keys: list[str], root: str):
     )
 
 
+def _check_key_types(df: DataFrame, keys: list[str]) -> None:
+    """Partition key columns must be STRING-typed: the hive layout stores
+    key values as directory-name text and :func:`_keyed_reader` recovers
+    them as strings verbatim, so a non-string key column would silently
+    change type on read and then type-clash (or coerce) when a later
+    merge unions recovered survivors with a batch. Refuse up front."""
+    bad = [
+        f"{f.name} ({f.dataType.simpleString()})"
+        for f in df.schema.fields
+        if f.name in keys and f.dataType.simpleString() != "string"
+    ]
+    if bad:
+        raise ValueError(
+            "partition key columns must be string-typed (hive directory "
+            f"values read back as strings): cast {', '.join(bad)} to "
+            "string first"
+        )
+
+
 def write_partitioned(
     df: DataFrame,
     root: str,
@@ -185,6 +204,8 @@ def write_partitioned(
     from ..operators.partition import partition_plan
 
     keys = keys or []
+    if keys:
+        _check_key_types(df, keys)
     plan = partition_plan(df, max_per_file, keys).collect()
     done = committed_cells(root, keys)
     pending = [
@@ -434,6 +455,8 @@ def append_rows(
         raise ValueError(
             f"append batch missing partition key columns {sorted(missing)}"
         )
+    if keys:
+        _check_key_types(df, keys)
     cap = (
         max_per_file
         if max_per_file is not None
@@ -713,6 +736,8 @@ def upsert_rows(
         raise ValueError(
             f"upsert batch missing partition key columns {sorted(missing)}"
         )
+    if part_keys:
+        _check_key_types(df, part_keys)
     cap = (
         max_per_file
         if max_per_file is not None

@@ -439,6 +439,43 @@ def test_hier_histogram_bounds_driver_collect(spark):
         assert not b.startswith(a), (a, b)
 
 
+def test_hier_histogram_null_key_group_splits(spark):
+    """A NULL partition-key group over the cap must still split to z12:
+    window partitioning groups NULLs together (the old equi-join split
+    never matched NULL keys and left the group as one coarse row)."""
+    from open_buildings_spark.operators import partition
+
+    rows = [(None, "333333330" + d1 + d2 + d3) for d1 in "0123"
+            for d2 in "0123" for d3 in "0123" for _ in range(4)]
+    rows += [("FR", "000000000000")] * 3  # small named group, under cap
+    df = spark.createDataFrame(rows, "country string, quadkey string")
+    hist, _ = partition.hier_histogram(df, max_per_file=50, keys=["country"])
+    null_rows = hist[hist.country.isna()]
+    # 4*4*4=64 z12 cells x 4 rows = 256 > 50 -> must be split to z12 detail
+    assert len(null_rows) == 64, len(null_rows)
+    assert (null_rows.qk.str.len() == 12).all()
+    assert null_rows.n.sum() == 256
+    fr = hist[hist.country == "FR"]
+    assert len(fr) == 1 and fr.qk.str.len().iloc[0] == partition.COARSE_LEVEL
+
+
+def test_keyed_write_rejects_non_string_keys(spark, tmp_path):
+    """Hive directory values read back as strings, so a non-string key
+    column would change type on read; write_partitioned must refuse."""
+    import pytest as _pytest
+
+    from open_buildings_spark.table import iceberg_lite as tbl
+
+    df = spark.createDataFrame(
+        [(1, "000000000000", "POINT (0 0)")],
+        "region int, quadkey string, wkt string",
+    )
+    with _pytest.raises(ValueError, match="string-typed"):
+        tbl.write_partitioned(
+            df, str(tmp_path / "t"), max_per_file=10, keys=["region"]
+        )
+
+
 def test_connected_components_multihop_chain(spark):
     """Hash-min propagation must close multi-hop chains (diameter > 1), not
     just direct pairs: chain 1-2-3-4-5 plus pair 10-11 plus singleton 99."""
