@@ -149,7 +149,12 @@ def fingerprint(df: DataFrame, window: int = 8, id_col: str = "doc_id") -> DataF
 LM_SMOOTH_K = 0.5
 
 
-def lm_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    top_n_bigrams: int | None = None,
+    max_broadcast_rows: int | None = 2_000_000,
+) -> DataFrame:
     """Statistical-LM quality score (the CCNet-style perplexity filter,
     public method: docs far from the corpus LM are candidates for the
     low-quality bucket). No external LM exists here, so the model is a
@@ -158,13 +163,26 @@ def lm_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     its mean log P(w_i | w_{i-1}).
 
     Scale shape: training is two map-side-combinable groupBys (unigram +
-    bigram counts); the model broadcasts to the scoring join (at planet
-    scale prune to top-N bigrams first — the brief's broadcast-small-dims
-    rule); scoring re-derives the bigram explode as the fact side of the
-    join (persist the pairs lineage at corpus scale to pay the explode
-    once instead of twice). The
-    mean is rounded to 6 dp before emission so the DuckDB oracle matches
-    despite float-sum-order drift (same device as BM25).
+    bigram counts). The model is corpus-grown, so its size is BOUNDED
+    before it may broadcast to the scoring join:
+
+    - ``top_n_bigrams`` keeps only the N most frequent bigrams
+      (distributed partial top-N — ties broken by (w1, w2) so the model
+      is deterministic); pruned bigrams score as unseen (count 0 + add-k
+      smoothing), which is the standard model-truncation semantics. The
+      unigram table is NOT pruned (denominators stay exact).
+    - otherwise the model tables are counted (one cached pass) and the
+      broadcast hint is applied only when BOTH fit under
+      ``max_broadcast_rows``; above the cap the hint is dropped so
+      Catalyst shuffles the join instead of materializing a planet-scale
+      model on every executor. ``max_broadcast_rows=None`` force-keeps
+      the broadcast (caller asserts the model is small).
+
+    Scoring re-derives the bigram explode as the fact side of the join
+    (persist the pairs lineage at corpus scale to pay the explode once
+    instead of twice). The mean is rounded to 6 dp before emission so the
+    DuckDB oracle matches despite float-sum-order drift (same device as
+    BM25).
 
     Returns (id, n_bigrams, avg_logp); docs with < 2 tokens have no
     bigram and are absent (filter them with the token-count gate first).
@@ -190,9 +208,27 @@ def lm_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     vocab = uni.agg(F.count("*").cast("double").alias("v"))
     bc = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    if top_n_bigrams is not None:
+        # TakeOrderedAndProject: per-partition top-N then a driver merge of
+        # N-row heads — never a global sort of the full bigram table
+        bc = bc.orderBy(F.desc("c2"), "w1", "w2").limit(top_n_bigrams)
+        bc_small = True
+    elif max_broadcast_rows is None:
+        bc_small = True
+    else:
+        # model size is data-dependent: cache the table, count once, and
+        # only then decide the join strategy (the count pass is one small
+        # job over the already-aggregated model, reused by the join)
+        bc = bc.persist()
+        bc_small = bc.count() <= max_broadcast_rows
+    if max_broadcast_rows is None:
+        uni_small = True
+    else:
+        uni = uni.persist()
+        uni_small = uni.count() <= max_broadcast_rows
     scored = (
-        pairs.join(F.broadcast(bc), ["w1", "w2"], "left")
-        .join(F.broadcast(uni), "w1", "left")
+        pairs.join(F.broadcast(bc) if bc_small else bc, ["w1", "w2"], "left")
+        .join(F.broadcast(uni) if uni_small else uni, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "lp",

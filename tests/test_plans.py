@@ -255,3 +255,36 @@ def test_contamination_broadcasts_eval_fingerprints(spark):
     )
     plan = plan_of(dedup.contamination_stats(corpus, evalset))
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_broadcast_gated_by_model_size(spark):
+    """The self-trained bigram model is corpus-grown: the scoring join must
+    broadcast it only under the row cap (or after top-N pruning) and fall
+    back to a shuffle join above it — an unconditional broadcast is the
+    one planet-scale killer in this operator."""
+    from open_buildings_spark.operators import textstats
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    # kill auto-broadcast so the plan shows exactly what the HINT does
+    # (tiny test tables would otherwise broadcast regardless)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # small model, default cap -> broadcast hint applied
+        assert "BroadcastHashJoin" in plan_of(textstats.lm_score(docs))
+        # model over the (tiny) cap -> hint dropped, join shuffles
+        capped = plan_of(textstats.lm_score(docs, max_broadcast_rows=3))
+        assert "BroadcastHashJoin" not in capped
+        assert "SortMergeJoin" in capped or "ShuffledHashJoin" in capped
+        # top-N pruning bounds the bigram table -> broadcast is safe again
+        pruned = plan_of(textstats.lm_score(docs, top_n_bigrams=5))
+        assert "BroadcastHashJoin" in pruned
+        assert "TakeOrderedAndProject" in pruned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
