@@ -534,7 +534,7 @@ def write_fgb_pandas(
     columns: list[tuple[str, int]],
     wkt_col: str = "wkt",
     name: str | None = None,
-) -> int:
+) -> tuple[int, list[float] | None]:
     """One in-memory pandas frame -> one complete .fgb file (magic, header
     with count/envelope, features). The executor-side builder behind
     :func:`sharded export <..sharded.sharded_export>` — a shard fits in a
@@ -543,7 +543,11 @@ def write_fgb_pandas(
     ``columns`` must come from :func:`fgb_columns` on the SPARK schema
     (pandas dtypes lose int-ness under nulls). Features are Hilbert-sorted
     in memory and the packed R-tree index written (the shard IS in memory,
-    so the spec's preferred layout is free here). Atomic via .inprogress."""
+    so the spec's preferred layout is free here). Atomic via .inprogress.
+    Returns (feature count, data envelope [minx,miny,maxx,maxy] or None) —
+    the envelope feeds the shard manifest so window reads prune on TRUE
+    data extents (a geometry can spill past its quadkey's tile bounds:
+    the quadkey anchors at the bbox midpoint)."""
     feats: list[bytes] = []
     bboxes: list[tuple[float, float, float, float]] = []
     gtypes: set[int] = set()
@@ -611,7 +615,7 @@ def write_fgb_pandas(
         for f in feats:
             out.write(f)
     os.replace(tmp, path)
-    return n
+    return n, envelope
 
 
 def write_fgb(

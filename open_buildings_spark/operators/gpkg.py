@@ -95,6 +95,108 @@ def _init_gpkg(db: sqlite3.Connection) -> None:
     )
 
 
+_RTREE_DEF = "http://www.geopackage.org/spec120/#extension_rtree"
+_RTREE_OK: bool | None = None
+
+
+def rtree_available() -> bool:
+    """True when this build's SQLite ships the rtree module (CPython's
+    bundled SQLite normally does; probed once per process)."""
+    global _RTREE_OK
+    if _RTREE_OK is None:
+        try:
+            mem = sqlite3.connect(":memory:")
+            try:
+                mem.execute(
+                    "CREATE VIRTUAL TABLE t USING rtree(id, minx, maxx, miny, maxy)"
+                )
+            finally:
+                mem.close()
+            _RTREE_OK = True
+        except sqlite3.OperationalError:
+            _RTREE_OK = False
+    return _RTREE_OK
+
+
+def _rtree_begin(db: sqlite3.Connection, layer: str, gcol: str = "geom"):
+    """Register the ``gpkg_rtree_index`` extension (OGC 12-128r19 Annex
+    F.3) and create the empty ``rtree_<layer>_<gcol>`` virtual table.
+    Returns the index table name, or None when SQLite lacks rtree (the
+    file is then still a valid un-indexed GeoPackage). Callers populate
+    the index with (fid, minx, maxx, miny, maxy) rows and finish with
+    :func:`_rtree_finish` AFTER all feature inserts (the spec triggers
+    reference GPKG-defined ST_* SQL functions that plain SQLite cannot
+    run, so they must not fire during our own writes)."""
+    if not rtree_available():
+        return None
+    db.execute(
+        """CREATE TABLE IF NOT EXISTS gpkg_extensions (
+             table_name TEXT, column_name TEXT, extension_name TEXT NOT NULL,
+             definition TEXT NOT NULL, scope TEXT NOT NULL,
+             CONSTRAINT ge_tce UNIQUE (table_name, column_name, extension_name))"""
+    )
+    db.execute(
+        "INSERT INTO gpkg_extensions VALUES (?,?,?,?,?)",
+        (layer, gcol, "gpkg_rtree_index", _RTREE_DEF, "write-only"),
+    )
+    rt = f"rtree_{layer}_{gcol}"
+    db.execute(
+        f'CREATE VIRTUAL TABLE "{rt}" USING rtree(id, minx, maxx, miny, maxy)'
+    )
+    return rt
+
+
+def _rtree_finish(db: sqlite3.Connection, layer: str, gcol: str = "geom"):
+    """Create the Annex F.3 maintenance triggers that keep the index in
+    sync for GPKG-aware SQL engines editing the file later."""
+    t, c, rt = layer, gcol, f"rtree_{layer}_{gcol}"
+    stmts = [
+        f'''CREATE TRIGGER "{rt}_insert" AFTER INSERT ON "{t}"
+            WHEN (new."{c}" NOT NULL AND NOT ST_IsEmpty(NEW."{c}"))
+            BEGIN
+              INSERT OR REPLACE INTO "{rt}" VALUES (NEW."fid",
+                ST_MinX(NEW."{c}"), ST_MaxX(NEW."{c}"),
+                ST_MinY(NEW."{c}"), ST_MaxY(NEW."{c}"));
+            END''',
+        f'''CREATE TRIGGER "{rt}_update1" AFTER UPDATE OF "{c}" ON "{t}"
+            WHEN OLD."fid" = NEW."fid"
+             AND (NEW."{c}" NOTNULL AND NOT ST_IsEmpty(NEW."{c}"))
+            BEGIN
+              INSERT OR REPLACE INTO "{rt}" VALUES (NEW."fid",
+                ST_MinX(NEW."{c}"), ST_MaxX(NEW."{c}"),
+                ST_MinY(NEW."{c}"), ST_MaxY(NEW."{c}"));
+            END''',
+        f'''CREATE TRIGGER "{rt}_update2" AFTER UPDATE OF "{c}" ON "{t}"
+            WHEN OLD."fid" = NEW."fid"
+             AND (NEW."{c}" ISNULL OR ST_IsEmpty(NEW."{c}"))
+            BEGIN
+              DELETE FROM "{rt}" WHERE id = OLD."fid";
+            END''',
+        f'''CREATE TRIGGER "{rt}_update3" AFTER UPDATE ON "{t}"
+            WHEN OLD."fid" != NEW."fid"
+             AND (NEW."{c}" NOTNULL AND NOT ST_IsEmpty(NEW."{c}"))
+            BEGIN
+              DELETE FROM "{rt}" WHERE id = OLD."fid";
+              INSERT OR REPLACE INTO "{rt}" VALUES (NEW."fid",
+                ST_MinX(NEW."{c}"), ST_MaxX(NEW."{c}"),
+                ST_MinY(NEW."{c}"), ST_MaxY(NEW."{c}"));
+            END''',
+        f'''CREATE TRIGGER "{rt}_update4" AFTER UPDATE ON "{t}"
+            WHEN OLD."fid" != NEW."fid"
+             AND (NEW."{c}" ISNULL OR ST_IsEmpty(NEW."{c}"))
+            BEGIN
+              DELETE FROM "{rt}" WHERE id IN (OLD."fid", NEW."fid");
+            END''',
+        f'''CREATE TRIGGER "{rt}_delete" AFTER DELETE ON "{t}"
+            WHEN old."{c}" NOT NULL
+            BEGIN
+              DELETE FROM "{rt}" WHERE id = OLD."fid";
+            END''',
+    ]
+    for s in stmts:
+        db.execute(s)
+
+
 def gpkg_columns(schema_fields, wkt_col: str) -> list[tuple[str, str]]:
     """Spark schema -> GPKG attribute columns (name, sqlite type); raises
     on unmappable or reserved names. Shared by the single-file and sharded
@@ -122,12 +224,14 @@ def write_gpkg_pandas(
     wkt_col: str = "wkt",
     layer: str | None = None,
     last_change: str = "2023-05-30T00:00:00Z",
-) -> int:
+) -> tuple[int, list[float] | None]:
     """One in-memory pandas frame -> one complete .gpkg file (OGC
-    12-128r19 metadata tables + feature layer). The executor-side builder
+    12-128r19 metadata tables + feature layer + R-tree spatial index
+    when SQLite's rtree module is available). The executor-side builder
     behind sharded export; ``columns`` must come from :func:`gpkg_columns`
     on the SPARK schema (pandas dtypes lose int-ness under nulls).
-    Atomic via .inprogress."""
+    Atomic via .inprogress. Returns (feature count, data envelope
+    [minx,miny,maxx,maxy] or None) for the shard manifest."""
     from ..geo import kernels
     from ..geo.wkt import GT_MULTIPOLYGON, GT_POINT, GT_POLYGON, parse_wkt_batch, wkb_from_batch
 
@@ -164,23 +268,40 @@ def write_gpkg_pandas(
             )
             for i in idx
         ]
+        rt = _rtree_begin(db, layer)
         if rows:
             db.executemany(
                 f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
                 f"{quoted_cols}) VALUES ({placeholders})",
                 rows,
             )
+            if rt is not None:
+                # fids are AUTOINCREMENT 1..n in insert order (= idx order)
+                db.executemany(
+                    f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)',
+                    [
+                        (j + 1, float(bb[i, 0]), float(bb[i, 2]),
+                         float(bb[i, 1]), float(bb[i, 3]))
+                        for j, i in enumerate(idx)
+                    ],
+                )
+        if rt is not None:
+            _rtree_finish(db, layer)
         n = len(rows)
+        env = (
+            [float(bb[idx, 0].min()), float(bb[idx, 1].min()),
+             float(bb[idx, 2].max()), float(bb[idx, 3].max())]
+            if n
+            else None
+        )
         seen = {int(t) for t in np.unique(batch.gtype[idx])} if n else set()
         gtype_name = gnames[next(iter(seen))] if len(seen) == 1 else "GEOMETRY"
         db.execute(
             "INSERT INTO gpkg_contents VALUES (?,?,?,?,?,?,?,?,?,?)",
             (
                 layer, "features", layer, "", last_change,
-                float(bb[idx, 0].min()) if n else None,
-                float(bb[idx, 1].min()) if n else None,
-                float(bb[idx, 2].max()) if n else None,
-                float(bb[idx, 3].max()) if n else None,
+                env[0] if n else None, env[1] if n else None,
+                env[2] if n else None, env[3] if n else None,
                 4326,
             ),
         )
@@ -192,7 +313,7 @@ def write_gpkg_pandas(
     finally:
         db.close()
     os.replace(tmp, path)
-    return n
+    return n, env
 
 
 def write_gpkg(
@@ -274,6 +395,7 @@ def write_gpkg(
             f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
             f"geom BLOB{', ' + cols_sql if cols_sql else ''})"
         )
+        rt = _rtree_begin(db, layer)
         n = 0
         seen_types: set[int] = set()
         gminx = gminy = float("inf")
@@ -320,11 +442,22 @@ def write_gpkg(
             seen_types.update(int(t) for t in np.unique(gtypes_np))
             if rows:
                 db.executemany(insert_sql, rows)
+                if rt is not None:
+                    db.executemany(
+                        f'INSERT INTO "{rt}" VALUES (?,?,?,?,?)',
+                        [
+                            (n + i + 1, float(bx0[i]), float(bx1[i]),
+                             float(by0[i]), float(by1[i]))
+                            for i in range(len(rows))
+                        ],
+                    )
                 n += len(rows)
                 gminx = min(gminx, float(bx0.min()))
                 gminy = min(gminy, float(by0.min()))
                 gmaxx = max(gmaxx, float(bx1.max()))
                 gmaxy = max(gmaxy, float(by1.max()))
+        if rt is not None:
+            _rtree_finish(db, layer)
         gtype_name = (
             gnames[next(iter(seen_types))] if len(seen_types) == 1 else "GEOMETRY"
         )
@@ -347,9 +480,9 @@ def write_gpkg(
     return n
 
 
-def read_gpkg(path: str, layer: str | None = None) -> pd.DataFrame:
-    """GPKG file -> pandas DataFrame with a ``wkt`` column + attributes
-    (round-trip / interop reader)."""
+def _blob_to_wkt(blob: bytes) -> str | None:
+    """GeoPackageBinary blob -> WKT (header skipped via its envelope
+    indicator)."""
     from ..geo.wkt import (
         GT_MULTIPOLYGON,
         GT_POINT,
@@ -360,47 +493,109 @@ def read_gpkg(path: str, layer: str | None = None) -> pd.DataFrame:
         polygon_wkt,
     )
 
+    flags = blob[3]
+    env_type = (flags >> 1) & 0b111
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_type]
+    wkb = bytes(blob[8 + env_len :])
+    gt, rings = parse_wkb(wkb)
+    if gt == GT_POINT:
+        return point_wkt(rings[0][0][0, 0], rings[0][0][0, 1])
+    if gt == GT_POLYGON:
+        return polygon_wkt([c for c, _ in rings])
+    if gt == GT_MULTIPOLYGON:
+        parts: list[list] = []
+        for coords, hole in rings:
+            if not hole or not parts:
+                parts.append([coords])
+            else:
+                parts[-1].append(coords)
+        return multipolygon_wkt(parts)
+    return None
+
+
+def _decode_rows(recs, names: list[str], gcol: str) -> pd.DataFrame:
+    gi = names.index(gcol)
+    rows = []
+    for rec in recs:
+        row = {"wkt": _blob_to_wkt(rec[gi])}
+        row.update(
+            {nm: rec[i] for i, nm in enumerate(names) if nm not in (gcol, "fid")}
+        )
+        rows.append(row)
+    return _exact_frame(rows)
+
+
+def _feature_layer(db: sqlite3.Connection, layer: str | None) -> tuple[str, str]:
+    if layer is None:
+        layer = db.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
+        ).fetchone()[0]
+    gcol = db.execute(
+        "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
+        (layer,),
+    ).fetchone()[0]
+    return layer, gcol
+
+
+def read_gpkg(path: str, layer: str | None = None) -> pd.DataFrame:
+    """GPKG file -> pandas DataFrame with a ``wkt`` column + attributes
+    (round-trip / interop reader)."""
     db = sqlite3.connect(path)
     try:
-        if layer is None:
-            layer = db.execute(
-                "SELECT table_name FROM gpkg_contents WHERE data_type='features'"
-            ).fetchone()[0]
-        gcol = db.execute(
-            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name=?",
-            (layer,),
-        ).fetchone()[0]
+        layer, gcol = _feature_layer(db, layer)
         cur = db.execute(f'SELECT * FROM "{layer}"')
         names = [d[0] for d in cur.description]
-        gi = names.index(gcol)
-        rows = []
-        for rec in cur:
-            blob = rec[gi]
-            flags = blob[3]
-            env_type = (flags >> 1) & 0b111
-            env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_type]
-            wkb = bytes(blob[8 + env_len :])
-            gt, rings = parse_wkb(wkb)
-            if gt == GT_POINT:
-                wkt = point_wkt(rings[0][0][0, 0], rings[0][0][0, 1])
-            elif gt == GT_POLYGON:
-                wkt = polygon_wkt([c for c, _ in rings])
-            elif gt == GT_MULTIPOLYGON:
-                parts: list[list] = []
-                for coords, hole in rings:
-                    if not hole or not parts:
-                        parts.append([coords])
-                    else:
-                        parts[-1].append(coords)
-                wkt = multipolygon_wkt(parts)
-            else:
-                wkt = None
-            row = {"wkt": wkt}
-            row.update(
-                {nm: rec[i] for i, nm in enumerate(names) if nm not in (gcol, "fid")}
+        return _decode_rows(cur.fetchall(), names, gcol)
+    finally:
+        db.close()
+
+
+def gpkg_bbox_search(
+    path: str,
+    bbox: tuple[float, float, float, float],
+    layer: str | None = None,
+) -> pd.DataFrame:
+    """Window query: the features whose bbox intersects ``bbox``
+    (w, s, e, n) as a pandas DataFrame — same semantics as FGB's
+    ``fgb_bbox_search``. Files carrying the ``gpkg_rtree_index``
+    extension (this engine's writers add it; so does GDAL) answer via an
+    index JOIN on the rtree virtual table, touching only candidate
+    feature rows; files without one fall back to a full scan filtered on
+    each GeoPackageBinary header's stored envelope (no WKB parse for
+    non-matching rows either way)."""
+    w, s, e, n = (float(v) for v in bbox)
+    db = sqlite3.connect(path)
+    try:
+        layer, gcol = _feature_layer(db, layer)
+        rt = f"rtree_{layer}_{gcol}"
+        has_rt = db.execute(
+            "SELECT 1 FROM sqlite_master WHERE name = ?", (rt,)
+        ).fetchone()
+        if has_rt:
+            cur = db.execute(
+                f'SELECT t.* FROM "{layer}" t JOIN "{rt}" r ON t.fid = r.id '
+                "WHERE r.minx <= ? AND r.maxx >= ? "
+                "AND r.miny <= ? AND r.maxy >= ?",
+                (e, w, n, s),
             )
-            rows.append(row)
-        return _exact_frame(rows)
+            names = [d[0] for d in cur.description]
+            recs = cur.fetchall()
+        else:
+            cur = db.execute(f'SELECT * FROM "{layer}"')
+            names = [d[0] for d in cur.description]
+            gi = names.index(gcol)
+            recs = []
+            for rec in cur:
+                blob = rec[gi]
+                if blob is None:
+                    continue
+                env_type = (blob[3] >> 1) & 0b111
+                if env_type == 1:
+                    bx0, bx1, by0, by1 = struct.unpack_from("<dddd", blob, 8)
+                    if bx0 > e or bx1 < w or by0 > n or by1 < s:
+                        continue
+                recs.append(rec)
+        return _decode_rows(recs, names, gcol)
     finally:
         db.close()
 

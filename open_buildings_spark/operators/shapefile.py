@@ -183,10 +183,12 @@ def write_shp_pandas(
     path: str,
     columns: list[tuple[str, str]],
     wkt_col: str = "wkt",
-) -> int:
+) -> tuple[int, list[float] | None]:
     """One in-memory pandas frame -> one .shp/.shx/.dbf triple. The
     executor-side builder behind sharded export; ``columns`` must come
-    from :func:`shp_columns` on the SPARK schema."""
+    from :func:`shp_columns` on the SPARK schema. Returns (feature
+    count, data envelope [minx,miny,maxx,maxy] or None) for the shard
+    manifest."""
     from ..geo.wkt import GT_POINT, parse_wkt_batch
 
     base = path[:-4] if path.endswith(".shp") else path
@@ -253,7 +255,7 @@ def write_shp_pandas(
         base, shp_records, shx_records, dbf_records, fields, n, shape_type,
         (minx, miny, maxx, maxy),
     )
-    return n
+    return n, ([minx, miny, maxx, maxy] if n else None)
 
 
 def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
@@ -397,11 +399,20 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     return n
 
 
-def read_shp(path: str) -> pd.DataFrame:
+def read_shp(
+    path: str, bbox: tuple[float, float, float, float] | None = None
+) -> pd.DataFrame:
     """.shp/.dbf triple -> pandas DataFrame with a ``wkt`` column +
     attributes (round-trip / interop reader). Polygon rings are grouped by
     orientation: CW rings open parts, CCW rings are holes of the previous
-    part; multi-part outputs become MULTIPOLYGON."""
+    part; multi-part outputs become MULTIPOLYGON.
+
+    ``bbox`` (w, s, e, n) keeps only features whose bounding box
+    intersects the window: every .shp polygon record header carries its
+    bbox (points carry x,y), so skipped features are never ring-decoded
+    and their .dbf rows never parsed. The format has no file-level
+    spatial index — sharded exports prune whole files via the manifest's
+    per-shard envelope before this record-level filter runs."""
     from ..geo.wkt import multipolygon_wkt, point_wkt, polygon_wkt
 
     base = path[:-4] if path.endswith(".shp") else path
@@ -409,40 +420,57 @@ def read_shp(path: str) -> pd.DataFrame:
         buf = f.read()
     assert struct.unpack_from(">i", buf, 0)[0] == 9994, "not a shapefile"
     geoms = []
+    keep: list[int] = []  # decoded record indices (for .dbf row alignment)
+    ridx = 0
     off = _HEADER_LEN
     while off < len(buf):
         _, clen = struct.unpack_from(">ii", buf, off)
         off += 8
         st = struct.unpack_from("<i", buf, off)[0]
+        hit = True
         if st == SHP_POINT:
             x, y = struct.unpack_from("<dd", buf, off + 4)
-            geoms.append(point_wkt(x, y))
+            if bbox is not None:
+                hit = bbox[0] <= x <= bbox[2] and bbox[1] <= y <= bbox[3]
+            if hit:
+                geoms.append(point_wkt(x, y))
         elif st == SHP_POLYGON:
-            nparts, npts = struct.unpack_from("<ii", buf, off + 36)
-            parts = struct.unpack_from(f"<{nparts}i", buf, off + 44)
-            pts = np.frombuffer(
-                buf, dtype="<f8", count=npts * 2, offset=off + 44 + 4 * nparts
-            ).reshape(-1, 2)
-            bounds = list(parts) + [npts]
-            polys: list[list[np.ndarray]] = []
-            for i in range(nparts):
-                ring = pts[bounds[i] : bounds[i + 1]]
-                if _ring_signed_area(ring[:-1] if len(ring) > 3 else ring) <= 0:
-                    polys.append([ring])  # CW = outer
-                elif polys:
-                    polys[-1].append(ring)  # CCW = hole of previous outer
-                else:
-                    polys.append([ring])
-            geoms.append(
-                polygon_wkt(polys[0]) if len(polys) == 1 else multipolygon_wkt(polys)
-            )
+            if bbox is not None:
+                bx0, by0, bx1, by1 = struct.unpack_from("<dddd", buf, off + 4)
+                hit = (
+                    bx0 <= bbox[2] and bx1 >= bbox[0]
+                    and by0 <= bbox[3] and by1 >= bbox[1]
+                )
+            if hit:
+                nparts, npts = struct.unpack_from("<ii", buf, off + 36)
+                parts = struct.unpack_from(f"<{nparts}i", buf, off + 44)
+                pts = np.frombuffer(
+                    buf, dtype="<f8", count=npts * 2, offset=off + 44 + 4 * nparts
+                ).reshape(-1, 2)
+                bounds = list(parts) + [npts]
+                polys: list[list[np.ndarray]] = []
+                for i in range(nparts):
+                    ring = pts[bounds[i] : bounds[i + 1]]
+                    if _ring_signed_area(ring[:-1] if len(ring) > 3 else ring) <= 0:
+                        polys.append([ring])  # CW = outer
+                    elif polys:
+                        polys[-1].append(ring)  # CCW = hole of previous outer
+                    else:
+                        polys.append([ring])
+                geoms.append(
+                    polygon_wkt(polys[0])
+                    if len(polys) == 1
+                    else multipolygon_wkt(polys)
+                )
         else:
             raise ValueError(f"unsupported shape type {st}")
+        if hit:
+            keep.append(ridx)
+        ridx += 1
         off += clen * 2
     # attributes
     with open(base + ".dbf", "rb") as f:
         dbuf = f.read()
-    n_rec = struct.unpack_from("<i", dbuf, 4)[0]
     hdr_size, rec_size = struct.unpack_from("<HH", dbuf, 8)
     fields = []
     fo = 32
@@ -454,9 +482,9 @@ def read_shp(path: str) -> pd.DataFrame:
         fields.append((name, ftype, flen, fdec))
         fo += 32
     rows = []
-    for i in range(n_rec):
+    for j, i in enumerate(keep):
         ro = hdr_size + i * rec_size + 1  # skip deletion flag
-        row = {"wkt": geoms[i]}
+        row = {"wkt": geoms[j]}
         pos = ro
         for name, ftype, flen, fdec in fields:
             raw = dbuf[pos : pos + flen]

@@ -89,6 +89,18 @@ def sharded_export(
         def build(pdf, path):
             return shapefile.write_shp_pandas(pdf, path, columns, wkt_col)
 
+    # reader schema, stored in the manifest so window reads (and the
+    # empty-result case) get the export's exact column set/types without
+    # opening any shard file: wkt first, attributes in export order
+    reader_schema = ", ".join(
+        ["wkt string"]
+        + [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in fields
+            if f.name != wkt_col
+        ]
+    )
+
     os.makedirs(out_dir, exist_ok=True)
     ext = _EXT[fmt]
     out_abs = os.path.abspath(out_dir)
@@ -136,8 +148,8 @@ def sharded_export(
                 return
             pdf = _exact_pandas(pending).drop(columns=["_obs_shard"])
             path = os.path.join(out_abs, f"{prefix}-{cur}{ext}")
-            n = build(pdf, path)
-            out_rows.append((cur, os.path.basename(path), n))
+            n, env = build(pdf, path)
+            out_rows.append((cur, os.path.basename(path), n, env))
             pending = []
 
         for rb in batches:
@@ -154,17 +166,26 @@ def sharded_export(
                 pending.append(rb.slice(start, i - start))
                 start = i
         flush()
-        for cell, fname, n in out_rows:
+        for cell, fname, n, env in out_rows:
+            e = env if env is not None else [None] * 4
             yield pa.record_batch(
                 [
                     pa.array([cell]),
                     pa.array([fname]),
                     pa.array([n], type=pa.int64()),
+                    pa.array([e[0]], type=pa.float64()),
+                    pa.array([e[1]], type=pa.float64()),
+                    pa.array([e[2]], type=pa.float64()),
+                    pa.array([e[3]], type=pa.float64()),
                 ],
-                names=["cell", "file", "n_rows"],
+                names=["cell", "file", "n_rows", "minx", "miny", "maxx", "maxy"],
             )
 
-    rows = sh.mapInArrow(enc, "cell string, file string, n_rows long").collect()
+    rows = sh.mapInArrow(
+        enc,
+        "cell string, file string, n_rows long, "
+        "minx double, miny double, maxx double, maxy double",
+    ).collect()
     # sweep orphan tmp files from killed/retried attempts (the unique
     # .inprogress names never self-overwrite, so failures would leak them)
     import glob as _glob
@@ -176,7 +197,16 @@ def sharded_export(
             pass
     shards = sorted(
         (
-            {"cell": r["cell"], "file": r["file"], "n_rows": r["n_rows"]}
+            {
+                "cell": r["cell"],
+                "file": r["file"],
+                "n_rows": r["n_rows"],
+                # TRUE data envelope, not the cell's tile bounds: quadkeys
+                # anchor at the geometry's bbox midpoint, so a geometry can
+                # spill past its shard's tile — window reads must prune on
+                # what the shard actually contains
+                "envelope": [r["minx"], r["miny"], r["maxx"], r["maxy"]],
+            }
             for r in rows
             if r["n_rows"] > 0
         ),
@@ -197,6 +227,7 @@ def sharded_export(
         "format": fmt,
         "level": level,
         "prefix": prefix,
+        "schema": reader_schema,
         "total_rows": sum(s["n_rows"] for s in shards),
         "shards": shards,
     }
@@ -230,55 +261,12 @@ def read_sharded(out_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
-def sharded_to_df(
-    spark,
-    out_dir: str,
-    bbox: tuple[float, float, float, float] | None = None,
-) -> DataFrame:
-    """Distributed SOURCE over a sharded FlatGeobuf export — the read half
-    of the scale path: shards open in parallel (one task per shard, no
-    driver funnel in either direction), and a ``bbox`` window query prunes
-    at BOTH levels before any byte of feature data moves:
-
-      1. manifest level — shards whose quadkey cell's tile bounds don't
-         intersect the bbox are never opened (the same cell-prune idea as
-         the table layer's manifest planning);
-      2. file level — surviving shards are searched through their packed
-         Hilbert R-tree (``fgb_bbox_search``), reading only the visited
-         node runs and matched features.
-
-    The Spark schema comes from the first shard's HEADER (column names +
-    ColumnTypes — a function of the export schema, not of data content).
-    FlatGeobuf only: it is the format whose index makes windowed shard
-    reads cheap; gpkg/shp shards are plain files for their own readers.
-    """
-    from ..geo import mercator
+def _fgb_header_schema(path: str) -> str:
+    """Reader DDL from an FGB file's header (column names + ColumnTypes) —
+    the pre-r5 schema source, kept for manifests without a stored schema."""
     from . import flatgeobuf
 
-    with open(os.path.join(out_dir, "manifest.json")) as f:
-        manifest = json.load(f)
-    if manifest["format"] != "fgb":
-        raise ValueError(
-            f"sharded_to_df reads FlatGeobuf shard sets; this one is "
-            f"{manifest['format']!r} (use the format's own reader per shard)"
-        )
-    out_abs = os.path.abspath(out_dir)
-    shards = manifest["shards"]
-    if bbox is not None:
-        w, s, e, n = bbox
-        kept = []
-        for sh in shards:
-            x, y, z = mercator.tile_from_quadkey(sh["cell"])
-            cw, cs, ce, cn = mercator.tile_bounds(x, y, z)
-            if cw <= e and ce >= w and cs <= n and cn >= s:
-                kept.append(sh)
-        shards = kept
-    # schema from the first shard's header (empty export -> empty frame
-    # with just the wkt column)
-    if not shards:
-        return spark.createDataFrame([], "wkt string")
-    first = os.path.join(out_abs, shards[0]["file"])
-    with open(first, "rb") as fh:
+    with open(path, "rb") as fh:
         head = fh.read(16)
         hsize = flatgeobuf._u32(head, 8)
         fh.seek(8)
@@ -287,26 +275,102 @@ def sharded_to_df(
     columns = [
         (c.string(0), c.scalar(1, "B", 0)) for c in header.table_vector(7)
     ]
-    schema = ", ".join(
+    return ", ".join(
         ["wkt string"]
         + [
             f"`{c}` {flatgeobuf._CT_SPARK_TYPE.get(t, 'string')}"
             for c, t in columns
         ]
     )
+
+
+def sharded_to_df(
+    spark,
+    out_dir: str,
+    bbox: tuple[float, float, float, float] | None = None,
+) -> DataFrame:
+    """Distributed SOURCE over a sharded geo export (any format) — the
+    read half of the scale path: shards open in parallel (one task per
+    shard, no driver funnel in either direction), and a ``bbox`` window
+    query prunes at BOTH levels before any byte of feature data moves:
+
+      1. manifest level — shards whose recorded DATA ENVELOPE doesn't
+         intersect the bbox are never opened. The envelope is the shard's
+         true extent, not its quadkey tile bounds: quadkeys anchor at the
+         bbox midpoint, so a geometry can spill past its home tile and
+         tile-bound pruning would drop it. (Pre-envelope manifests fall
+         back to tile bounds — their writer's original semantics.)
+      2. file level — surviving shards answer the window through their
+         own index: FlatGeobuf's packed Hilbert R-tree
+         (``fgb_bbox_search``), GeoPackage's ``gpkg_rtree_index``
+         extension (``gpkg_bbox_search``); shapefiles filter on the
+         per-record bbox headers (the format has no index).
+
+    The Spark schema is the export's recorded schema from manifest.json
+    (a function of the export, not of which shards survive pruning — an
+    all-pruned window returns an EMPTY frame with the full column set);
+    FGB manifests predating the stored schema derive it from the first
+    shard's header.
+    """
+    from ..geo import mercator
+    from . import flatgeobuf, gpkg, shapefile
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    fmt = manifest["format"]
+    out_abs = os.path.abspath(out_dir)
+    all_shards = manifest["shards"]
+    shards = all_shards
+    if bbox is not None:
+        w, s, e, n = bbox
+        kept = []
+        for sh in shards:
+            env = sh.get("envelope")
+            if env is None or env[0] is None:
+                x, y, z = mercator.tile_from_quadkey(sh["cell"])
+                env = mercator.tile_bounds(x, y, z)
+            if env[0] <= e and env[2] >= w and env[1] <= n and env[3] >= s:
+                kept.append(sh)
+        shards = kept
+    schema = manifest.get("schema")
+    if schema is None:
+        if fmt != "fgb":
+            raise ValueError(
+                f"{fmt!r} shard set has no stored schema; re-export it"
+            )
+        if not all_shards:
+            return spark.createDataFrame([], "wkt string")
+        schema = _fgb_header_schema(
+            os.path.join(out_abs, all_shards[0]["file"])
+        )
+    if not shards:
+        return spark.createDataFrame([], schema)
     files_df = spark.createDataFrame(
         [(os.path.join(out_abs, sh["file"]),) for sh in shards], "path string"
     ).repartition(max(len(shards) // 4, 1))
 
     def read_shards(batches):
-        import pandas as pd
-
         for pdf in batches:
             for path in pdf["path"]:
-                if bbox is not None:
-                    out = flatgeobuf.fgb_bbox_search(path, bbox)
+                if fmt == "fgb":
+                    out = (
+                        flatgeobuf.fgb_bbox_search(path, bbox)
+                        if bbox is not None
+                        else flatgeobuf.read_fgb(path)
+                    )
+                elif fmt == "gpkg":
+                    out = (
+                        gpkg.gpkg_bbox_search(path, bbox)
+                        if bbox is not None
+                        else gpkg.read_gpkg(path)
+                    )
                 else:
-                    out = flatgeobuf.read_fgb(path)
+                    out = shapefile.read_shp(path, bbox=bbox)
+                if not len(out):
+                    # a fully-filtered shard may come back as a 0-row,
+                    # 0-column frame — yielding it would break the
+                    # schema-by-name alignment
+                    continue
                 # nullable pandas dtypes trip the non-Arrow fallback of
                 # createDataFrame-like conversion; ship plain objects
                 yield out.astype(object).where(out.notna(), None)

