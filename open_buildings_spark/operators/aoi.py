@@ -104,19 +104,46 @@ def aoi_query(
             .filter(within(F.col("wkt")))
         )
 
-    # raw-table path: ONE boolean python eval in the filter (wkt-only Arrow
-    # transfer — the nested spans column never enters python), then full
-    # enrichment of the tiny survivor set. The quadkey prefix test is
-    # subsumed by ST_Within here (the prefix tile covers the AOI bbox), so
-    # no filter ever references an enriched column — which would split the
-    # struct UDF into two evals and parse every WKT twice.
+    # raw-table path: native first-vertex prefilter leaves a near-final
+    # candidate set, then ONE enrichment parse pass (wkt-only Arrow
+    # transfer — the nested spans column never enters python) computes
+    # quadkey + bbox for the candidates. With the bbox in hand, the
+    # interior-cell fast path (same as the big join's, driver-classified
+    # here) lets candidates whose bbox sits in a cover cell strictly
+    # inside the AOI skip the exact raycast entirely; only boundary-cell
+    # candidates pay it. The UDF is nondeterministic-marked so the cell
+    # equi-join's isnotnull can't split the enrichment into two evals.
+    from .spatial_join import _COVER_CELLS_SCHEMA, classified_cover_cells
+
     df = extract_geometry(df)
-    df = (
-        df.filter(F.col("wkt").isNotNull())
-        .filter(first_vertex_in_bbox(aoi_feature))
-        .filter(within(F.col("wkt")))
+    df = df.filter(F.col("wkt").isNotNull()).filter(
+        first_vertex_in_bbox(aoi_feature)
     )
-    df = add_geo_columns(df)
-    if country_iso is not None and "country_iso" in df.columns:
-        df = df.filter(F.col("country_iso") == country_iso)
-    return df
+    level = min(12, len(prefix) + 3)
+    cover = classified_cover_cells([(0, aoi_feature)], level)
+    if not any(c[6] for c in cover):
+        # no interior cell at max cover depth (tiny AOI): the fast path
+        # buys nothing — keep the single-eval filter-then-enrich shape
+        df = df.filter(within(F.col("wkt")))
+        df = add_geo_columns(df)
+        if country_iso is not None and "country_iso" in df.columns:
+            df = df.filter(F.col("country_iso") == country_iso)
+        return df
+    from ..udfs import make_within_aoi_skip
+    from .spatial_join import _interior_skip_col
+
+    spark = df.sparkSession
+    cells_df = spark.createDataFrame(cover, _COVER_CELLS_SCHEMA).drop("aoi_id")
+    df = add_geo_columns(df, keep_bbox=True, deterministic=False)
+    df = df.withColumn("cell", F.substring("quadkey", 1, level))
+    # inner cover join is exact-safe for WITHIN: a doc whose home cell
+    # falls outside the AOI bbox's cover has a vertex outside the bbox
+    cand = df.join(F.broadcast(cells_df), "cell")
+    skip = _interior_skip_col(True)
+    refine = make_within_aoi_skip(aoi_feature)
+    out = cand.filter(
+        refine(F.when(skip, F.lit("")).otherwise(F.col("wkt")), skip)
+    ).drop("cell", "cw", "cs", "ce", "cn", "_interior", "minx", "miny", "maxx", "maxy")
+    if country_iso is not None and "country_iso" in out.columns:
+        out = out.filter(F.col("country_iso") == country_iso)
+    return out

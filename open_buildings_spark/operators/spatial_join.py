@@ -53,27 +53,92 @@ def polygon_cover_cells(feature: dict, level: int) -> list[str]:
 
 def _make_within_by_aoi(aois: list[tuple[int, dict]]):
     """pandas UDF testing within against a per-row AOI id (AOIs grouped
-    per batch so each AOI's kernel runs vectorized over its rows)."""
+    per batch so each AOI's kernel runs vectorized over its rows); rows
+    with the ``skip`` flag set (interior-cell containment witness,
+    established natively) are TRUE without a parse or raycast."""
     from ..udfs import aoi_rings
 
     rings_by_id = {int(aid): aoi_rings(feat["geometry"]) for aid, feat in aois}
 
     @F.pandas_udf(BooleanType())
-    def within_by_aoi(wkt: pd.Series, aoi_id: pd.Series) -> pd.Series:
-        batch = parse_wkt_batch(wkt)
-        ids = aoi_id.to_numpy()
-        out = np.zeros(len(wkt), dtype=bool)
+    def within_by_aoi(
+        wkt: pd.Series, aoi_id: pd.Series, skip: pd.Series
+    ) -> pd.Series:
         from ..udfs import _subset_batch
 
-        for aid in np.unique(ids):
-            idx = np.nonzero(ids == aid)[0]
-            sub = _subset_batch(batch, idx)
-            m = kernels.within_mask(sub, rings_by_id[int(aid)])
-            m[sub.gtype == -1] = False
-            out[idx] = m
+        sk = skip.fillna(False).astype(bool).to_numpy()
+        out = sk.copy()
+        rest = np.nonzero(~sk)[0]
+        if len(rest):
+            batch = parse_wkt_batch(wkt.iloc[rest].reset_index(drop=True))
+            ids = aoi_id.to_numpy()[rest]
+            sub_out = np.zeros(len(rest), dtype=bool)
+            for aid in np.unique(ids):
+                idx = np.nonzero(ids == aid)[0]
+                sub = _subset_batch(batch, idx)
+                m = kernels.within_mask(sub, rings_by_id[int(aid)])
+                m[sub.gtype == -1] = False
+                sub_out[idx] = m
+            out[rest] = sub_out
         return pd.Series(out)
 
     return within_by_aoi
+
+
+def classified_cover_cells(
+    aois: list[tuple[int, dict]], cover_level: int
+) -> list[tuple[int, str, float, float, float, float, bool]]:
+    """Driver-enumerated cover cells with the interior classification the
+    big join computes distributed: (aoi_id, cell, cw, cs, ce, cn,
+    interior). A cell is INTERIOR when its rect lies strictly inside the
+    AOI (``kernels.rects_in_interior`` — same kernel as the big join), so
+    any geometry whose bbox sits in the rect is ST_Within by containment.
+    The AOI list is small here (that's this operator's contract), so the
+    whole classification is a few driver-side numpy calls."""
+    from ..udfs import aoi_rings
+
+    out = []
+    for aid, feat in aois:
+        cells = polygon_cover_cells(feat, cover_level)
+        rects = np.asarray(
+            [
+                mercator.tile_bounds(*mercator.tile_from_quadkey(c))
+                for c in cells
+            ],
+            dtype=np.float64,
+        ).reshape(len(cells), 4)
+        interior = kernels.rects_in_interior(aoi_rings(feat["geometry"]), rects)
+        out.extend(
+            (
+                int(aid), c, float(r[0]), float(r[1]), float(r[2]),
+                float(r[3]), bool(it),
+            )
+            for c, r, it in zip(cells, rects, interior)
+        )
+    return out
+
+
+_COVER_CELLS_SCHEMA = (
+    "aoi_id int, cell string, cw double, cs double, ce double, cn double, "
+    "_interior boolean"
+)
+
+
+def _interior_skip_col(has_bbox: bool):
+    """Containment witness: doc bbox inside its (interior) cover cell's
+    rect. Any float error in the rect bounds is harmless — the SAME rect
+    values sit on both sides of the implication."""
+    if not has_bbox:
+        # no stored bbox columns: no witness, every candidate refines
+        return F.lit(False)
+    return F.coalesce(
+        F.col("_interior")
+        & (F.col("minx") >= F.col("cw"))
+        & (F.col("maxx") <= F.col("ce"))
+        & (F.col("miny") >= F.col("cs"))
+        & (F.col("maxy") <= F.col("cn")),
+        F.lit(False),
+    )
 
 
 def aoi_join(
@@ -85,18 +150,37 @@ def aoi_join(
     (a doc inside two overlapping AOIs appears once per AOI).
 
     ``docs`` needs doc_id+spans (or pre-enriched quadkey/wkt columns);
-    ``aois``: [(aoi_id, GeoJSON feature)]."""
-    spark = docs.sparkSession
-    cells = [
-        (int(aid), c) for aid, feat in aois for c in polygon_cover_cells(feat, cover_level)
-    ]
-    cells_df = spark.createDataFrame(cells, "aoi_id int, cell string")
+    ``aois``: [(aoi_id, GeoJSON feature)].
 
-    df = _prepare_docs(docs)
+    Interior-cell fast path (same as the big join's, driver-enumerated):
+    cover cells classify once at the driver; candidates whose bbox sits
+    in an interior cell are within by containment and skip the exact
+    refine entirely — no parse, no raycast, no WKT bytes over Arrow.
+    Needs doc bbox columns (minx..maxy): raw docs get them from the same
+    single enrichment parse pass; pre-enriched tables without stored
+    bbox columns take the exact path for every candidate."""
+    spark = docs.sparkSession
+    cells_df = spark.createDataFrame(
+        classified_cover_cells(aois, cover_level), _COVER_CELLS_SCHEMA
+    )
+
+    had_bbox = {"minx", "miny", "maxx", "maxy"} <= set(docs.columns)
+    df = _prepare_docs(docs, keep_bbox=True)
+    has_bbox = {"minx", "miny", "maxx", "maxy"} <= set(df.columns)
     df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
     cand = df.join(F.broadcast(cells_df), "cell")
+    skip = _interior_skip_col(has_bbox)
     refine = _make_within_by_aoi(aois)
-    return cand.filter(refine(F.col("wkt"), F.col("aoi_id"))).drop("cell")
+    out = cand.filter(
+        refine(
+            F.when(skip, F.lit("")).otherwise(F.col("wkt")),
+            F.col("aoi_id"),
+            skip,
+        )
+    ).drop("cell", "cw", "cs", "ce", "cn", "_interior")
+    if has_bbox and not had_bbox:
+        out = out.drop("minx", "miny", "maxx", "maxy")
+    return out
 
 
 def _prepare_docs(docs: DataFrame, keep_bbox: bool = False) -> DataFrame:

@@ -113,6 +113,30 @@ def make_within_aoi(aoi_feature: dict):
     return within_aoi
 
 
+def make_within_aoi_skip(aoi_feature: dict):
+    """Single-AOI variant of :func:`make_within_pairs_skip`: rows whose
+    ``skip`` flag is set (doc bbox inside a cover cell strictly interior
+    to the AOI — established natively) are TRUE with no parse and no
+    raycast; only boundary-cell candidates pay the exact kernel. The
+    caller blanks the WKT for skip rows so their bytes never cross the
+    Arrow boundary."""
+    rings = aoi_rings(aoi_feature["geometry"])
+
+    @F.pandas_udf(BooleanType())
+    def within_aoi_skip(wkt: pd.Series, skip: pd.Series) -> pd.Series:
+        sk = skip.fillna(False).astype(bool).to_numpy()
+        out = sk.copy()
+        rest = np.nonzero(~sk)[0]
+        if len(rest):
+            batch = parse_wkt_batch(wkt.iloc[rest].reset_index(drop=True))
+            mask = kernels.within_mask(batch, rings)
+            mask[batch.gtype == -1] = False
+            out[rest] = mask
+        return pd.Series(out)
+
+    return within_aoi_skip
+
+
 def prepare_countries(country_list: list[tuple[str, list]]):
     """Precompute per-country rings + bbox, ISO-ascending (tie-break order)."""
     prepared = []

@@ -971,3 +971,58 @@ def test_lm_score_semantics(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["avg_logp"] for r in textstats.lm_score(docs).collect()}
     assert again[0] == out[0]["avg_logp"]
+
+
+def test_small_aoi_join_interior_cells_bypass_refine(spark):
+    """The SMALL-AOI join's driver-classified interior fast path: a doc
+    with an unparseable geometry whose bbox witnesses containment in an
+    interior cover cell still joins (proof the parse never ran); the same
+    garbage in a boundary cell is parsed and dropped, a valid square
+    there survives."""
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import spatial_join
+
+    w0, s0, _, _ = mercator.tile_bounds(2048, 2050, 12)
+    _, _, e1, n1 = mercator.tile_bounds(2050, 2048, 12)
+    W, S, E, N = w0 + 1e-6, s0 + 1e-6, e1 - 1e-6, n1 - 1e-6
+    aoi = {
+        "type": "Feature",
+        "properties": {},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[W, S], [E, S], [E, N], [W, N], [W, S]]],
+        },
+    }
+
+    def center(tx, ty):
+        cw, cs, ce, cn = mercator.tile_bounds(tx, ty, 12)
+        return (cw + ce) / 2.0, (cs + cn) / 2.0, (ce - cw)
+
+    icx, icy, iw = center(2049, 2049)  # interior cell
+    bcx, bcy, bw = center(2048, 2049)  # west-edge boundary cell
+    sq = (
+        f"POLYGON (({bcx - bw/8} {bcy - bw/8}, {bcx + bw/8} {bcy - bw/8}, "
+        f"{bcx + bw/8} {bcy + bw/8}, {bcx - bw/8} {bcy + bw/8}, "
+        f"{bcx - bw/8} {bcy - bw/8}))"
+    )
+    rows = [
+        ("skip-me", mercator.quadkey_from_tile(2049, 2049, 12),
+         f"POLYGON (({icx} {icy}, oops))",
+         icx - iw / 8, icy - iw / 8, icx + iw / 8, icy + iw / 8),
+        ("parse-me", mercator.quadkey_from_tile(2048, 2049, 12),
+         f"POLYGON (({bcx} {bcy}, oops))",
+         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+        ("good", mercator.quadkey_from_tile(2048, 2049, 12), sq,
+         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, quadkey string, wkt string, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+    out = spatial_join.aoi_join(docs, [(1, aoi)], cover_level=12)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == {"skip-me", "good"}
+    # classification itself: 1 interior cell of the 3x3 cover
+    cover = spatial_join.classified_cover_cells([(1, aoi)], 12)
+    assert sum(c[6] for c in cover) == 1 and len(cover) == 9
