@@ -89,15 +89,33 @@ def main() -> None:
     # 0<->35 within minutes; see BENCH/BASELINE.md methodology) — a single
     # sample can read 2-3x slow. N=2 by default, 1 restores single-shot.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # idle gate: before each sample, wait for external load to drain so the
+    # recorded numbers track the code, not the neighbors. The wait budget
+    # is SHARED across the whole run (env-capped), so driver wall-time
+    # stays bounded even on a permanently-busy host.
+    idle_thresh = float(os.environ.get("SPARK_GRAFT_IDLE_LOADAVG", "8"))
+    idle_budget = [float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "240"))]
+
+    def _idle_gate() -> None:
+        while idle_budget[0] > 0 and os.getloadavg()[0] > idle_thresh:
+            time.sleep(5)
+            idle_budget[0] -= 5
 
     def timed(name: str, fn) -> None:
-        best = None
+        samples = []
         for _ in range(max(reps, 1)):
+            _idle_gate()
             t0 = time.time()
             fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        if len(samples) >= 2 and max(samples) > 1.4 * min(samples):
+            # high variance = a sample likely ate an external burst; one
+            # extra gated sample (bounded escalation, <= reps+1 total)
+            _idle_gate()
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        times[name] = round(min(samples), 3)
 
     clist = [
         (iso, [([[w, s], [e, s], [e, n], [w, n], [w, s]], False)])
@@ -348,6 +366,11 @@ def main() -> None:
                 "replicas": replicas,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": round(os.getloadavg()[0], 1),
+                "idle_waited_s": round(
+                    float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_S", "240"))
+                    - idle_budget[0],
+                    1,
+                ),
             }
         )
     )
