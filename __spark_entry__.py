@@ -589,6 +589,12 @@ def _q_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs_table(spark, sf_dir))
 
 
+def _q_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (dup line/n-gram
+    fractions, top-2-gram coverage)."""
+    return textstats.repetition_stats(_docs_table(spark, sf_dir))
+
+
 def _q_quality(spark, sf_dir):
     return textstats.quality_score(_docs_table(spark, sf_dir))
 
@@ -846,9 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dedup_apply": _q_dedup_apply,
         "t_dup_spans": _q_dup_spans,
         "t_contamination": _q_contamination,
-        "t_ngram_jaccard": _q_ngram_jaccard,
         "t_simhash": _q_simhash,
         "t_token_stats": _q_token_stats,
+        "t_repetition": _q_repetition,  # NEW r5: Gopher repetition signals
         "t_vocab": _q_vocab,
         "t_corpus_report": _q_corpus_report,
         "t_bm25": _q_bm25,
@@ -881,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_stream_enrich": _q_stream_enrich,  # streaming: g_stream_table
         "g_sql_enrich": _q_sql_enrich,  # SQL surface: g_sql_aoi
         "t_dup_span_cut": _q_dup_span_cut,  # span family: t_dup_spans (r4 row)
+        "t_ngram_jaccard": _q_ngram_jaccard,  # near-dup scores: t_simhash/t_minhash_lsh (r4 row)
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)

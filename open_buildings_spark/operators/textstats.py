@@ -242,3 +242,94 @@ def lm_score(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logp"),
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (the Gopher-rules family — Rae
+    et al. 2021, Table A1 'repetition' filters; public method): docs
+    dominated by repeated lines or n-grams are boilerplate/spam
+    candidates. Emitted per doc:
+
+    - ``dup_line_frac``   — duplicate lines / lines,
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — duplicate word n-grams /
+      n-grams (duplicate = beyond the first occurrence),
+    - ``top_2gram_frac``  — tokens covered by the single most frequent
+      2-gram (count x 2 / tokens).
+
+    Scale shape: the dup fractions are pure per-row native exprs (zero
+    shuffles, zero UDFs); only the top-2-gram needs an explode +
+    map-side-combinable groupBy on (doc, gram) — the word-count shape.
+    Fractions round to 6 dp (cross-engine float-division parity, same
+    device as BM25); docs with no n-gram at order n emit 0.0 there.
+    """
+    toks = tokens_col()
+
+    def grams(k: int):
+        return F.when(
+            F.size(F.col("tk")) >= k,
+            F.expr(
+                f"transform(sequence(1, size(tk) - {k - 1}), "
+                f"i -> concat_ws(' ', "
+                + ", ".join(
+                    f"element_at(tk, cast(i + {j} as int))" for j in range(k)
+                )
+                + "))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(col):
+        cnt = F.size(col)
+        return F.when(
+            cnt > 0,
+            F.round(
+                (cnt - F.size(F.array_distinct(col))).cast("double")
+                / cnt.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda t: t != F.lit(""))
+    base = df.select(
+        id_col,
+        toks.alias("tk"),
+        F.size(toks).alias("n_tokens"),
+        dup_frac(lines).alias("dup_line_frac"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "dup_line_frac",
+        dup_frac(grams(2)).alias("dup_2gram_frac"),
+        dup_frac(grams(3)).alias("dup_3gram_frac"),
+        F.explode(
+            F.when(F.size(F.col("tk")) >= 2, grams(2)).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("g2"),
+    )
+    top = (
+        base.groupBy(id_col, "n_tokens", "dup_line_frac", "dup_2gram_frac",
+                     "dup_3gram_frac", "g2")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "n_tokens", "dup_line_frac", "dup_2gram_frac",
+                 "dup_3gram_frac")
+        .agg(
+            F.max(
+                F.when(F.col("g2").isNotNull(), F.col("c")).otherwise(F.lit(0))
+            ).alias("top_c")
+        )
+    )
+    return top.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_line_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.col("top_c").cast("double") * 2.0
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
+    )

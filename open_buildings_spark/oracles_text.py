@@ -297,6 +297,44 @@ SELECT doc_id,
 FROM toks
 """
 
+    # Gopher-style repetition signals: duplicate = occurrences beyond the
+    # first; top-2-gram coverage = max count x 2 / tokens; all fractions
+    # rounded to 6 dp (cross-engine float-division parity)
+    sqls["t_repetition"] = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+g AS (SELECT doc_id, tk, len(tk) AS n,
+        list_filter(string_split(text, chr(10)), x -> x <> '') AS ln,
+        CASE WHEN len(tk) >= 2 THEN list_transform(
+          generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i + 1])
+        ELSE CAST([] AS VARCHAR[]) END AS g2,
+        CASE WHEN len(tk) >= 3 THEN list_transform(
+          generate_series(1, len(tk) - 2),
+          i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])
+        ELSE CAST([] AS VARCHAR[]) END AS g3
+      FROM toks),
+f AS (SELECT doc_id, n,
+        CASE WHEN len(ln) > 0 THEN round(
+          CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE)
+          / CAST(len(ln) AS DOUBLE), 6) ELSE 0e0 END AS dup_line_frac,
+        CASE WHEN len(g2) > 0 THEN round(
+          CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+          / CAST(len(g2) AS DOUBLE), 6) ELSE 0e0 END AS dup_2gram_frac,
+        CASE WHEN len(g3) > 0 THEN round(
+          CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+          / CAST(len(g3) AS DOUBLE), 6) ELSE 0e0 END AS dup_3gram_frac
+      FROM g),
+top AS (SELECT doc_id, MAX(c) AS top_c FROM (
+          SELECT doc_id, u, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(g2) AS u FROM g) GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT f.doc_id, CAST(f.n AS BIGINT) AS n_tokens,
+       f.dup_line_frac, f.dup_2gram_frac, f.dup_3gram_frac,
+       CASE WHEN f.n > 0 THEN round(
+         CAST(COALESCE(top.top_c, 0) AS DOUBLE) * 2e0
+         / CAST(f.n AS DOUBLE), 6) ELSE 0e0 END AS top_2gram_frac
+FROM f LEFT JOIN top ON top.doc_id = f.doc_id
+"""
+
     # dataset-card composition rollup per (source, lang)
     sqls["t_corpus_report"] = f"""
 WITH toks AS (SELECT source, lang, text, {_TOKS} AS tk FROM documents)

@@ -1,0 +1,28 @@
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher repetition signals: 'a b a b a b' yields 5 bigrams over 2
+    distinct values ('a b' x3, 'b a' x2), so dup_2gram_frac = 3/5 and the
+    top 2-gram covers 3*2/6 tokens; a doc of unique words scores 0 on the
+    dup fractions; newline-duplicated lines count; single-token docs emit
+    zeros rather than dropping out."""
+    from open_buildings_spark.operators import textstats
+
+    rows = [
+        (1, "a b a b a b"),           # bigrams: ab ba ab ba ab (5, 2 distinct)
+        (2, "u v w x y z"),           # all unique
+        (3, "line1\nline2\nline1"),   # duplicate line
+        (4, "solo"),                  # 1 token: no bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.repetition_stats(docs).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 6
+    assert r1["dup_2gram_frac"] == round((5 - 2) / 5, 6)
+    assert r1["dup_3gram_frac"] == round((4 - 2) / 4, 6)
+    assert r1["top_2gram_frac"] == round(3 * 2 / 6, 6)  # 'a b' x3
+    r2 = out[2]
+    assert r2["dup_2gram_frac"] == 0.0 and r2["top_2gram_frac"] == round(2 / 6, 6)
+    assert out[3]["dup_line_frac"] == round(1 / 3, 6)
+    r4 = out[4]
+    assert r4["dup_2gram_frac"] == 0.0 and r4["top_2gram_frac"] == 0.0
