@@ -595,6 +595,27 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_docs_table(spark, sf_dir))
 
 
+def _q_pii(spark, sf_dir):
+    """PII detect + scrub over a deterministically PII-augmented corpus
+    (the synthetic table carries no PII, so email/phone/IP matches are
+    injected by doc_id residue — identical arithmetic in the oracle)."""
+    d = _docs_table(spark, sf_dir)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            t, F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(t)
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-010-4242")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" from 10.0.0.1")).otherwise(F.lit("")),
+    )
+    return textstats.pii_stats(d.withColumn("text", t))
+
+
 def _q_quality(spark, sf_dir):
     return textstats.quality_score(_docs_table(spark, sf_dir))
 
@@ -843,7 +864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_big_aoi_join": _q_big_aoi_join,
         "g_sharded_window": _q_sharded_window,
         "g_gpkg_window": _q_gpkg_window,  # NEW r5: gpkg rtree window read
-        "e_pivot": _q_event_pivot,
         # training-data pipeline: dedup + text analysis
         "t_exact_dedup": _q_exact_dedup,
         "t_stream_dedup": _q_stream_dedup,
@@ -855,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_simhash": _q_simhash,
         "t_token_stats": _q_token_stats,
         "t_repetition": _q_repetition,  # NEW r5: Gopher repetition signals
+        "t_pii": _q_pii,  # NEW r5: PII detect + scrub
         "t_vocab": _q_vocab,
         "t_corpus_report": _q_corpus_report,
         "t_bm25": _q_bm25,
@@ -886,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_places_enrich": _q_places_enrich,  # enrich path: g_enrich_quadkey
         "g_stream_enrich": _q_stream_enrich,  # streaming: g_stream_table
         "g_sql_enrich": _q_sql_enrich,  # SQL surface: g_sql_aoi
+        "e_pivot": _q_event_pivot,  # generic analytics: h_pricing_summary (r4 row)
         "t_dup_span_cut": _q_dup_span_cut,  # span family: t_dup_spans (r4 row)
         "t_ngram_jaccard": _q_ngram_jaccard,  # near-dup scores: t_simhash/t_minhash_lsh (r4 row)
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report

@@ -333,3 +333,36 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("top_2gram_frac"),
     )
+
+
+# the standard simple redaction regexes (email / NANP phone / IPv4) —
+# RE2-compatible, so Spark's Java regex and the DuckDB oracle run the
+# SAME pattern strings verbatim
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII detection + scrub (the regex redaction stage of public
+    training-data pipelines, e.g. C4/Dolma-style cleaning): per doc the
+    match count per PII class and the text with every match replaced by
+    its typed mask token ([EMAIL]/[PHONE]/[IPV4], applied in that fixed
+    order). Pure native JVM regex expressions — zero shuffles, zero
+    UDFs, scales as a map-only pass."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+    scrub = t
+    for name, pat in PII_PATTERNS.items():
+        scrub = F.regexp_replace(scrub, pat, f"[{name.upper()}]")
+    return df.select(*cols, scrub.alias("clean_text"))

@@ -9,7 +9,7 @@ from __future__ import annotations
 from . import datagen
 from .operators.dedup import NEAR_DUP_OFFSET, corpus_sql_cte
 from .operators.similarity import DIM, EMB_DUP_OFFSET, N_BANDS, N_PLANES
-from .operators.textstats import LANG_MARKERS, STOPWORDS
+from .operators.textstats import LANG_MARKERS, PII_PATTERNS, STOPWORDS
 
 MINHASH_K = 8
 MINHASH_BANDS = 4
@@ -295,6 +295,28 @@ SELECT doc_id,
          / CAST(len(tk) AS DOUBLE) AS avg_token_len,
        CAST(ceil(CAST(length(text) AS DOUBLE) / 4e0) AS BIGINT) AS n_subwords
 FROM toks
+"""
+
+    # PII detect + scrub over the residue-augmented corpus; DuckDB's RE2
+    # runs the engine's pattern strings verbatim (they are RE2-compatible
+    # by construction), masks applied in the same email->phone->ipv4 order
+    em, ph, ip = (PII_PATTERNS[k] for k in ("email", "phone", "ipv4"))
+    sqls["t_pii"] = f"""
+WITH aug AS (SELECT doc_id,
+  (CASE WHEN doc_id % 7 = 0
+        THEN text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+        ELSE text END
+   || CASE WHEN doc_id % 11 = 0 THEN ' call 555-010-4242' ELSE '' END
+   || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.1' ELSE '' END) AS text
+ FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{em}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{ph}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '{ip}')) AS INT) AS n_ipv4,
+  regexp_replace(regexp_replace(regexp_replace(
+    text, '{em}', '[EMAIL]', 'g'), '{ph}', '[PHONE]', 'g'),
+    '{ip}', '[IPV4]', 'g') AS clean_text
+FROM aug
 """
 
     # Gopher-style repetition signals: duplicate = occurrences beyond the

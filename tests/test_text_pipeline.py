@@ -26,3 +26,26 @@ def test_repetition_stats_semantics(spark):
     assert out[3]["dup_line_frac"] == round(1 / 3, 6)
     r4 = out[4]
     assert r4["dup_2gram_frac"] == 0.0 and r4["top_2gram_frac"] == 0.0
+
+
+def test_pii_stats_detect_and_scrub(spark):
+    """Counts per PII class and typed-mask scrubbing; clean text is
+    untouched; overlapping classes never double-mask."""
+    from open_buildings_spark.operators import textstats
+
+    rows = [
+        (1, "mail a.b@x.org and c@d.io ok"),
+        (2, "call 555-010-4242 or 555-010-0000"),
+        (3, "host 192.168.0.1 up"),
+        (4, "nothing here"),
+        (5, "u@v.com 555-010-1111 10.0.0.1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.pii_stats(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (2, 0, 0)
+    assert out[1]["clean_text"] == "mail [EMAIL] and [EMAIL] ok"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["clean_text"] == "call [PHONE] or [PHONE]"
+    assert out[3]["n_ipv4"] == 1 and "[IPV4]" in out[3]["clean_text"]
+    assert out[4]["clean_text"] == "nothing here"
+    assert out[5]["clean_text"] == "[EMAIL] [PHONE] [IPV4]"
