@@ -224,14 +224,18 @@ def write_gpkg_pandas(
     wkt_col: str = "wkt",
     layer: str | None = None,
     last_change: str = "2023-05-30T00:00:00Z",
+    spatial_index: bool = True,
 ) -> tuple[int, list[float] | None]:
     """One in-memory pandas frame -> one complete .gpkg file (OGC
     12-128r19 metadata tables + feature layer + R-tree spatial index
-    when SQLite's rtree module is available). The executor-side builder
-    behind sharded export; ``columns`` must come from :func:`gpkg_columns`
-    on the SPARK schema (pandas dtypes lose int-ness under nulls).
-    Atomic via .inprogress. Returns (feature count, data envelope
-    [minx,miny,maxx,maxy] or None) for the shard manifest."""
+    when SQLite's rtree module is available; ``spatial_index=False``
+    skips it — SQLite rtree inserts cost ~12 us/feature, and
+    ``gpkg_bbox_search`` still answers windows via its envelope-scan
+    fallback). The executor-side builder behind sharded export;
+    ``columns`` must come from :func:`gpkg_columns` on the SPARK schema
+    (pandas dtypes lose int-ness under nulls). Atomic via .inprogress.
+    Returns (feature count, data envelope [minx,miny,maxx,maxy] or None)
+    for the shard manifest."""
     from ..geo import kernels
     from ..geo.wkt import GT_MULTIPOLYGON, GT_POINT, GT_POLYGON, parse_wkt_batch, wkb_from_batch
 
@@ -268,7 +272,7 @@ def write_gpkg_pandas(
             )
             for i in idx
         ]
-        rt = _rtree_begin(db, layer)
+        rt = _rtree_begin(db, layer) if spatial_index else None
         if rows:
             db.executemany(
                 f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
@@ -322,6 +326,7 @@ def write_gpkg(
     wkt_col: str = "wkt",
     layer: str | None = None,
     last_change: str = "2023-05-30T00:00:00Z",
+    spatial_index: bool = True,
 ) -> int:
     """DataFrame (WKT geometry + scalar columns) -> single .gpkg file.
 
@@ -329,6 +334,12 @@ def write_gpkg(
     per-row bbox into scratch parquet parts; the driver then streams those
     parts into SQLite (executemany per Arrow batch). Rows without geometry
     are skipped. Returns the feature count.
+
+    ``spatial_index`` (default True, matching GDAL-written files) builds
+    the ``gpkg_rtree_index`` extension; SQLite rtree inserts cost ~12
+    us/feature — at millions of rows that dominates the write, so pass
+    False when write latency matters more than windowed-read speed (the
+    engine's own ``gpkg_bbox_search`` degrades to an envelope scan).
     """
     import pyarrow as pa
     import pyarrow.dataset as pads
@@ -395,7 +406,7 @@ def write_gpkg(
             f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
             f"geom BLOB{', ' + cols_sql if cols_sql else ''})"
         )
-        rt = _rtree_begin(db, layer)
+        rt = _rtree_begin(db, layer) if spatial_index else None
         n = 0
         seen_types: set[int] = set()
         gminx = gminy = float("inf")
@@ -572,30 +583,57 @@ def gpkg_bbox_search(
             "SELECT 1 FROM sqlite_master WHERE name = ?", (rt,)
         ).fetchone()
         if has_rt:
+            # COARSE candidates only: SQLite's rtree stores coordinates as
+            # 32-bit floats rounded OUTWARD, so a boundary-adjacent feature
+            # can match the index without matching the true envelope —
+            # every candidate is refined below on exact doubles
             cur = db.execute(
                 f'SELECT t.* FROM "{layer}" t JOIN "{rt}" r ON t.fid = r.id '
                 "WHERE r.minx <= ? AND r.maxx >= ? "
                 "AND r.miny <= ? AND r.maxy >= ?",
                 (e, w, n, s),
             )
-            names = [d[0] for d in cur.description]
-            recs = cur.fetchall()
         else:
             cur = db.execute(f'SELECT * FROM "{layer}"')
-            names = [d[0] for d in cur.description]
-            gi = names.index(gcol)
-            recs = []
-            for rec in cur:
-                blob = rec[gi]
-                if blob is None:
+        names = [d[0] for d in cur.description]
+        gi = names.index(gcol)
+        recs = []
+        unchecked = []  # blob had no exact envelope: verify geometrically
+        for rec in cur:
+            blob = rec[gi]
+            if blob is None:
+                continue
+            env_type = (blob[3] >> 1) & 0b111
+            if env_type == 1:
+                bx0, bx1, by0, by1 = struct.unpack_from("<dddd", blob, 8)
+                if bx0 > e or bx1 < w or by0 > n or by1 < s:
                     continue
-                env_type = (blob[3] >> 1) & 0b111
-                if env_type == 1:
-                    bx0, bx1, by0, by1 = struct.unpack_from("<dddd", blob, 8)
-                    if bx0 > e or bx1 < w or by0 > n or by1 < s:
-                        continue
                 recs.append(rec)
-        return _decode_rows(recs, names, gcol)
+                unchecked.append(False)
+            else:
+                recs.append(rec)
+                unchecked.append(True)
+        frame = _decode_rows(recs, names, gcol)
+        if any(unchecked):
+            # interop files without stored envelopes (env indicator 0, or
+            # z/m variants this reader doesn't unpack): compute the true
+            # bbox from the decoded geometry so semantics stay exact
+            from ..geo import kernels
+            from ..geo.wkt import parse_wkt_batch
+
+            idx = [i for i, u in enumerate(unchecked) if u]
+            batch = parse_wkt_batch(
+                frame["wkt"].iloc[idx].reset_index(drop=True)
+            )
+            bb = kernels.bboxes(batch)
+            ok = (
+                (bb[:, 0] <= e) & (bb[:, 2] >= w)
+                & (bb[:, 1] <= n) & (bb[:, 3] >= s)
+            )
+            mask = np.ones(len(frame), dtype=bool)
+            mask[idx] = ok
+            frame = frame[mask].reset_index(drop=True)
+        return frame
     finally:
         db.close()
 

@@ -110,7 +110,17 @@ def _polygon_records_fast(coords3: np.ndarray) -> tuple[list, np.ndarray]:
 
 
 def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
-    """(name<=10, type, length, decimals) per column from Spark types."""
+    """(name<=10, type, length, decimals) per column from Spark types.
+    dBASE caps field names at 10 chars (GDAL truncates the same way);
+    two columns colliding after truncation would silently overwrite each
+    other's attribute — refuse instead."""
+    truncated = [name[:10] for name, _ in columns]
+    dups = {t for t in truncated if truncated.count(t) > 1}
+    if dups:
+        raise ValueError(
+            f"column names collide after the DBF 10-char truncation: "
+            f"{sorted(dups)}; rename before exporting to shapefile"
+        )
     out = []
     for name, st in columns:
         fname = name[:10]
@@ -369,9 +379,13 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
             # FAST PATH: closed single-ring polygons (the dominant shape)
             # encode as one structured-array fill per ring-length group;
             # points / multis / holes / degenerates take the scalar path
-            fr = bounds[:-1].copy()
-            fr[nrings == 0] = 0  # placeholder; masked out below
-            rlen = ro[fr + 1] - ro[fr]
+            # clamp the first-ring index: geoms with no rings (null/garbage
+            # WKT) get a placeholder that must stay in bounds even when the
+            # whole batch has zero rings — they are masked out via `one`
+            fr = np.minimum(bounds[:-1], max(batch.n_rings - 1, 0))
+            rlen = np.zeros(ng, dtype=np.int64)
+            if batch.n_rings:
+                rlen = ro[fr + 1] - ro[fr]
             closed = np.zeros(ng, dtype=bool)
             one = (nrings == 1) & (rlen > 3)
             if one.any():
@@ -379,12 +393,10 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
                 en = ro[fr[one] + 1] - 1
                 closed[one] = (coords[st] == coords[en]).all(axis=1)
             elig = (
-                one
-                & closed
-                & (batch.gtype != GT_POINT)
-                & (batch.gtype != -1)
-                & ~batch.ring_is_hole[fr]
+                one & closed & (batch.gtype != GT_POINT) & (batch.gtype != -1)
             )
+            if batch.n_rings:
+                elig &= ~batch.ring_is_hole[fr]
             rec_by_g: list = [None] * ng
             bb_by_g = np.zeros((ng, 4), dtype=np.float64)
             for L in np.unique(rlen[elig]) if elig.any() else []:

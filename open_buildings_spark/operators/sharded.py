@@ -91,11 +91,17 @@ def sharded_export(
 
     # reader schema, stored in the manifest so window reads (and the
     # empty-result case) get the export's exact column set/types without
-    # opening any shard file: wkt first, attributes in export order
+    # opening any shard file: wkt first, attributes in export order.
+    # Shapefile attribute names come back DBF-truncated (10 chars, the
+    # format's cap — collisions already rejected by shp_columns), so the
+    # manifest must record what the reader will actually produce.
+    def _rname(name: str) -> str:
+        return name[:10] if fmt == "shp" else name
+
     reader_schema = ", ".join(
         ["wkt string"]
         + [
-            f"`{f.name}` {f.dataType.simpleString()}"
+            f"`{_rname(f.name)}` {f.dataType.simpleString()}"
             for f in fields
             if f.name != wkt_col
         ]
@@ -348,6 +354,16 @@ def sharded_to_df(
     files_df = spark.createDataFrame(
         [(os.path.join(out_abs, sh["file"]),) for sh in shards], "path string"
     ).repartition(max(len(shards) // 4, 1))
+    # GPKG stores booleans as SQLite INTEGER 0/1 and its readers return
+    # ints; Arrow refuses int->bool in mapInPandas, so coerce declared
+    # boolean columns back (harmless for formats that already yield bools)
+    from pyspark.sql.types import BooleanType, StructType
+
+    bool_cols = [
+        f.name
+        for f in StructType.fromDDL(schema).fields
+        if isinstance(f.dataType, BooleanType)
+    ]
 
     def read_shards(batches):
         for pdf in batches:
@@ -373,6 +389,12 @@ def sharded_to_df(
                     continue
                 # nullable pandas dtypes trip the non-Arrow fallback of
                 # createDataFrame-like conversion; ship plain objects
-                yield out.astype(object).where(out.notna(), None)
+                out = out.astype(object).where(out.notna(), None)
+                for c in bool_cols:
+                    if c in out.columns:
+                        out[c] = out[c].map(
+                            lambda v: None if v is None else bool(v)
+                        )
+                yield out
 
     return files_df.mapInPandas(read_shards, schema)

@@ -171,12 +171,16 @@ def lm_score(
       is deterministic); pruned bigrams score as unseen (count 0 + add-k
       smoothing), which is the standard model-truncation semantics. The
       unigram table is NOT pruned (denominators stay exact).
-    - otherwise the model tables are counted (one cached pass) and the
-      broadcast hint is applied only when BOTH fit under
-      ``max_broadcast_rows``; above the cap the hint is dropped so
-      Catalyst shuffles the join instead of materializing a planet-scale
-      model on every executor. ``max_broadcast_rows=None`` force-keeps
-      the broadcast (caller asserts the model is small).
+    - otherwise the model tables are counted and the broadcast hint is
+      applied only when BOTH fit under ``max_broadcast_rows``; above the
+      cap the hint is dropped so Catalyst shuffles the join instead of
+      materializing a planet-scale model on every executor. The count is
+      an extra pass over each model aggregate (deliberately NOT cached —
+      a builder-pinned cache would leak for the session); at corpus
+      scale skip the counting pass entirely with ``top_n_bigrams`` (the
+      bounded model needs no count) or ``max_broadcast_rows=0`` (always
+      shuffle). ``max_broadcast_rows=None`` force-keeps the broadcast
+      (caller asserts the model is small).
 
     Scoring re-derives the bigram explode as the fact side of the join
     (persist the pairs lineage at corpus scale to pay the explode once
@@ -216,16 +220,14 @@ def lm_score(
     elif max_broadcast_rows is None:
         bc_small = True
     else:
-        # model size is data-dependent: cache the table, count once, and
-        # only then decide the join strategy (the count pass is one small
-        # job over the already-aggregated model, reused by the join)
-        bc = bc.persist()
-        bc_small = bc.count() <= max_broadcast_rows
+        # model size is data-dependent: count, then pick the join strategy
+        bc_small = max_broadcast_rows > 0 and bc.count() <= max_broadcast_rows
     if max_broadcast_rows is None:
         uni_small = True
     else:
-        uni = uni.persist()
-        uni_small = uni.count() <= max_broadcast_rows
+        uni_small = (
+            max_broadcast_rows > 0 and uni.count() <= max_broadcast_rows
+        )
     scored = (
         pairs.join(F.broadcast(bc) if bc_small else bc, ["w1", "w2"], "left")
         .join(F.broadcast(uni) if uni_small else uni, "w1", "left")

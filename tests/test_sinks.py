@@ -484,8 +484,74 @@ def test_sharded_window_finds_tile_spilling_geometry(spark, tmp_path):
     x, y, z = mercator.tile_from_quadkey(shard["cell"])
     tw, ts, te, tn = mercator.tile_bounds(x, y, z)
     # window over the polygon's south-west corner, chosen OUTSIDE the
-    # shard's tile bounds (the pre-fix prune would drop the shard)
+    # shard's tile bounds (the pre-fix tile-bounds prune would have
+    # dropped the shard) — assert that precondition actually holds
     win = (10.0, 50.0, 10.02, 50.02)
-    assert not (tw <= win[2] and te >= win[0] and ts <= win[3] and tn >= win[1]) or True
+    assert not (
+        tw <= win[2] and te >= win[0] and ts <= win[3] and tn >= win[1]
+    ), (shard["cell"], (tw, ts, te, tn))
     got = sharded.sharded_to_df(spark, out, bbox=win).toPandas()
     assert list(got["doc_id"]) == ["d1"]
+
+
+def test_write_shp_all_null_batch_partition(spark, tmp_path):
+    """A partition whose every row has null/garbage WKT must be skipped,
+    not crash the fast-path prefilter (zero-ring batches)."""
+    from open_buildings_spark.operators import shapefile
+
+    good = [(i, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))") for i in range(3)]
+    bad = [(10 + i, None) for i in range(3)] + [(20, "not wkt")]
+    df = spark.createDataFrame(
+        good + bad, "doc_id long, wkt string"
+    ).repartition(4)
+    n = shapefile.write_shp(df, str(tmp_path / "nulls.shp"))
+    assert n == 3
+    back = shapefile.read_shp(str(tmp_path / "nulls.shp"))
+    assert sorted(back["doc_id"]) == [0, 1, 2]
+
+
+def test_sharded_shp_truncated_names_and_gpkg_bool(spark, tmp_path):
+    """Shapefile shard manifests record DBF-truncated (10-char) attribute
+    names so the distributed reader's schema matches what .dbf files
+    actually carry; colliding truncations are refused; gpkg shard sets
+    round-trip boolean columns (SQLite stores them as 0/1 ints)."""
+    import pytest as _pytest
+
+    from open_buildings_spark.operators import enrich, sharded, shapefile
+
+    from open_buildings_spark import datagen
+
+    docs = datagen.interleaved_docs(spark, "/root/testdata/sf0.001").limit(80)
+    g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+        "doc_id",
+        "quadkey",
+        "wkt",
+        (F.length("doc_id") % 2 == 0).alias("flag_even_len"),
+    )
+    # shp: long name comes back truncated to 10 chars
+    out = str(tmp_path / "longnames")
+    sharded.sharded_export(
+        g.withColumnRenamed("flag_even_len", "long_column_name"), out,
+        fmt="shp", level=4,
+    )
+    back = sharded.sharded_to_df(spark, out)
+    assert "long_colum" in back.columns
+    assert back.count() == g.count()
+    # colliding truncations refused
+    with _pytest.raises(ValueError, match="collide"):
+        shapefile.shp_columns(
+            spark.range(1).select(
+                F.lit("x").alias("same_prefix_a"),
+                F.lit("y").alias("same_prefix_b"),
+                F.lit("POINT (0 0)").alias("wkt"),
+            ).schema.fields,
+            "wkt",
+        )
+    # gpkg: boolean column survives the int-storage round trip
+    out2 = str(tmp_path / "boolcol")
+    sharded.sharded_export(g, out2, fmt="gpkg", level=4)
+    back2 = sharded.sharded_to_df(spark, out2)
+    got = {r["doc_id"]: r["flag_even_len"] for r in back2.collect()}
+    exp = {r["doc_id"]: r["flag_even_len"] for r in g.collect()}
+    assert got == exp
+    assert dict(back2.dtypes)["flag_even_len"] == "boolean"
