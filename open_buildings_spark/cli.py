@@ -338,6 +338,23 @@ def cmd_export_sharded(args) -> None:
     )
 
 
+def cmd_window(args) -> None:
+    """Window query over a sharded geo export: manifest envelope prune +
+    per-shard index walk (FGB Hilbert R-tree / GPKG rtree / shp record
+    bboxes), results to parquet or stdout count."""
+    from .operators import sharded
+    from .session import get_spark
+
+    spark = get_spark(app_name="ob-window")
+    w, s, e, n = (float(v) for v in args.bbox.split(","))
+    df = sharded.sharded_to_df(spark, args.src, bbox=(w, s, e, n))
+    if args.dst:
+        df.write.mode("overwrite").parquet(args.dst)
+        print(f"wrote {spark.read.parquet(args.dst).count()} rows to {args.dst}")
+    else:
+        print(f"{df.count()} features intersect ({w}, {s}, {e}, {n})")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="open_buildings_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -430,6 +447,16 @@ def main(argv: list[str] | None = None) -> None:
     ex.add_argument("--format", choices=["fgb", "gpkg", "shp"], default="fgb")
     ex.add_argument("--level", type=int, default=4, help="quadkey shard level")
     ex.set_defaults(fn=cmd_export_sharded)
+
+    wq = sub.add_parser(
+        "window", help="bbox window query over a sharded geo export"
+    )
+    wq.add_argument("--src", required=True, help="sharded export directory")
+    wq.add_argument(
+        "--bbox", required=True, help="w,s,e,n in lon/lat degrees"
+    )
+    wq.add_argument("--dst", help="parquet output (omit to print the count)")
+    wq.set_defaults(fn=cmd_window)
 
     args = p.parse_args(argv)
     args.fn(args)

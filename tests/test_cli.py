@@ -182,3 +182,27 @@ def test_cli_delete_compact_export_sharded(spark, docs, tmp_path, capsys):
     assert "shards" in out
     manifest = _json.load(open(os.path.join(dst, "manifest.json")))
     assert manifest["total_rows"] == n0 - ndel
+
+
+def test_cli_window_query(spark, docs, tmp_path, capsys):
+    """`window` answers a bbox query over a sharded export (manifest
+    envelope prune + per-shard index walk) and can land parquet."""
+    import os
+
+    from open_buildings_spark import cli, datagen
+    from open_buildings_spark.operators import enrich, sharded
+
+    g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+        "doc_id", "quadkey", "wkt"
+    )
+    src = str(tmp_path / "winshards")
+    sharded.sharded_export(g, src, fmt="fgb", level=6)
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    cli.main(["window", "--src", src, "--bbox", f"{w},{s},{e},{n}"])
+    out = capsys.readouterr().out
+    n_feat = int(out.split()[0])
+    assert n_feat > 0
+    dst = str(tmp_path / "winout")
+    cli.main(["window", "--src", src, "--bbox", f"{w},{s},{e},{n}", "--dst", dst])
+    assert os.path.exists(dst)
+    assert spark.read.parquet(dst).count() == n_feat
