@@ -106,3 +106,51 @@ def test_gpkg_mixed_types_and_nulls(spark, tmp_path):
     exp = pdf.dropna(subset=["wkt"]).set_index("id").sort_index()
     assert list(back.wkt) == list(exp.wkt)
     assert back.note.iloc[0] == "a" and back.note.iloc[1] is None
+
+
+def test_rtree_bulk_load_equals_insert_built():
+    """The packed bulk loader must produce an rtree whose STORED CELLS are
+    bit-identical to sqlite's own insert path (same RNDTOWARDS/RNDAWAY
+    float32 outward rounding) and that passes rtreecheck; window queries
+    agree on every probe."""
+    import random
+    import sqlite3
+
+    import numpy as np
+
+    from open_buildings_spark.operators import gpkg
+
+    rng = np.random.default_rng(11)
+    m = 5000
+    x = rng.uniform(-170, 170, m)
+    y = rng.uniform(-80, 80, m)
+    bb = np.stack(
+        [x, y, x + rng.uniform(0, 0.5, m), y + rng.uniform(0, 0.5, m)], axis=1
+    )
+    ids = np.arange(1, m + 1, dtype=np.int64)
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE VIRTUAL TABLE rt USING rtree(id, minx, maxx, miny, maxy)")
+    ref.executemany(
+        "INSERT INTO rt VALUES (?,?,?,?,?)",
+        [(int(i), b[0], b[2], b[1], b[3]) for i, b in zip(ids, bb)],
+    )
+    blk = sqlite3.connect(":memory:")
+    blk.execute("CREATE VIRTUAL TABLE rt USING rtree(id, minx, maxx, miny, maxy)")
+    gpkg._rtree_bulk_load(blk, "rt", ids, bb)
+    assert blk.execute("SELECT rtreecheck('main','rt')").fetchone() == ("ok",)
+    a = ref.execute("SELECT id, minx, maxx, miny, maxy FROM rt ORDER BY id").fetchall()
+    b = blk.execute("SELECT id, minx, maxx, miny, maxy FROM rt ORDER BY id").fetchall()
+    assert a == b
+    random.seed(5)
+    q = (
+        "SELECT id FROM rt WHERE minx <= ? AND maxx >= ? AND miny <= ? "
+        "AND maxy >= ? ORDER BY id"
+    )
+    for _ in range(100):
+        w = random.uniform(-170, 170)
+        s = random.uniform(-80, 80)
+        e = w + random.uniform(0, 20)
+        n = s + random.uniform(0, 20)
+        assert ref.execute(q, (e, w, n, s)).fetchall() == blk.execute(
+            q, (e, w, n, s)
+        ).fetchall()
