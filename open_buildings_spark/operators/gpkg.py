@@ -261,7 +261,8 @@ def _rtree_bulk_load(
             parent_no = nodeno_by_level[li + 1]
             for i, no in enumerate(nodeno_by_level[li]):
                 parent_rows.append((int(no), int(parent_no[i // cap])))
-    db.execute(f'DELETE FROM "{rt}_node"')
+    for shadow in ("_node", "_rowid", "_parent"):
+        db.execute(f'DELETE FROM "{rt}{shadow}"')
     db.executemany(
         f'INSERT INTO "{rt}_node" (nodeno, data) VALUES (?, ?)', node_rows
     )
