@@ -595,6 +595,20 @@ def _q_repetition(spark, sf_dir):
     return textstats.repetition_stats(_docs_table(spark, sf_dir))
 
 
+def _q_normalize(spark, sf_dir):
+    """C4/Dolma-style text normalization (lower/trim/whitespace collapse),
+    map-only native exprs."""
+    return textstats.normalize_text(_docs_table(spark, sf_dir))
+
+
+def _q_chunk(spark, sf_dir):
+    """Sliding-window training-chunk packing: 40-token windows, 8-token
+    overlap, native explode."""
+    return textstats.chunk_documents(
+        _docs_table(spark, sf_dir), max_tokens=40, overlap=8
+    )
+
+
 def _q_pii(spark, sf_dir):
     """PII detect + scrub over a deterministically PII-augmented corpus
     (the synthetic table carries no PII, so email/phone/IP matches are
@@ -876,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": _q_token_stats,
         "t_repetition": _q_repetition,  # NEW r5: Gopher repetition signals
         "t_pii": _q_pii,  # NEW r5: PII detect + scrub
+        "t_normalize": _q_normalize,  # NEW r5: text normalization
+        "t_chunk": _q_chunk,  # NEW r5: training-window chunking
         "t_vocab": _q_vocab,
         "t_corpus_report": _q_corpus_report,
         "t_bm25": _q_bm25,
@@ -890,10 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_lsh": _q_ann_lsh,
         "s_kmeans_ivf": _q_kmeans_ivf,
         "s_embedding_neardup": _q_embedding_neardup,
-        "s_embedding_clusters": _q_embedding_clusters,
         # multimodal + events
         "m_media_decode": _q_media_decode,
-        "m_frame_sample": _q_frame_sample,
         "e_windowed_agg": _q_windowed_agg,
         "e_sessionize": _q_sessionize,
         # generic analytics over the star schema
@@ -913,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
+        "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)
+        "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)
     }
 

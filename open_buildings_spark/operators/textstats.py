@@ -368,3 +368,64 @@ def pii_stats(
     for name, pat in PII_PATTERNS.items():
         scrub = F.regexp_replace(scrub, pat, f"[{name.upper()}]")
     return df.select(*cols, scrub.alias("clean_text"))
+
+
+def normalize_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic text normalization (the C4/Dolma-style cleanup
+    stage): lowercase, trim, collapse whitespace runs to single spaces.
+    The whitespace class is written explicitly ([ \\t\\r\\n]) so Java
+    regex (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte.
+    Emits (id, norm_text, n_chars_removed); pure map-only native exprs.
+    Unicode NFC/NFKC folding is NOT attempted natively — Spark has no
+    built-in normalizer, and a per-row Python UDF in the hot path is the
+    one shape this engine bans; plug a vectorized normalizer in as a
+    pandas UDF stage if a corpus needs it."""
+    norm = F.lower(
+        F.trim(F.regexp_replace(F.col("text"), "[ \\t\\r\\n]+", " "))
+    )
+    return df.select(
+        id_col,
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).cast("int").alias("n_chars_removed"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking — the training-window pack stage: each doc
+    splits into windows of ``max_tokens`` whitespace tokens advancing by
+    ``max_tokens - overlap`` (so consecutive chunks share ``overlap``
+    tokens; the final chunk may be shorter). Emits (id, chunk_idx,
+    n_chunk_tokens, chunk_text).
+
+    Scale shape: one native explode per doc — no shuffle, no UDF; output
+    rows = ceil(tokens/stride) per doc, the same fan-out an explode of
+    pre-tokenized training windows costs anywhere.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    toks = tokens_col()
+    n = F.size(toks)
+    n_chunks = F.ceil(
+        F.greatest(n - overlap, F.lit(1)).cast("double") / F.lit(float(stride))
+    ).cast("int")
+    d = df.select(id_col, toks.alias("tk"), n.alias("n"), n_chunks.alias("nc"))
+    d = d.filter(F.col("n") > 0).select(
+        id_col,
+        "tk",
+        F.explode(F.expr("sequence(0, nc - 1)")).alias("chunk_idx"),
+    )
+    chunk = F.slice(
+        F.col("tk"), F.col("chunk_idx") * stride + 1, max_tokens
+    )
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

@@ -319,6 +319,36 @@ SELECT doc_id,
 FROM aug
 """
 
+    # text normalization: explicit [ \t\r\n] class so Java regex and RE2
+    # agree byte-for-byte; n_chars_removed = length delta
+    sqls["t_normalize"] = r"""
+WITH nrm AS (SELECT doc_id, text,
+  lower(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS norm_text
+ FROM documents)
+SELECT doc_id, norm_text,
+       CAST(length(text) - length(norm_text) AS INT) AS n_chars_removed
+FROM nrm
+"""
+
+    # sliding-window chunking (max_tokens=40, overlap=8 -> stride 32);
+    # DuckDB list slicing is 1-based INCLUSIVE so [a : a+39] == Spark's
+    # slice(tk, a, 40)
+    sqls["t_chunk"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+g AS (SELECT doc_id, tk, len(tk) AS n,
+        CAST(ceil(CAST(GREATEST(len(tk) - 8, 1) AS DOUBLE) / 32e0) AS INT)
+          AS nc
+      FROM toks WHERE len(tk) > 0),
+e AS (SELECT doc_id, tk,
+        unnest(generate_series(0, nc - 1)) AS chunk_idx FROM g)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(tk[chunk_idx * 32 + 1 : chunk_idx * 32 + 40]) AS INT)
+         AS n_chunk_tokens,
+       array_to_string(tk[chunk_idx * 32 + 1 : chunk_idx * 32 + 40], ' ')
+         AS chunk_text
+FROM e
+"""
+
     # Gopher-style repetition signals: duplicate = occurrences beyond the
     # first; top-2-gram coverage = max count x 2 / tokens; all fractions
     # rounded to 6 dp (cross-engine float-division parity)

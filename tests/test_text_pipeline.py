@@ -49,3 +49,53 @@ def test_pii_stats_detect_and_scrub(spark):
     assert out[3]["n_ipv4"] == 1 and "[IPV4]" in out[3]["clean_text"]
     assert out[4]["clean_text"] == "nothing here"
     assert out[5]["clean_text"] == "[EMAIL] [PHONE] [IPV4]"
+
+
+def test_normalize_text_semantics(spark):
+    from open_buildings_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "  Hello\t\tWorld \r\n again  "), (2, "clean"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textstats.normalize_text(docs).collect()}
+    assert out[1]["norm_text"] == "hello world again"
+    assert out[1]["n_chars_removed"] == len("  Hello\t\tWorld \r\n again  ") - len(
+        "hello world again"
+    )
+    assert out[2]["norm_text"] == "clean" and out[2]["n_chars_removed"] == 0
+    assert out[3]["norm_text"] == ""
+
+
+def test_chunk_documents_windows(spark):
+    """Sliding windows: stride = max - overlap, consecutive chunks share
+    `overlap` tokens, final chunk may be short, every token covered."""
+    import pytest as _pytest
+
+    from open_buildings_spark.operators import textstats
+
+    words = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(docs, max_tokens=10, overlap=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # 25 tokens, stride 8 -> ceil(23/8) = 3 chunks
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"].split() == words[0:10]
+    assert c1[1]["chunk_text"].split() == words[8:18]
+    assert c1[2]["chunk_text"].split() == words[16:25]
+    assert c1[2]["n_chunk_tokens"] == 9
+    # union of chunks covers every token
+    covered = set()
+    for r in c1:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words)
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert len(by_doc[3]) == 1
+    with _pytest.raises(ValueError):
+        textstats.chunk_documents(docs, max_tokens=10, overlap=10)
