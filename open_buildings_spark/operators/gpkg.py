@@ -736,7 +736,9 @@ def gpkg_bbox_search(
             if blob is None:
                 continue
             env_type = (blob[3] >> 1) & 0b111
-            if env_type == 1:
+            if 1 <= env_type <= 4:
+                # every non-empty envelope variant (xy / xyz / xym / xyzm)
+                # leads with the same four XY doubles
                 bx0, bx1, by0, by1 = struct.unpack_from("<dddd", blob, 8)
                 if bx0 > e or bx1 < w or by0 > n or by1 < s:
                     continue
@@ -747,9 +749,9 @@ def gpkg_bbox_search(
                 unchecked.append(True)
         frame = _decode_rows(recs, names, gcol)
         if any(unchecked):
-            # interop files without stored envelopes (env indicator 0, or
-            # z/m variants this reader doesn't unpack): compute the true
-            # bbox from the decoded geometry so semantics stay exact
+            # interop files without a stored envelope (env indicator 0):
+            # compute the true bbox from the decoded geometry so the
+            # semantics stay exact
             from ..geo import kernels
             from ..geo.wkt import parse_wkt_batch
 

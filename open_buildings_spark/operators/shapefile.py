@@ -109,12 +109,19 @@ def _polygon_records_fast(coords3: np.ndarray) -> tuple[list, np.ndarray]:
     return [buf[i * sz : i * sz + sz] for i in range(m)], arr["bb"].copy()
 
 
+def dbf_field_name(name: str) -> str:
+    """The on-disk .dbf field name for a column: dBASE caps names at 10
+    chars (GDAL truncates the same way). Single source of truth — the
+    sharded manifest's reader schema must record exactly what the .dbf
+    files will carry."""
+    return name[:10]
+
+
 def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
     """(name<=10, type, length, decimals) per column from Spark types.
-    dBASE caps field names at 10 chars (GDAL truncates the same way);
-    two columns colliding after truncation would silently overwrite each
+    Two columns colliding after truncation would silently overwrite each
     other's attribute — refuse instead."""
-    truncated = [name[:10] for name, _ in columns]
+    truncated = [dbf_field_name(name) for name, _ in columns]
     dups = {t for t in truncated if truncated.count(t) > 1}
     if dups:
         raise ValueError(
@@ -123,7 +130,7 @@ def _dbf_fields(columns) -> list[tuple[str, str, int, int]]:
         )
     out = []
     for name, st in columns:
-        fname = name[:10]
+        fname = dbf_field_name(name)
         if st == "string":
             out.append((fname, "C", 80, 0))
         elif st in ("double", "float"):

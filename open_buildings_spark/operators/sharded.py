@@ -92,11 +92,11 @@ def sharded_export(
     # reader schema, stored in the manifest so window reads (and the
     # empty-result case) get the export's exact column set/types without
     # opening any shard file: wkt first, attributes in export order.
-    # Shapefile attribute names come back DBF-truncated (10 chars, the
-    # format's cap — collisions already rejected by shp_columns), so the
-    # manifest must record what the reader will actually produce.
+    # Shapefile attribute names come back DBF-truncated (collisions
+    # already rejected by shp_columns), so the manifest must record what
+    # the reader will actually produce.
     def _rname(name: str) -> str:
-        return name[:10] if fmt == "shp" else name
+        return shapefile.dbf_field_name(name) if fmt == "shp" else name
 
     reader_schema = ", ".join(
         ["wkt string"]
