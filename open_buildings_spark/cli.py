@@ -345,8 +345,19 @@ def cmd_window(args) -> None:
     from .operators import sharded
     from .session import get_spark
 
+    parts = args.bbox.split(",")
+    if len(parts) != 4:
+        raise SystemExit("--bbox wants 4 comma-separated values: w,s,e,n")
+    w, s, e, n = (float(v) for v in parts)
+    # an inverted window silently prunes every shard — fail loudly instead
+    if w > e or s > n:
+        raise SystemExit(
+            f"--bbox order is w,s,e,n (lon_min,lat_min,lon_max,lat_max); "
+            f"got w={w} > e={e}" if w > e else
+            f"--bbox order is w,s,e,n (lon_min,lat_min,lon_max,lat_max); "
+            f"got s={s} > n={n}"
+        )
     spark = get_spark(app_name="ob-window")
-    w, s, e, n = (float(v) for v in args.bbox.split(","))
     df = sharded.sharded_to_df(spark, args.src, bbox=(w, s, e, n))
     if args.dst:
         df.write.mode("overwrite").parquet(args.dst)

@@ -156,7 +156,9 @@ def _rtree_bulk_load(
     writing its shadow tables directly — the node format is public
     (SQLite's rtree.c, public domain, and confirmed against this build):
 
-      node blob  = >u2 height (0 = leaf), >u2 ncells, then cells of
+      node blob  = >u2 tree depth in the ROOT node / 0 in every other
+                   node (sqlite reads the depth only from the root),
+                   >u2 ncells, then cells of
                    (>i8 id-or-child-node, >f4 minx, maxx, miny, maxy),
                    zero-padded to the node size fixed at CREATE time;
       <rt>_rowid = rowid -> leaf nodeno;  <rt>_parent = child -> parent;
@@ -228,10 +230,12 @@ def _rtree_bulk_load(
         counts.append(n_nodes)
         if n_nodes == 1:
             break
-        nb = np.zeros((n_nodes, 4), dtype=np.float32)
-        for i in range(n_nodes):
-            sl = cur[i * cap : (i + 1) * cap]
-            nb[i] = (sl[:, 0].min(), sl[:, 1].max(), sl[:, 2].min(), sl[:, 3].max())
+        starts = np.arange(0, k, cap)
+        nb = np.empty((n_nodes, 4), dtype=np.float32)
+        nb[:, 0] = np.minimum.reduceat(cur[:, 0], starts)
+        nb[:, 1] = np.maximum.reduceat(cur[:, 1], starts)
+        nb[:, 2] = np.minimum.reduceat(cur[:, 2], starts)
+        nb[:, 3] = np.maximum.reduceat(cur[:, 3], starts)
         level_coords.append(nb)
     n_levels = len(counts)
     # node numbers: root = 1, then top-down level order
@@ -241,26 +245,45 @@ def _rtree_bulk_load(
         nodeno_by_level[li] = np.arange(next_no, next_no + counts[li])
         next_no += counts[li]
     node_rows: list[tuple[int, bytes]] = []
-    parent_rows: list[tuple[int, int]] = []
+    parent_pairs: list[np.ndarray] = []
     for li in range(n_levels):
         # cell ids at level 0 are the entry rowids; above that, the node
         # numbers of the level below
         ids_l = rid if li == 0 else nodeno_by_level[li - 1]
         coords_l = level_coords[li]
         k = len(ids_l)
-        for i, no in enumerate(nodeno_by_level[li]):
-            sl = slice(i * cap, min((i + 1) * cap, k))
-            cells = np.zeros(sl.stop - sl.start, dtype=cell_dt)
-            cells["id"] = ids_l[sl]
-            cells["c"] = coords_l[sl]
-            body = struct.pack(">HH", li, sl.stop - sl.start) + cells.tobytes()
-            node_rows.append(
-                (int(no), body + b"\x00" * (node_size - len(body)))
-            )
+        n_nodes_l = counts[li]
+        # one zero-padded cell array for the whole level, viewed as the
+        # per-node byte payloads (big-endian zeros pad the short tail
+        # node for free)
+        cells = np.zeros(n_nodes_l * cap, dtype=cell_dt)
+        cells["id"][:k] = ids_l
+        cells["c"][:k] = coords_l
+        blobs = np.zeros((n_nodes_l, node_size), dtype=np.uint8)
+        ncells = np.full(n_nodes_l, cap, dtype=np.int64)
+        ncells[-1] = k - cap * (n_nodes_l - 1)
+        # header: sqlite stores the tree DEPTH in the root's first two
+        # bytes and leaves them 0 in every other node (verified against
+        # this build's insert path) — ncells always in bytes 2-3
+        blobs[:, 2] = (ncells >> 8).astype(np.uint8)
+        blobs[:, 3] = (ncells & 0xFF).astype(np.uint8)
+        if li == n_levels - 1:
+            depth = n_levels - 1
+            blobs[0, 0] = depth >> 8
+            blobs[0, 1] = depth & 0xFF
+        blobs[:, 4 : 4 + cap * 24] = (
+            cells.view(np.uint8).reshape(n_nodes_l, cap * 24)
+        )
+        node_rows.extend(
+            (int(no), blobs[i].tobytes())
+            for i, no in enumerate(nodeno_by_level[li])
+        )
         if li < n_levels - 1:
-            parent_no = nodeno_by_level[li + 1]
-            for i, no in enumerate(nodeno_by_level[li]):
-                parent_rows.append((int(no), int(parent_no[i // cap])))
+            child_no = nodeno_by_level[li]
+            parent_no = nodeno_by_level[li + 1][
+                np.arange(len(child_no)) // cap
+            ]
+            parent_pairs.append(np.stack([child_no, parent_no], axis=1))
     for shadow in ("_node", "_rowid", "_parent"):
         db.execute(f'DELETE FROM "{rt}{shadow}"')
     db.executemany(
@@ -275,10 +298,11 @@ def _rtree_bulk_load(
         f'INSERT INTO "{rt}_rowid" (rowid, nodeno) VALUES (?, ?)',
         pairs.tolist(),
     )
-    db.executemany(
-        f'INSERT INTO "{rt}_parent" (nodeno, parentnode) VALUES (?, ?)',
-        parent_rows,
-    )
+    if parent_pairs:
+        db.executemany(
+            f'INSERT INTO "{rt}_parent" (nodeno, parentnode) VALUES (?, ?)',
+            np.concatenate(parent_pairs).tolist(),
+        )
 
 
 def _rtree_finish(db: sqlite3.Connection, layer: str, gcol: str = "geom"):

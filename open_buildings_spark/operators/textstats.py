@@ -370,18 +370,29 @@ def pii_stats(
     return df.select(*cols, scrub.alias("clean_text"))
 
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
 def normalize_text(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic text normalization (the C4/Dolma-style cleanup
-    stage): lowercase, trim, collapse whitespace runs to single spaces.
-    The whitespace class is written explicitly ([ \\t\\r\\n]) so Java
-    regex (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte.
+    stage): ASCII-lowercase, trim, collapse whitespace runs to single
+    spaces. The whitespace class is written explicitly ([ \\t\\r\\n])
+    so Java regex (Spark) and RE2 (the DuckDB oracle) agree
+    byte-for-byte, and lowercasing is an explicit A-Z→a-z translate —
+    NOT lower() — because Java's full Unicode case mapping diverges
+    from simple-mapping engines ('İ' → 'i̇' vs 'i'), which would both
+    break cross-engine parity and let n_chars_removed go negative.
     Emits (id, norm_text, n_chars_removed); pure map-only native exprs.
-    Unicode NFC/NFKC folding is NOT attempted natively — Spark has no
-    built-in normalizer, and a per-row Python UDF in the hot path is the
-    one shape this engine bans; plug a vectorized normalizer in as a
-    pandas UDF stage if a corpus needs it."""
-    norm = F.lower(
-        F.trim(F.regexp_replace(F.col("text"), "[ \\t\\r\\n]+", " "))
+    Unicode NFC/NFKC folding (and locale-aware casing) is NOT attempted
+    natively — Spark has no built-in normalizer, and a per-row Python
+    UDF in the hot path is the one shape this engine bans; plug a
+    vectorized normalizer in as a pandas UDF stage if a corpus needs
+    it."""
+    norm = F.translate(
+        F.trim(F.regexp_replace(F.col("text"), "[ \\t\\r\\n]+", " ")),
+        _ASCII_UPPER,
+        _ASCII_LOWER,
     )
     return df.select(
         id_col,

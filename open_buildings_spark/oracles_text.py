@@ -320,10 +320,14 @@ FROM aug
 """
 
     # text normalization: explicit [ \t\r\n] class so Java regex and RE2
-    # agree byte-for-byte; n_chars_removed = length delta
+    # agree byte-for-byte; lowercase is an explicit A-Z translate (NOT
+    # lower()) because Java full case mapping diverges from DuckDB's
+    # simple mapping on e.g. 'İ'; n_chars_removed = length delta
     sqls["t_normalize"] = r"""
 WITH nrm AS (SELECT doc_id, text,
-  lower(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS norm_text
+  translate(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')),
+            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+            'abcdefghijklmnopqrstuvwxyz') AS norm_text
  FROM documents)
 SELECT doc_id, norm_text,
        CAST(length(text) - length(norm_text) AS INT) AS n_chars_removed

@@ -206,3 +206,12 @@ def test_cli_window_query(spark, docs, tmp_path, capsys):
     cli.main(["window", "--src", src, "--bbox", f"{w},{s},{e},{n}", "--dst", dst])
     assert os.path.exists(dst)
     assert spark.read.parquet(dst).count() == n_feat
+    # an inverted window must fail loudly, not silently return 0 features
+    import pytest
+
+    with pytest.raises(SystemExit, match="w,s,e,n"):
+        cli.main(["window", "--src", src, "--bbox", f"{e},{s},{w},{n}"])
+    with pytest.raises(SystemExit, match="w,s,e,n"):
+        cli.main(["window", "--src", src, "--bbox", f"{w},{n},{e},{s}"])
+    with pytest.raises(SystemExit, match="4 comma"):
+        cli.main(["window", "--src", src, "--bbox", f"{w},{s},{e}"])

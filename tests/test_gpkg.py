@@ -141,6 +141,12 @@ def test_rtree_bulk_load_equals_insert_built():
     a = ref.execute("SELECT id, minx, maxx, miny, maxy FROM rt ORDER BY id").fetchall()
     b = blk.execute("SELECT id, minx, maxx, miny, maxy FROM rt ORDER BY id").fetchall()
     assert a == b
+    # header bytes match sqlite's own layout: depth lives ONLY in the
+    # root's first two bytes; every other node stores 0 there
+    root = blk.execute("SELECT data FROM rt_node WHERE nodeno=1").fetchone()[0]
+    assert root[:2] == b"\x00\x02"  # 5000 entries @ cap 51 -> 3 levels
+    rest = blk.execute("SELECT data FROM rt_node WHERE nodeno != 1").fetchall()
+    assert rest and all(d[:2] == b"\x00\x00" for (d,) in rest)
     random.seed(5)
     q = (
         "SELECT id FROM rt WHERE minx <= ? AND maxx >= ? AND miny <= ? "
