@@ -609,6 +609,15 @@ def _q_chunk(spark, sf_dir):
     )
 
 
+def _q_pack(spark, sf_dir):
+    """GPT-style concat-and-cut sequence packing: global token offsets
+    via a two-level distributed prefix sum (bucket window + broadcast
+    bucket offsets), docs mapped to fixed 32-token training sequences."""
+    return textstats.pack_sequences(
+        _docs_table(spark, sf_dir), seq_len=32, bucket=64
+    )
+
+
 def _q_pii(spark, sf_dir):
     """PII detect + scrub over a deterministically PII-augmented corpus
     (the synthetic table carries no PII, so email/phone/IP matches are
@@ -930,6 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)
         "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)
+        "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
     }
 
 

@@ -353,6 +353,28 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
 FROM e
 """
 
+    # GPT-style sequence packing (seq_len=32): the oracle is the plain
+    # single-window global cumsum — the engine's two-level bucket prefix
+    # sum must land every doc at the identical global offset; integer //
+    # keeps offsets exact
+    sqls["t_pack"] = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+t AS (SELECT doc_id, len(tk) AS n_tokens FROM toks WHERE len(tk) > 0),
+c AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER
+          (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          0) AS BIGINT) AS tok_start
+      FROM t)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       tok_start,
+       CAST(tok_start // 32 AS BIGINT) AS first_seq,
+       CAST((tok_start + n_tokens - 1) // 32 AS BIGINT) AS last_seq,
+       CAST((tok_start + n_tokens - 1) // 32 - tok_start // 32 + 1 AS INT)
+         AS n_seqs
+FROM c
+"""
+
     # Gopher-style repetition signals: duplicate = occurrences beyond the
     # first; top-2-gram coverage = max count x 2 / tokens; all fractions
     # rounded to 6 dp (cross-engine float-division parity)

@@ -99,3 +99,40 @@ def test_chunk_documents_windows(spark):
     assert len(by_doc[3]) == 1
     with _pytest.raises(ValueError):
         textstats.chunk_documents(docs, max_tokens=10, overlap=10)
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-cut packing: global offsets follow doc_id order across
+    bucket boundaries, sequence ranges tile the token stream exactly."""
+    from open_buildings_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e"), (2, ""), (3, "f g h i j"), (70, "x y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.pack_sequences(docs, seq_len=4, bucket=2).collect()
+    }
+    assert 2 not in out  # empty doc dropped
+    assert (out[0]["tok_start"], out[0]["first_seq"], out[0]["last_seq"]) == (0, 0, 0)
+    assert (out[1]["tok_start"], out[1]["n_seqs"]) == (3, 2)  # spans seqs 0-1
+    assert (out[3]["tok_start"], out[3]["first_seq"], out[3]["last_seq"]) == (5, 1, 2)
+    assert (out[70]["tok_start"], out[70]["first_seq"]) == (10, 2)
+    # stream is gapless: each doc starts where the previous ended
+    ordered = [out[k] for k in sorted(out)]
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["tok_start"] == prev["tok_start"] + prev["n_tokens"]
+
+
+def test_pack_sequences_plan(spark):
+    """The bucket-offsets side joins via BROADCAST (no full-data shuffle
+    for the offset join) and no window runs over the unbucketed data."""
+    from open_buildings_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    plan = textstats.pack_sequences(docs, seq_len=8, bucket=16)._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" in plan or "broadcast" in plan.lower()
