@@ -904,7 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_vocab": _q_vocab,
         "t_corpus_report": _q_corpus_report,
         "t_bm25": _q_bm25,
-        "t_quality": _q_quality,
+        "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
         "t_langid": _q_langid,
         "t_stratified_sample": _q_stratified_sample,
@@ -939,7 +939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)
         "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)
-        "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
+        "t_quality": _q_quality,  # map-only native textstats: t_token_stats/t_langid (r4 row)
     }
 
 

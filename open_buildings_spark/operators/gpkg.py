@@ -682,6 +682,13 @@ def _blob_to_wkt(blob: bytes) -> str | None:
 
 def _decode_rows(recs, names: list[str], gcol: str) -> pd.DataFrame:
     gi = names.index(gcol)
+    if not recs:
+        # keep the header-derived schema when nothing matched, so an
+        # unlucky window doesn't hand downstream code a column-less frame
+        return pd.DataFrame(
+            columns=["wkt"]
+            + [nm for nm in names if nm not in (gcol, "fid")]
+        )
     rows = []
     for rec in recs:
         row = {"wkt": _blob_to_wkt(rec[gi])}
@@ -759,11 +766,17 @@ def gpkg_bbox_search(
             blob = rec[gi]
             if blob is None:
                 continue
-            env_type = (blob[3] >> 1) & 0b111
+            flags = blob[3]
+            env_type = (flags >> 1) & 0b111
             if 1 <= env_type <= 4:
                 # every non-empty envelope variant (xy / xyz / xym / xyzm)
-                # leads with the same four XY doubles
-                bx0, bx1, by0, by1 = struct.unpack_from("<dddd", blob, 8)
+                # leads with the same four XY doubles; flags bit 0 is the
+                # header byte order (1 = little-endian) — honor it so
+                # big-endian interop files aren't silently misfiltered
+                endian = "<" if flags & 1 else ">"
+                bx0, bx1, by0, by1 = struct.unpack_from(
+                    f"{endian}dddd", blob, 8
+                )
                 if bx0 > e or bx1 < w or by0 > n or by1 < s:
                     continue
                 recs.append(rec)

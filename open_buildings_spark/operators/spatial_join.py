@@ -64,13 +64,9 @@ def _make_within_by_aoi(aois: list[tuple[int, dict]]):
     def within_by_aoi(
         wkt: pd.Series, aoi_id: pd.Series, skip: pd.Series
     ) -> pd.Series:
-        from ..udfs import _subset_batch
+        from ..udfs import _subset_batch, _within_skip_eval
 
-        sk = skip.fillna(False).astype(bool).to_numpy()
-        out = sk.copy()
-        rest = np.nonzero(~sk)[0]
-        if len(rest):
-            batch = parse_wkt_batch(wkt.iloc[rest].reset_index(drop=True))
+        def refine(batch, rest):
             ids = aoi_id.to_numpy()[rest]
             sub_out = np.zeros(len(rest), dtype=bool)
             for aid in np.unique(ids):
@@ -79,8 +75,9 @@ def _make_within_by_aoi(aois: list[tuple[int, dict]]):
                 m = kernels.within_mask(sub, rings_by_id[int(aid)])
                 m[sub.gtype == -1] = False
                 sub_out[idx] = m
-            out[rest] = sub_out
-        return pd.Series(out)
+            return sub_out
+
+        return _within_skip_eval(wkt, skip, refine)
 
     return within_by_aoi
 

@@ -171,15 +171,18 @@ def lm_score(
       is deterministic); pruned bigrams score as unseen (count 0 + add-k
       smoothing), which is the standard model-truncation semantics. The
       unigram table is NOT pruned (denominators stay exact).
-    - otherwise the model tables are counted and the broadcast hint is
-      applied only when BOTH fit under ``max_broadcast_rows``; above the
-      cap the hint is dropped so Catalyst shuffles the join instead of
-      materializing a planet-scale model on every executor. The count is
-      an extra pass over each model aggregate (deliberately NOT cached —
-      a builder-pinned cache would leak for the session); at corpus
-      scale skip the counting pass entirely with ``top_n_bigrams`` (the
-      bounded model needs no count) or ``max_broadcast_rows=0`` (always
-      shuffle). ``max_broadcast_rows=None`` force-keeps the broadcast
+    - each model table is gated INDEPENDENTLY: a side gets the broadcast
+      hint only when it fits under ``max_broadcast_rows``; above the
+      cap the hint is dropped so Catalyst shuffles that join instead of
+      materializing a planet-scale model on every executor. Sizing costs
+      a count pass per un-bounded side (deliberately NOT cached — a
+      builder-pinned cache would leak for the session).
+      ``top_n_bigrams`` bounds the BIGRAM side, so its count pass is
+      skipped — but the unigram table stays unpruned (exact
+      denominators) and is still counted against the cap; to run with
+      no counting pass at all, also set ``max_broadcast_rows=0``
+      (always shuffle both) or ``None``.
+      ``max_broadcast_rows=None`` force-keeps the broadcast
       (caller asserts the model is small).
 
     Scoring re-derives the bigram explode as the fact side of the join
@@ -489,17 +492,19 @@ def pack_sequences(
     boff = btot.select(
         "bkt", F.coalesce(F.sum("bt").over(w_b), F.lit(0)).alias("bkt_start")
     )
-    d = d.join(F.broadcast(boff), "bkt")
-    start = F.col("bkt_start") + F.col("local_start")
-    last = start + F.col("n_tokens") - 1
-    first_seq = F.expr(f"(bkt_start + local_start) div {int(seq_len)}")
-    last_seq = (
-        F.expr(f"(bkt_start + local_start + n_tokens - 1) div {int(seq_len)}")
+    d = d.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("bkt_start") + F.col("local_start"))
+        .cast("long")
+        .alias("tok_start"),
     )
+    first_seq = F.expr(f"tok_start div {int(seq_len)}")
+    last_seq = F.expr(f"(tok_start + n_tokens - 1) div {int(seq_len)}")
     return d.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
-        start.cast("long").alias("tok_start"),
+        "tok_start",
         first_seq.cast("long").alias("first_seq"),
         last_seq.cast("long").alias("last_seq"),
         (last_seq - first_seq + 1).cast("int").alias("n_seqs"),

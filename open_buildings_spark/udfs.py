@@ -113,26 +113,37 @@ def make_within_aoi(aoi_feature: dict):
     return within_aoi
 
 
+def _within_skip_eval(wkt: pd.Series, skip: pd.Series, refine) -> pd.Series:
+    """THE skip-flag semantics for every skip-aware within kernel (single-
+    and per-row-AOI variants share this so a fix lands in both): rows with
+    ``skip`` set (interior-cell containment witness, established natively;
+    NA counts as not-skipped) are TRUE with no parse and no raycast; only
+    the remaining rows are parsed and handed to ``refine(batch,
+    rest_positions) -> bool mask``."""
+    sk = skip.fillna(False).astype(bool).to_numpy()
+    out = sk.copy()
+    rest = np.nonzero(~sk)[0]
+    if len(rest):
+        batch = parse_wkt_batch(wkt.iloc[rest].reset_index(drop=True))
+        out[rest] = refine(batch, rest)
+    return pd.Series(out)
+
+
 def make_within_aoi_skip(aoi_feature: dict):
-    """Single-AOI variant of :func:`make_within_pairs_skip`: rows whose
-    ``skip`` flag is set (doc bbox inside a cover cell strictly interior
-    to the AOI — established natively) are TRUE with no parse and no
-    raycast; only boundary-cell candidates pay the exact kernel. The
-    caller blanks the WKT for skip rows so their bytes never cross the
-    Arrow boundary."""
+    """Single-AOI variant of :func:`make_within_pairs_skip`: skip-flag
+    handling via :func:`_within_skip_eval`; only boundary-cell candidates
+    pay the exact kernel. The caller blanks the WKT for skip rows so
+    their bytes never cross the Arrow boundary."""
     rings = aoi_rings(aoi_feature["geometry"])
 
     @F.pandas_udf(BooleanType())
     def within_aoi_skip(wkt: pd.Series, skip: pd.Series) -> pd.Series:
-        sk = skip.fillna(False).astype(bool).to_numpy()
-        out = sk.copy()
-        rest = np.nonzero(~sk)[0]
-        if len(rest):
-            batch = parse_wkt_batch(wkt.iloc[rest].reset_index(drop=True))
+        def refine(batch, _rest):
             mask = kernels.within_mask(batch, rings)
             mask[batch.gtype == -1] = False
-            out[rest] = mask
-        return pd.Series(out)
+            return mask
+
+        return _within_skip_eval(wkt, skip, refine)
 
     return within_aoi_skip
 

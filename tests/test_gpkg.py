@@ -160,3 +160,79 @@ def test_rtree_bulk_load_equals_insert_built():
         assert ref.execute(q, (e, w, n, s)).fetchall() == blk.execute(
             q, (e, w, n, s)
         ).fetchall()
+
+
+def test_bbox_search_honors_header_byte_order(spark, small_geo, tmp_path):
+    """A spec-valid feature whose GeoPackageBinary header is BIG-endian
+    (flags bit 0 = 0) must still filter on the correct envelope — the
+    reader picks the struct byte order from the flags byte instead of
+    assuming little-endian."""
+    import numpy as np
+
+    path = str(tmp_path / "be.gpkg")
+    gpkg.write_gpkg(small_geo, path, layer="buildings")
+    db = sqlite3.connect(path)
+    try:
+        w, s, e, n = db.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents"
+        ).fetchone()
+        base = gpkg.gpkg_bbox_search(path, (w, s, e, n))
+        # drop the Annex-F.3 maintenance triggers first: they call GPKG
+        # ST_* functions this raw connection doesn't provide, and the
+        # envelope VALUES don't change (only their byte order), so the
+        # existing rtree stays exact
+        for (tg,) in db.execute(
+            "SELECT name FROM sqlite_master WHERE type='trigger'"
+        ).fetchall():
+            db.execute(f'DROP TRIGGER "{tg}"')
+        # rewrite EVERY blob's header big-endian: flip flags bit 0, swap
+        # srs_id + envelope doubles; WKB bytes (self-describing) unchanged
+        rows = db.execute("SELECT fid, geom FROM buildings").fetchall()
+        for fid, blob in rows:
+            flags = blob[3]
+            assert flags & 1 == 1  # engine writes little-endian headers
+            env_type = (flags >> 1) & 0b111
+            assert env_type == 1
+            srs = struct.unpack_from("<i", blob, 4)[0]
+            env = struct.unpack_from("<dddd", blob, 8)
+            be = (
+                blob[:3]
+                + bytes([flags & ~1])
+                + struct.pack(">i", srs)
+                + struct.pack(">dddd", *env)
+                + blob[40:]
+            )
+            db.execute(
+                "UPDATE buildings SET geom = ? WHERE fid = ?", (be, fid)
+            )
+        db.commit()
+    finally:
+        db.close()
+    out = gpkg.gpkg_bbox_search(path, (w, s, e, n))
+    assert len(out) == len(base) == 250
+    # a narrow window (centered on one feature, so never empty) agrees
+    # with a pandas-side exact bbox filter
+    import numpy as np
+
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+
+    bb0 = kernels.bboxes(parse_wkt_batch(base["wkt"].iloc[:1]))[0]
+    win = (float(bb0[0]), float(bb0[1]), float(bb0[2]) + 0.01, float(bb0[3]) + 0.01)
+    a = set(gpkg.gpkg_bbox_search(path, win)["doc_id"])
+    b = set(base.loc[[_bbox_hits(r, win) for r in base["wkt"]], "doc_id"])
+    assert a == b and len(a) > 0
+    # and an empty window keeps the header-derived schema
+    empty = gpkg.gpkg_bbox_search(path, (w - 20.0, s - 20.0, w - 19.0, s - 19.0))
+    assert len(empty) == 0 and "doc_id" in empty.columns and "wkt" in empty.columns
+
+
+def _bbox_hits(wkt: str, win) -> bool:
+    import numpy as np
+
+    from open_buildings_spark.geo import kernels
+    from open_buildings_spark.geo.wkt import parse_wkt_batch
+
+    w, s, e, n = win
+    bb = kernels.bboxes(parse_wkt_batch(pd.Series([wkt])))[0]
+    return bb[0] <= e and bb[2] >= w and bb[1] <= n and bb[3] >= s
