@@ -415,6 +415,66 @@ def _q_tile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.tile_rollup(docs)
 
 
+def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-S2-cell doc counts at level 10 — the S2 half of the north-star's
+    "H3/S2 index with quadkey fallback". Face and within-face Hilbert
+    position are emitted as separate columns (derived natively from the id
+    by unsigned shifts) so the oracle never has to represent the full
+    64-bit id, whose faces 4-5 wrap negative in signed BIGINT."""
+    df = enrich.add_s2_cell(_geo_docs(spark, sf_dir), level=10)
+    c = F.col("s2_cell")
+    return df.groupBy(
+        F.shiftrightunsigned(c, 61).alias("s2_face"),
+        F.shiftrightunsigned(c, 41).bitwiseAND(F.lit((1 << 20) - 1)).alias("s2_pos"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_s2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing a level-8 S2 cell with each kNN query point, counted —
+    evaluated as a numeric RANGE predicate (leaf id BETWEEN the cell's
+    range_min/range_max, geo/s2.py cell_range): the containment law that
+    lets range-partitioned file layouts prune on parquet min/max stats at
+    100 TB. The oracle re-derives both sides' cells from scratch in SQL
+    and equi-joins on (face, position), so the two different mechanisms
+    must agree exactly; empty cells are kept with n_docs = 0."""
+    import numpy as np
+
+    from open_buildings_spark.geo import s2 as s2mod
+
+    leaf = enrich.add_s2_cell(_geo_docs(spark, sf_dir), level=30)
+    qs = oracles.knn_queries()
+    cells = s2mod.cells_from_lonlat(
+        np.array([q[1] for q in qs]), np.array([q[2] for q in qs]), 8
+    )
+    lo, hi = s2mod.cell_range(cells)
+    u = cells.view(np.uint64)
+    faces = (u >> np.uint64(61)).astype(np.int64)
+    pos = ((u >> np.uint64(2 * (30 - 8) + 1)) & np.uint64((1 << 16) - 1)).astype(
+        np.int64
+    )
+    qdf = spark.createDataFrame(
+        [
+            (int(q[0]), int(f), int(p), int(l), int(h))
+            for q, f, p, l, h in zip(qs, faces, pos, lo, hi)
+        ],
+        "qid long, s2_face long, s2_pos long, lo long, hi long",
+    )
+    hits = (
+        leaf.join(
+            F.broadcast(qdf.select("qid", "lo", "hi")),
+            (F.col("s2_cell") >= F.col("lo")) & (F.col("s2_cell") <= F.col("hi")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hit_docs"))
+    )
+    return qdf.join(hits, "qid", "left").select(
+        "qid",
+        "s2_face",
+        "s2_pos",
+        F.coalesce(F.col("hit_docs"), F.lit(0)).cast("long").alias("n_docs"),
+    )
+
+
 def _q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition.partition_plan(_geo_docs(spark, sf_dir), oracles.MAX_PER_FILE)
 
@@ -875,9 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_upsert_table": _q_upsert_table,
         "g_keyed_upsert": _q_keyed_upsert,
         "g_delete_table": _q_delete_table,
-        "g_sql_aoi": _q_sql_aoi,
         "g_country_join": _q_country_join,
         "g_tile_rollup": _q_tile_rollup,
+        "g_s2_rollup": _q_s2_rollup,  # NEW r5: S2 cell provider (geo/s2.py)
+        "g_s2_range": _q_s2_range,  # NEW r5: S2 range-containment lookup
         "g_tile_assignment": _q_tile_assignment,
         "g_partition_plan": _q_partition_plan,
         "g_knn": _q_knn,
@@ -893,7 +954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _q_minhash_lsh,
         "t_neardup_clusters": _q_neardup_clusters,
         "t_dedup_apply": _q_dedup_apply,
-        "t_dup_spans": _q_dup_spans,
         "t_contamination": _q_contamination,
         "t_simhash": _q_simhash,
         "t_token_stats": _q_token_stats,
@@ -929,8 +989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_multi_aoi": _q_multi_aoi,  # AOI family: g_aoi_query (r4 row)
         "g_places_enrich": _q_places_enrich,  # enrich path: g_enrich_quadkey
         "g_stream_enrich": _q_stream_enrich,  # streaming: g_stream_table
+        "g_sql_aoi": _q_sql_aoi,  # same oracle as g_aoi_query (r4 row); SQL surface stays pytest-pinned (test_sqlapi)
         "g_sql_enrich": _q_sql_enrich,  # SQL surface: g_sql_aoi
         "e_pivot": _q_event_pivot,  # generic analytics: h_pricing_summary (r4 row)
+        "t_dup_spans": _q_dup_spans,  # span family: r4 row; cut variant below
         "t_dup_span_cut": _q_dup_span_cut,  # span family: t_dup_spans (r4 row)
         "t_ngram_jaccard": _q_ngram_jaccard,  # near-dup scores: t_simhash/t_minhash_lsh (r4 row)
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report

@@ -138,6 +138,18 @@ def main() -> None:
     def q_aoi():
         aoi_op.aoi_query(docs, datagen.city_aoi()).select(F.count("*")).collect()
 
+    def q_s2_rollup():
+        g = enrich.add_s2_cell(
+            enrich.add_geo_columns(docs, drop_nongeo=True), level=10
+        )
+        c = F.col("s2_cell")
+        g.groupBy(
+            F.shiftrightunsigned(c, 61).alias("s2_face"),
+            F.shiftrightunsigned(c, 41).bitwiseAND(F.lit((1 << 20) - 1)).alias("s2_pos"),
+        ).agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.count(F.lit(1)), F.sum("n_docs")
+        ).collect()
+
     # AOI over the enriched, manifest-partitioned table: the serving path —
     # manifest file pruning + pushed StartsWith + refine on survivors only
     table_root = f"/tmp/ob_spark_bench/table_rev{datagen.DATAGEN_REV}_sf{sf}_r{replicas}"
@@ -321,6 +333,7 @@ def main() -> None:
     all_queries = {
         "join_tiles": q_join_tiles,
         "aoi_query": q_aoi,
+        "s2_rollup": q_s2_rollup,
         "aoi_table": q_aoi_table,
         "partition_plan": q_partition_plan,
         "knn": q_knn,

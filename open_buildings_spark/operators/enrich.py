@@ -195,3 +195,27 @@ def add_places_columns(
     reference runs one correlated UPDATE per column; here both derive from
     one pandas_udf over just the wkt column."""
     return add_geo_columns(places, drop_nongeo=True, countries=country_list)
+
+
+def add_s2_cell(
+    docs: DataFrame,
+    level: int = 10,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_col: str = "s2_cell",
+) -> DataFrame:
+    """S2 cell id of each row's centroid, as a third cell-index surface next
+    to the quadkey (reference scheme, overture/add_columns.py:40-47) and the
+    gated H3 provider (geo/cells.py) — the north-star's "H3/S2 index with
+    quadkey fallback". Runs after :func:`add_geo_columns` (which provides
+    centroid lon/lat from one WKT parse pass); the S2 step itself crosses
+    the Python boundary with just two doubles per row. Ids are int64 in the
+    public S2 bit layout, so parent containment is the native range
+    predicate ``id BETWEEN range_min(parent) AND range_max(parent)`` — at
+    100 TB that means range-joins and range-partitioned file layouts prune
+    on a sorted numeric column instead of string prefixes."""
+    from ..udfs import make_s2_cell
+
+    return docs.withColumn(
+        out_col, make_s2_cell(level)(F.col(lon_col), F.col(lat_col))
+    )

@@ -73,6 +73,79 @@ def _y6933(lat: str) -> str:
     return f"{_d(_A)} * {_q6933(lat)} / (2e0 * {_d(_K0)})"
 
 
+def _s2_cell_ctes(prefix: str, src_sql: str, keys: str, level: int) -> tuple[str, str]:
+    """CTE chain computing the S2 (face, level-``level`` Hilbert position)
+    for each row of ``src_sql`` — FROM SCRATCH in SQL: cube-face projection
+    of the unit vector, the quadratic ST transform, then one unrolled
+    Hilbert-curve step per level. The sub-cell order/orientation tables are
+    the published S2 scheme constants, hard-coded here independently of
+    geo/s2.py, so engine and oracle only hash-match if both implement the
+    curve correctly. Emitting (face, position) instead of the full 64-bit
+    id keeps every intermediate in signed BIGINT range (faces 4-5 wrap
+    negative in the id encoding).
+
+    ``src_sql`` must select ``{keys}, plon, plat`` (degrees); every CTE
+    name carries ``prefix`` so the chain can be instantiated several times
+    in one statement. Returns ``(cte_text, final_name)``; the final CTE has
+    columns ``{keys}, face, pos``.
+    """
+    p = prefix
+    ij2pos = "[0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0]"
+    ij2ori = "[1,0,3,0, 0,2,1,1, 2,1,2,3, 3,3,0,2]"
+    shift = 30 - level
+    steps = ""
+    prev = f"{p}h0"
+    for n, k in enumerate(range(level - 1, -1, -1), start=1):
+        idx = f"o*4 + ((ii>>{k})&1)*2 + ((jj>>{k})&1) + 1"
+        steps += (
+            f",\n{p}h{n} AS (SELECT {keys}, face, ii, jj, "
+            f"pos*4 + ({ij2pos})[{idx}] AS pos, ({ij2ori})[{idx}] AS o "
+            f"FROM {prev})"
+        )
+        prev = f"{p}h{n}"
+    text = f"""{p}pt AS (
+  SELECT {keys}, radians(plon) AS rlon, radians(plat) AS rlat
+  FROM ({src_sql})
+),
+{p}xyz AS (
+  SELECT {keys}, cos(rlat)*cos(rlon) AS x, cos(rlat)*sin(rlon) AS y,
+         sin(rlat) AS z
+  FROM {p}pt
+),
+{p}fc AS (
+  SELECT {keys}, x, y, z,
+    CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+              THEN CASE WHEN x >= 0e0 THEN 0 ELSE 3 END
+         WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0e0 THEN 1 ELSE 4 END
+         ELSE CASE WHEN z >= 0e0 THEN 2 ELSE 5 END END AS face
+  FROM {p}xyz
+),
+{p}uv AS (
+  SELECT {keys}, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM {p}fc
+),
+{p}st AS (
+  SELECT {keys}, face,
+    CASE WHEN u >= 0e0 THEN 5e-1*sqrt(1e0+3e0*u)
+         ELSE 1e0 - 5e-1*sqrt(1e0-3e0*u) END AS s,
+    CASE WHEN v >= 0e0 THEN 5e-1*sqrt(1e0+3e0*v)
+         ELSE 1e0 - 5e-1*sqrt(1e0-3e0*v) END AS t
+  FROM {p}uv
+),
+{p}h0 AS (
+  SELECT {keys}, face,
+    LEAST(GREATEST(CAST(floor(s * 1073741824e0) AS BIGINT), 0), 1073741823) >> {shift} AS ii,
+    LEAST(GREATEST(CAST(floor(t * 1073741824e0) AS BIGINT), 0), 1073741823) >> {shift} AS jj,
+    CAST(0 AS BIGINT) AS pos, face & 1 AS o
+  FROM {p}st
+){steps}"""
+    return text, prev
+
+
 def oracle_sql() -> dict[str, str]:
     bld = datagen.buildings_sql_cte()
     w, s, e, n = _aoi_bounds_sql()
@@ -222,6 +295,45 @@ WITH {bld}
 SELECT qk AS quadkey, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN qk <> qk_media THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
 FROM bld WHERE has_geom GROUP BY 1
+"""
+
+    # S2 oracles: the centroid source rows both S2 queries quantize.
+    s2_docs_src = (
+        "SELECT doc_id, CASE WHEN is_multi THEN lon + 3e0 * r ELSE lon END"
+        " AS plon, lat AS plat FROM bld WHERE has_geom"
+    )
+    # Level-10 rollup: per-cell doc counts. Level-10 quantization absorbs
+    # the known ~1e-14 lat divergence between the engine's and DuckDB's
+    # mercator inverses (cell ~0.1 deg; a flip needs the centroid within
+    # ~1e-14 deg of a cell edge).
+    d_ctes, d_fin = _s2_cell_ctes("s2d_", s2_docs_src, "doc_id", 10)
+    sqls["g_s2_rollup"] = f"""
+WITH {bld},
+{d_ctes}
+SELECT CAST(face AS BIGINT) AS s2_face, pos AS s2_pos, COUNT(*) AS n_docs
+FROM {d_fin} GROUP BY 1, 2
+"""
+
+    # Range-containment lookup: docs in the same level-8 S2 cell as each
+    # query point. The ENGINE evaluates this as a numeric range predicate
+    # (leaf id BETWEEN cell range_min AND range_max — the predicate that
+    # prunes range-partitioned files at scale); the oracle re-derives both
+    # sides' cells in SQL and equi-joins, so the two mechanisms must agree.
+    qvals = ", ".join(
+        f"(CAST({qid} AS BIGINT), CAST({lon!r} AS DOUBLE), CAST({lat!r} AS DOUBLE))"
+        for qid, lon, lat in knn_queries()
+    )
+    rq_src = f"SELECT qid, plon, plat FROM (VALUES {qvals}) qv(qid, plon, plat)"
+    rd_ctes, rd_fin = _s2_cell_ctes("r8d_", s2_docs_src, "doc_id", 8)
+    rq_ctes, rq_fin = _s2_cell_ctes("r8q_", rq_src, "qid", 8)
+    sqls["g_s2_range"] = f"""
+WITH {bld},
+{rd_ctes},
+{rq_ctes}
+SELECT q.qid, CAST(q.face AS BIGINT) AS s2_face, q.pos AS s2_pos,
+       COUNT(d.doc_id) AS n_docs
+FROM {rq_fin} q LEFT JOIN {rd_fin} d ON d.face = q.face AND d.pos = q.pos
+GROUP BY 1, 2, 3
 """
 
     sqls["g_partition_plan"] = f"""

@@ -31,6 +31,8 @@ Registered functions (z = 12, the engine/reference tile level):
   ob_area_m2(wkt)           EPSG:6933 equal-area m² (google/process.py:104-109)
   ob_centroid_lon(wkt) / ob_centroid_lat(wkt)
   ob_plus_code(lat, lon)    Plus Code, codeLength 12 (google/process.py:112-113)
+  ob_s2_cell(lon, lat, lvl) int64 S2 cell id at level lvl (geo/s2.py; the
+                            S2 half of the H3/S2-index surface)
 """
 
 from __future__ import annotations
@@ -39,7 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType
+from pyspark.sql.types import DoubleType, LongType, StringType
 
 from .geo import kernels, mercator
 from .geo.wkt import parse_wkt_batch
@@ -89,8 +91,30 @@ def _ob_centroid_lat(wkt: pd.Series) -> pd.Series:
     return pd.Series(np.where(batch.gtype == -1, np.nan, cen[:, 1]))
 
 
+@F.pandas_udf(LongType())
+def _ob_s2_cell(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+    """S2 cell id at ``level`` (int64, public S2 bit layout — geo/s2.py).
+    Level is a per-row column for SQL composability; batches are grouped by
+    the (almost always single) distinct level so the kernel stays
+    vectorized."""
+    from .geo import s2
+
+    lo = lon.to_numpy(dtype=np.float64)
+    la = lat.to_numpy(dtype=np.float64)
+    lv = level.to_numpy(dtype=np.int64)
+    bad = np.isnan(lo) | np.isnan(la)
+    out = np.zeros(len(lo), dtype=np.int64)
+    for one in np.unique(lv):
+        m = lv == one
+        out[m] = s2.cells_from_lonlat(
+            np.where(bad[m], 0.0, lo[m]), np.where(bad[m], 0.0, la[m]), int(one)
+        )
+    return pd.Series(out).mask(bad).astype("Int64")
+
+
 def register(spark: SparkSession) -> None:
     """Register all ``ob_*`` SQL functions on this session (idempotent)."""
+    spark.udf.register("ob_s2_cell", _ob_s2_cell)
     spark.udf.register("ob_quadkey", _ob_quadkey)
     spark.udf.register("ob_point_quadkey", _ob_point_quadkey)
     spark.udf.register("ob_within", make_within_pairs())

@@ -15,6 +15,7 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -471,3 +472,28 @@ def plus_code12(lat: pd.Series, lon: pd.Series) -> pd.Series:
     return pd.Series(codes)
 
 
+
+
+def make_s2_cell(level: int):
+    """Arrow-batched lon/lat -> S2 cell id at ``level`` (int64, the public
+    S2 bit layout — see geo/s2.py). The second cell provider next to the
+    quadkey (reference partition scheme, overture/add_columns.py:40-47);
+    unlike quadkeys, S2 containment is a RANGE predicate
+    (child BETWEEN cell_range(parent)), so the ids feed range joins and
+    range-partitioned layouts rather than prefix pushdown."""
+    from .geo import s2
+
+    if not 0 <= level <= s2.MAX_LEVEL:
+        raise ValueError("level must be 0..30")
+
+    @F.pandas_udf(LongType())
+    def s2_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        bad = np.isnan(lo) | np.isnan(la)
+        ids = s2.cells_from_lonlat(
+            np.where(bad, 0.0, lo), np.where(bad, 0.0, la), level
+        )
+        return pd.Series(ids).mask(bad).astype("Int64")
+
+    return s2_cell

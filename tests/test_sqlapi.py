@@ -125,3 +125,17 @@ def test_create_view_time_travel(sql_spark, tmp_path, docs):
     snap = sql_spark.table("v_snap")
     assert "source" not in snap.columns
     assert sql_spark.sql("SELECT COUNT(*) AS n FROM v_snap").collect()[0]["n"] == n_cur
+
+
+def test_ob_s2_cell(sql_spark):
+    import numpy as np
+
+    from open_buildings_spark.geo import s2
+
+    exp = int(s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 10)[0])
+    got = _one(sql_spark, "ob_s2_cell(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 10)")
+    assert got == exp
+    # per-row level works and NULL coords stay NULL
+    lv30 = _one(sql_spark, "ob_s2_cell(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 30)")
+    assert lv30 == int(s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 30)[0])
+    assert _one(sql_spark, "ob_s2_cell(CAST(NULL AS DOUBLE), CAST(41.9 AS DOUBLE), 10)") is None
