@@ -421,12 +421,13 @@ def _q_s2_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     position are emitted as separate columns (derived natively from the id
     by unsigned shifts) so the oracle never has to represent the full
     64-bit id, whose faces 4-5 wrap negative in signed BIGINT."""
+    from open_buildings_spark.geo import s2 as s2mod
+
     df = enrich.add_s2_cell(_geo_docs(spark, sf_dir), level=10)
-    c = F.col("s2_cell")
-    return df.groupBy(
-        F.shiftrightunsigned(c, 61).alias("s2_face"),
-        F.shiftrightunsigned(c, 41).bitwiseAND(F.lit((1 << 20) - 1)).alias("s2_pos"),
-    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    face, pos = s2mod.face_pos_cols(F.col("s2_cell"), 10)
+    return df.groupBy(face.alias("s2_face"), pos.alias("s2_pos")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
 
 
 def _q_s2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,11 +448,7 @@ def _q_s2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         np.array([q[1] for q in qs]), np.array([q[2] for q in qs]), 8
     )
     lo, hi = s2mod.cell_range(cells)
-    u = cells.view(np.uint64)
-    faces = (u >> np.uint64(61)).astype(np.int64)
-    pos = ((u >> np.uint64(2 * (30 - 8) + 1)) & np.uint64((1 << 16) - 1)).astype(
-        np.int64
-    )
+    faces, pos = s2mod.face_pos(cells, 8)
     qdf = spark.createDataFrame(
         [
             (int(q[0]), int(f), int(p), int(l), int(h))

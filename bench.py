@@ -139,16 +139,15 @@ def main() -> None:
         aoi_op.aoi_query(docs, datagen.city_aoi()).select(F.count("*")).collect()
 
     def q_s2_rollup():
+        from open_buildings_spark.geo import s2 as s2mod
+
         g = enrich.add_s2_cell(
             enrich.add_geo_columns(docs, drop_nongeo=True), level=10
         )
-        c = F.col("s2_cell")
-        g.groupBy(
-            F.shiftrightunsigned(c, 61).alias("s2_face"),
-            F.shiftrightunsigned(c, 41).bitwiseAND(F.lit((1 << 20) - 1)).alias("s2_pos"),
-        ).agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.count(F.lit(1)), F.sum("n_docs")
-        ).collect()
+        face, pos = s2mod.face_pos_cols(F.col("s2_cell"), 10)
+        g.groupBy(face.alias("s2_face"), pos.alias("s2_pos")).agg(
+            F.count(F.lit(1)).alias("n_docs")
+        ).select(F.count(F.lit(1)), F.sum("n_docs")).collect()
 
     # AOI over the enriched, manifest-partitioned table: the serving path —
     # manifest file pruning + pushed StartsWith + refine on survivors only

@@ -8,6 +8,11 @@ environment, so:
   reference's Bing-tile scheme (prefix containment = spatial containment,
   which H3 cells do NOT give you; the engine's prefix pushdown and adaptive
   prefix splitting are quadkey-specific strengths);
+- :class:`S2Index` is the from-scratch S2 provider (geo/s2.py) — int64
+  cell ids in the public bit layout; containment is a numeric RANGE
+  predicate (``cell_range``) instead of a string prefix, neighbor rings
+  wrap exactly across cube-face seams, and bbox covers come from exact
+  per-face UV bounds;
 - :class:`H3Index` activates automatically if ``import h3`` ever succeeds,
   mapping the same interface onto H3 cells (resolution ≈ zoom); ring
   expansion uses ``h3.grid_disk``. Until then it raises ImportError.
@@ -21,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import mercator
+from . import s2 as _s2
 
 
 class QuadkeyIndex:
@@ -52,6 +58,30 @@ class QuadkeyIndex:
             for x in range(x0, x1 + 1)
             for y in range(y0, y1 + 1)
         ]
+
+
+class S2Index:
+    """S2 cells (geo/s2.py: cube-face + Hilbert curve, int64 ids). Cells
+    are python ints; parent containment is the range predicate
+    ``leaf BETWEEN cell_range(parent)``, not a string prefix."""
+
+    name = "s2"
+    hierarchical_prefix = False  # containment is numeric-range, not prefix
+
+    def cell_of(self, lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
+        return _s2.cells_from_lonlat(lon, lat, level)
+
+    def cell_of_scalar(self, lon: float, lat: float, level: int) -> int:
+        return int(_s2.cells_from_lonlat(np.array([lon]), np.array([lat]), level)[0])
+
+    def parent(self, cell: int, level: int) -> int:
+        return int(_s2.cell_at_level(np.array([cell]), level)[0])
+
+    def neighbors(self, cell: int, ring: int = 1) -> list[int]:
+        return _s2.neighbor_cells(cell, ring)
+
+    def cover_bbox(self, w: float, s: float, e: float, n: float, level: int) -> list[int]:
+        return _s2.cover_bbox(w, s, e, n, level)
 
 
 class H3Index:  # pragma: no cover - h3 not installed in this environment
@@ -87,7 +117,7 @@ class H3Index:  # pragma: no cover - h3 not installed in this environment
         return list(h3.polygon_to_cells(poly, level))
 
 
-_PROVIDERS = {"quadkey": QuadkeyIndex}
+_PROVIDERS = {"quadkey": QuadkeyIndex, "s2": S2Index}
 try:  # pragma: no cover
     import h3  # noqa: F401
 

@@ -68,7 +68,11 @@ def _face_uv(lon_deg: np.ndarray, lat_deg: np.ndarray):
     lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
     lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
     cl = np.cos(lat)
-    x, y, z = cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)
+    return _xyz_to_face_uv(cl * np.cos(lon), cl * np.sin(lon), np.sin(lat))
+
+
+def _xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """(face, u, v) of each (not necessarily unit) direction vector."""
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
     fx = (ax >= ay) & (ax >= az)
     fy = ~fx & (ay >= az)
@@ -192,3 +196,197 @@ def cell_range(ids) -> tuple[np.ndarray, np.ndarray]:
 def cells_from_lonlat(lon_deg, lat_deg, level: int) -> np.ndarray:
     """Vectorized lon/lat -> S2 cell id at ``level`` (int64)."""
     return cell_at_level(leaf_from_lonlat(lon_deg, lat_deg), level)
+
+
+def face_pos(ids, level: int) -> tuple[np.ndarray, np.ndarray]:
+    """(face, within-face Hilbert position truncated to ``level``) of each
+    cell id — the pair oracle-facing queries emit instead of the full id
+    (faces 4-5 wrap negative in signed BIGINT; face and position are each
+    small non-negative ints). The single authority for the bit layout;
+    :func:`face_pos_cols` is the Spark Column twin."""
+    u = np.asarray(ids, dtype=np.int64).view(np.uint64)
+    face = (u >> np.uint64(2 * MAX_LEVEL + 1)).astype(np.int64)
+    pos = (
+        (u >> np.uint64(2 * (MAX_LEVEL - level) + 1))
+        & np.uint64((1 << (2 * level)) - 1)
+    ).astype(np.int64)
+    return face, pos
+
+
+def face_pos_cols(col, level: int):
+    """Spark Column twin of :func:`face_pos`: (face, pos) expressions over
+    an int64 cell-id column, via native unsigned shifts (no Python)."""
+    from pyspark.sql import functions as F  # geo package stays numpy-pure
+
+    face = F.shiftrightunsigned(col, 2 * MAX_LEVEL + 1)
+    pos = F.shiftrightunsigned(col, 2 * (MAX_LEVEL - level) + 1).bitwiseAND(
+        F.lit((1 << (2 * level)) - 1)
+    )
+    return face, pos
+
+
+# (face, u, v) -> xyz: inverse of the per-face extraction in _face_uv, with
+# the face axis pinned to ±1 (any positive multiple projects identically).
+_FACE_UV_TO_XYZ = (
+    lambda u, v: (np.ones_like(u), u, v),  # +x
+    lambda u, v: (-u, np.ones_like(u), v),  # +y
+    lambda u, v: (-u, -v, np.ones_like(u)),  # +z
+    lambda u, v: (-np.ones_like(u), -v, -u),  # -x
+    lambda u, v: (v, -np.ones_like(u), -u),  # -y
+    lambda u, v: (v, u, -np.ones_like(u)),  # -z
+)
+
+
+def _leaf_from_face_ij_wrap(face: int, i: int, j: int) -> int:
+    """Leaf id for (i, j) possibly one step OUTSIDE [0, 2^30) on ``face`` —
+    wraps across the cube edge onto the adjacent face (the standard S2
+    neighbor construction: linear ST on both sides, clamp uv just past the
+    face edge, re-project through XYZ)."""
+    kmax = 1 << MAX_LEVEL
+    limit = np.nextafter(1.0, 2.0)  # 1 + one ulp: lands on the far face
+    scale = 1.0 / kmax
+    u = min(limit, max(-limit, scale * (2.0 * (i - kmax // 2) + 1.0)))
+    v = min(limit, max(-limit, scale * (2.0 * (j - kmax // 2) + 1.0)))
+    x, y, z = _FACE_UV_TO_XYZ[face](np.array([u]), np.array([v]))
+    f2, u2, v2 = _xyz_to_face_uv(x, y, z)
+    i2 = int(np.clip(np.floor(0.5 * (u2[0] + 1.0) * kmax), 0, kmax - 1))
+    j2 = int(np.clip(np.floor(0.5 * (v2[0] + 1.0) * kmax), 0, kmax - 1))
+    return int(leaf_from_face_ij(np.array([f2[0]]), np.array([i2]), np.array([j2]))[0])
+
+
+def cell_corner_ij(cell_id: int) -> tuple[int, int, int, int]:
+    """(face, i, j, size) of a cell's min-ij leaf corner: a level-k Hilbert
+    prefix covers exactly one aligned 2^(30-k)-square ij block, so decoding
+    any interior leaf (here the Hilbert-first leaf, range_min) and masking
+    the low bits yields the block corner."""
+    level = int(cell_level(np.array([cell_id]))[0])
+    size = 1 << (MAX_LEVEL - level)
+    lo, _ = cell_range(np.array([cell_id]))
+    face, i, j = leaf_to_face_ij(lo)
+    return int(face[0]), (int(i[0]) >> (MAX_LEVEL - level)) << (
+        MAX_LEVEL - level
+    ), (int(j[0]) >> (MAX_LEVEL - level)) << (MAX_LEVEL - level), size
+
+
+def neighbor_cells(cell_id: int, ring: int = 1) -> list[int]:
+    """All distinct cells within ``ring`` king-move steps (incl. the cell
+    itself — same contract as the quadkey provider's tile disk). Ring 1 is
+    the direct 8-neighborhood with exact cross-face wrapping; larger rings
+    expand by BFS over ring-1 neighborhoods, which stays exact across face
+    boundaries where a single flat ij offset would collapse cells."""
+    level = int(cell_level(np.array([cell_id]))[0])
+    disk = {int(cell_id)}
+    frontier = [int(cell_id)]
+    for _ in range(ring):
+        nxt = []
+        for c in frontier:
+            face, ci, cj, size = cell_corner_ij(c)
+            half = size // 2
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    leaf = _leaf_from_face_ij_wrap(
+                        face, ci + di * size + half, cj + dj * size + half
+                    )
+                    n = int(cell_at_level(np.array([leaf]), level)[0])
+                    if n not in disk:
+                        disk.add(n)
+                        nxt.append(n)
+        frontier = nxt
+    return sorted(disk)
+
+
+def _annular_sector_bbox(r0, r1, a0, a1):
+    """Planar bbox (x0, x1, y0, y1) of the annular sector
+    {radius in [r0, r1], angle in [a0, a1] degrees, a1 - a0 <= 360} —
+    corners plus any axis crossing at the outer radius."""
+    xs, ys = [], []
+    for r in (r0, r1):
+        for a in (a0, a1):
+            xs.append(r * np.cos(np.radians(a)))
+            ys.append(r * np.sin(np.radians(a)))
+    for axis_ang, dx, dy in ((0, 1, 0), (90, 0, 1), (180, -1, 0), (270, 0, -1)):
+        k = np.ceil((a0 - axis_ang) / 360.0)
+        if axis_ang + 360.0 * k <= a1:
+            xs.append(r1 * dx)
+            ys.append(r1 * dy)
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def cover_bbox(w: float, s: float, e: float, n: float, level: int) -> list[int]:
+    """Conservative cover of the lat/lon rect [w..e] x [s..n] (w <= e, no
+    antimeridian wrap — same contract as the quadkey provider) with
+    level-``level`` cells: every point of the rect lies in some returned
+    cell. Exact per-face UV bounds, no sampling:
+
+    - equatorial faces (0/1/3/4, center longitude c): within the face's
+      hemisphere, with D = lon - c, faces 0/1 have
+      (u, v) = (tan D, tan(lat) * sec D) while faces 3/4 are axis-swapped:
+      (u, v) = (-tan(lat) * sec D, tan D); each factor is monotone, so the
+      rect's image has an exact UV bbox from interval-endpoint products;
+    - polar faces (2/5): the image is an annular sector in UV polar
+      coordinates (radius cot(|lat|), angle from lon), whose bbox is
+      corners + axis crossings.
+
+    The UV boxes are clipped to the face square, so cells outside the
+    owned region only add a conservative margin at face seams."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError("level must be 0..30")
+    if not (w <= e and s <= n):
+        raise ValueError("bbox must satisfy w <= e and s <= n")
+    boxes: list[tuple[int, float, float, float, float]] = []
+
+    width = min(e - w, 360.0)
+    for face, c in ((0, 0.0), (1, 90.0), (3, 180.0), (4, -90.0)):
+        d0 = w - c
+        d0 -= 360.0 * np.floor((d0 + 180.0) / 360.0)  # normalize to [-180, 180)
+        d1 = d0 + width
+        for lo, hi, off in ((-90.0, 90.0, 0.0), (270.0, 450.0, 360.0)):
+            a, b = max(d0, lo), min(d1, hi)
+            if a >= b:
+                continue
+            a, b = a - off, b - off  # back to the (-90, 90) window
+            td0, td1 = np.tan(np.radians(a)), np.tan(np.radians(b))
+            seca, secb = 1.0 / np.cos(np.radians(a)), 1.0 / np.cos(np.radians(b))
+            sec_lo = 1.0 if a <= 0.0 <= b else min(seca, secb)
+            sec_hi = max(seca, secb)
+            t0, t1 = np.tan(np.radians(s)), np.tan(np.radians(n))
+            vv = [t * sc for t in (t0, t1) for sc in (sec_lo, sec_hi)]
+            if face in (0, 1):  # (u, v) = (tan D, tan(lat) sec D)
+                boxes.append((face, td0, td1, min(vv), max(vv)))
+            else:  # faces 3/4: (u, v) = (-tan(lat) sec D, tan D)
+                boxes.append((face, -max(vv), -min(vv), td0, td1))
+
+    r_cap = np.sqrt(2.0) * 1.001  # just past the face square's corner
+    if n > 0.0:  # northern rect part projects on face 2 (+z)
+        r0 = 0.0 if n >= 90.0 else 1.0 / np.tan(np.radians(n))
+        r1 = r_cap if s <= 0.0 else min(1.0 / np.tan(np.radians(s)), r_cap)
+        if r0 <= r_cap:
+            boxes.append((2, *_annular_sector_bbox(r0, r1, w + 180.0, e + 180.0)))
+    if s < 0.0:  # southern part projects on face 5 (-z)
+        r0 = 0.0 if s <= -90.0 else 1.0 / np.tan(np.radians(-s))
+        r1 = r_cap if n >= 0.0 else min(1.0 / np.tan(np.radians(-n)), r_cap)
+        if r0 <= r_cap:
+            boxes.append((5, *_annular_sector_bbox(r0, r1, 90.0 - e, 90.0 - w)))
+
+    shift = MAX_LEVEL - level
+    half = (1 << shift) >> 1
+    out: set[int] = set()
+    for face, u0, u1, v0, v1 in boxes:
+        if u1 < -1.0 or u0 > 1.0 or v1 < -1.0 or v0 > 1.0:
+            continue
+        i0 = int(_ij(_st(np.array([max(u0, -1.0)])))[0]) >> shift
+        i1 = int(_ij(_st(np.array([min(u1, 1.0)])))[0]) >> shift
+        j0 = int(_ij(_st(np.array([max(v0, -1.0)])))[0]) >> shift
+        j1 = int(_ij(_st(np.array([min(v1, 1.0)])))[0]) >> shift
+        ii, jj = np.meshgrid(
+            np.arange(i0, i1 + 1), np.arange(j0, j1 + 1), indexing="ij"
+        )
+        leafs = leaf_from_face_ij(
+            np.full(ii.size, face, dtype=np.int64),
+            (ii.ravel() << shift) + half,
+            (jj.ravel() << shift) + half,
+        )
+        out.update(int(c) for c in cell_at_level(leafs, level))
+    return sorted(out)

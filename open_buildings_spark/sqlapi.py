@@ -101,15 +101,20 @@ def _ob_s2_cell(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
 
     lo = lon.to_numpy(dtype=np.float64)
     la = lat.to_numpy(dtype=np.float64)
-    lv = level.to_numpy(dtype=np.int64)
-    bad = np.isnan(lo) | np.isnan(la)
+    lvf = level.to_numpy(dtype=np.float64)  # NULL level -> NaN, not INT_MIN
+    bad = (
+        np.isnan(lo)
+        | np.isnan(la)
+        | ~((lvf >= 0) & (lvf <= s2.MAX_LEVEL))  # NaN/out-of-range -> NULL
+    )
+    lv = np.where(np.isnan(lvf), 0.0, lvf).astype(np.int64)
     out = np.zeros(len(lo), dtype=np.int64)
-    for one in np.unique(lv):
-        m = lv == one
-        out[m] = s2.cells_from_lonlat(
-            np.where(bad[m], 0.0, lo[m]), np.where(bad[m], 0.0, la[m]), int(one)
-        )
-    return pd.Series(out).mask(bad).astype("Int64")
+    for one in np.unique(lv[~bad]):
+        m = (lv == one) & ~bad
+        out[m] = s2.cells_from_lonlat(lo[m], la[m], int(one))
+    # astype BEFORE mask: mask on int64 upcasts to float64 and corrupts ids
+    # beyond 2^53 (always at level >= 25) for every row sharing the batch.
+    return pd.Series(out).astype("Int64").mask(bad)
 
 
 def register(spark: SparkSession) -> None:

@@ -494,6 +494,9 @@ def make_s2_cell(level: int):
         ids = s2.cells_from_lonlat(
             np.where(bad, 0.0, lo), np.where(bad, 0.0, la), level
         )
-        return pd.Series(ids).mask(bad).astype("Int64")
+        # astype BEFORE mask: Series.mask on int64 upcasts to float64 and
+        # corrupts ids beyond 2^53 (always at level >= 25) for EVERY row in
+        # a batch containing one null — the pandas int-null repeat offender.
+        return pd.Series(ids).astype("Int64").mask(bad)
 
     return s2_cell

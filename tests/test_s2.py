@@ -127,6 +127,113 @@ def test_nearby_points_share_coarse_cell():
     assert base != far
 
 
+def test_face_pos_matches_layout():
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-180, 180, 5_000)
+    lat = rng.uniform(-90, 90, 5_000)
+    for level in (8, 10, 30):
+        ids = s2.cells_from_lonlat(lon, lat, level)
+        face, pos = s2.face_pos(ids, level)
+        u = ids.view(np.uint64)
+        np.testing.assert_array_equal(face, (u >> np.uint64(61)).astype(np.int64))
+        shift = np.uint64(2 * (30 - level) + 1)
+        np.testing.assert_array_equal(
+            pos, ((u >> shift) & np.uint64((1 << (2 * level)) - 1)).astype(np.int64)
+        )
+        assert (face >= 0).all() and (face <= 5).all()
+        assert (pos >= 0).all()
+
+
+def test_neighbor_cells_interior_and_rings():
+    # an interior cell (Rome, level 10: far from any face edge)
+    c = int(s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 10)[0])
+    disk1 = s2.neighbor_cells(c, 1)
+    assert c in disk1 and len(disk1) == 9
+    assert (s2.cell_level(np.array(disk1)) == 10).all()
+    # same face, Chebyshev distance exactly <= 1 in cell units
+    f0, i0, j0, size = s2.cell_corner_ij(c)
+    for nb in disk1:
+        f, i, j, _ = s2.cell_corner_ij(nb)
+        assert f == f0
+        assert max(abs(i - i0), abs(j - j0)) <= size
+    assert len(s2.neighbor_cells(c, 2)) == 25
+
+
+def test_neighbor_cells_cross_face_symmetry():
+    # cells hugging face seams: +x/+y (lon 45, low lat), +x/+z (lon 0,
+    # lat 45), and the -x/-y seam (lon -135) — all at latitudes where the
+    # equatorial face still owns the point so its cell touches the edge
+    for lon, lat in ((45.0, 0.0), (45.0, 20.0), (0.0, 45.0), (-135.0, -20.0)):
+        a = int(s2.cells_from_lonlat(np.array([lon]), np.array([lat]), 8)[0])
+        nbs = s2.neighbor_cells(a, 1)
+        faces = {s2.cell_corner_ij(n)[0] for n in nbs}
+        assert len(faces) >= 2  # the disk crosses onto the adjacent face
+        for b in nbs:
+            assert a in s2.neighbor_cells(b, 1), (lon, lat, b)
+
+
+def test_neighbor_cells_cube_corner():
+    # a cell in the corner of face 0 touching the cube vertex (u=v=1):
+    # only 3 faces meet there, so the full 3x3 disk collapses below 9
+    leaf = s2.leaf_from_face_ij(
+        np.array([0]), np.array([(1 << 30) - 1]), np.array([(1 << 30) - 1])
+    )
+    c = int(s2.cell_at_level(leaf, 6)[0])
+    disk = s2.neighbor_cells(c, 1)
+    assert c in disk and len(disk) < 9
+    for b in disk:
+        assert c in s2.neighbor_cells(b, 1)
+
+
+def test_cover_bbox_contains_member_points():
+    rng = np.random.default_rng(23)
+    rects = [
+        (12.3, 41.7, 12.7, 42.1),  # interior of one face
+        (44.0, -1.0, 46.0, 1.0),  # crosses the +x/+y seam and the equator
+        (-10.0, 80.0, 50.0, 90.0),  # polar cap touching the pole
+        (170.0, -45.5, 180.0, -44.0),  # antimeridian edge, southern faces
+        (-180.0, -90.0, -170.0, -80.0),  # south-pole corner
+        (-90.5, 34.9, -89.5, 35.9),  # face 4/0 seam near the polar circle
+    ]
+    for _ in range(6):
+        w = rng.uniform(-180, 175)
+        s = rng.uniform(-90, 85)
+        rects.append((w, s, w + rng.uniform(0.1, 20), s + rng.uniform(0.1, 20)))
+    for w, s, e, n in rects:
+        for level in (4, 8):
+            cover = set(s2.cover_bbox(w, s, e, n, level))
+            assert cover
+            lon = rng.uniform(w, min(e, 180.0), 400)
+            lat = rng.uniform(s, min(n, 90.0), 400)
+            cells = s2.cells_from_lonlat(lon, lat, level)
+            missing = [c for c in np.unique(cells) if int(c) not in cover]
+            assert not missing, (w, s, e, n, level, missing[:3])
+
+
+def test_cover_bbox_is_tight_for_small_rects():
+    # a city-sized rect at matched level should cover a handful of cells,
+    # not a face's worth
+    cover = s2.cover_bbox(12.3, 41.7, 12.7, 42.1, 8)
+    assert 1 <= len(cover) <= 16
+
+
+def test_cell_index_s2_provider():
+    from open_buildings_spark.geo.cells import cell_index
+
+    idx = cell_index("s2")
+    assert idx.name == "s2" and not idx.hierarchical_prefix
+    c = idx.cell_of_scalar(12.5, 41.9, 10)
+    assert c == int(s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 10)[0])
+    np.testing.assert_array_equal(
+        idx.cell_of(np.array([12.5]), np.array([41.9]), 10), np.array([c])
+    )
+    p = idx.parent(c, 6)
+    lo, hi = s2.cell_range(np.array([p]))
+    assert lo[0] <= c <= hi[0]
+    assert c in idx.neighbors(c, 1)
+    assert any(lo[0] <= x <= hi[0] for x in idx.cover_bbox(12.4, 41.8, 12.6, 42.0, 6))
+
+
 def test_add_s2_cell_matches_numpy(spark):
     """Operator output == direct numpy kernel on the same lon/lat, nulls
     stay null, and the rollup plan keeps exactly TWO ArrowEvalPython nodes
@@ -167,6 +274,33 @@ def test_add_s2_cell_matches_numpy(spark):
     pos = ((ids.view(np.uint64) >> np.uint64(41)) & np.uint64((1 << 20) - 1)).astype(np.int64)
     np.testing.assert_array_equal(fp["f"].to_numpy(dtype=np.int64), face)
     np.testing.assert_array_equal(fp["p"].to_numpy(dtype=np.int64), pos)
+
+
+def test_add_s2_cell_leaf_level_exact_with_nulls(spark):
+    """Regression: a null coordinate in the batch must NOT corrupt the
+    other rows' ids. Series.mask on int64 upcasts to float64, which rounds
+    ids beyond 2^53 — every leaf-level id, since leaves end in the sentinel
+    1 bit — so the old mask-then-astype order broke all rows sharing a
+    batch with one null."""
+    import pandas as pd
+
+    from open_buildings_spark.operators.enrich import add_s2_cell
+
+    pdf = pd.DataFrame(
+        {"lon": [12.5, None, -70.66], "lat": [41.9, 10.0, -33.45]}
+    )
+    # collect() Rows, NOT toPandas(): pandas itself would float64 the
+    # nullable long column on the way OUT and mask the regression
+    rows = (
+        add_s2_cell(spark.createDataFrame(pdf), level=30)
+        .orderBy("lon")
+        .collect()
+    )
+    got = {r["lon"]: r["s2_cell"] for r in rows}
+    exp = s2.leaf_from_lonlat(np.array([12.5, -70.66]), np.array([41.9, -33.45]))
+    assert got[12.5] == int(exp[0]) and got[-70.66] == int(exp[1])
+    assert (exp & 1 == 1).all()  # leaf ids: the float path would zero this
+    assert got[None] is None
 
 
 def test_s2_rollup_plan_two_python_evals(spark):

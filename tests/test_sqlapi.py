@@ -139,3 +139,25 @@ def test_ob_s2_cell(sql_spark):
     lv30 = _one(sql_spark, "ob_s2_cell(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 30)")
     assert lv30 == int(s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 30)[0])
     assert _one(sql_spark, "ob_s2_cell(CAST(NULL AS DOUBLE), CAST(41.9 AS DOUBLE), 10)") is None
+    # NULL / out-of-range level -> NULL row, not an executor ValueError
+    assert _one(sql_spark, "ob_s2_cell(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), CAST(NULL AS INT))") is None
+    assert _one(sql_spark, "ob_s2_cell(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 31)") is None
+
+
+def test_ob_s2_cell_leaf_exact_with_null_in_batch(sql_spark):
+    """Regression: one NULL coordinate in an Arrow batch must not
+    float64-round the other rows' leaf-level ids (mask-before-astype bug)."""
+    import numpy as np
+
+    from open_buildings_spark.geo import s2
+
+    rows = sql_spark.sql(
+        "SELECT ob_s2_cell(lon, lat, 30) AS c FROM VALUES "
+        "(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE)), "
+        "(CAST(NULL AS DOUBLE), CAST(10.0 AS DOUBLE)), "
+        "(CAST(-70.66 AS DOUBLE), CAST(-33.45 AS DOUBLE)) t(lon, lat)"
+    ).collect()
+    got = [r["c"] for r in rows]
+    exp = s2.leaf_from_lonlat(np.array([12.5, -70.66]), np.array([41.9, -33.45]))
+    assert got[0] == int(exp[0]) and got[2] == int(exp[1]) and got[1] is None
+    assert got[0] & 1 == 1
