@@ -472,6 +472,27 @@ def _q_s2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """City-window serve off the S2-ordered parquet layout: bbox -> cell
+    cover -> merged leaf-id ranges -> manifest FILE prune -> pushed
+    OR-of-BETWEEN (parquet row-group pruning) -> exact native lon/lat
+    refine. The numeric-range twin of g_aoi_table's prefix-pruned serve;
+    the oracle is the plain centroid-in-bbox predicate, so the whole
+    cover/prune pipeline must be exactly lossless."""
+    import os
+
+    from open_buildings_spark.operators import s2scan
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/ob_spark_entry/s2layout_{sf}_rev{datagen.DATAGEN_REV}"
+    if not os.path.exists(os.path.join(path, s2scan.MANIFEST_NAME)):
+        s2scan.write_s2_layout(_geo_docs(spark, sf_dir), path, num_files=16)
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    return s2scan.s2_bbox_scan(spark, path, w, s, e, n, cover_level=10).select(
+        "doc_id", "quadkey"
+    )
+
+
 def _q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition.partition_plan(_geo_docs(spark, sf_dir), oracles.MAX_PER_FILE)
 
@@ -936,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_tile_rollup": _q_tile_rollup,
         "g_s2_rollup": _q_s2_rollup,  # NEW r5: S2 cell provider (geo/s2.py)
         "g_s2_range": _q_s2_range,  # NEW r5: S2 range-containment lookup
+        "g_s2_scan": _q_s2_scan,  # NEW r5: S2-ordered layout, range-pruned serve
         "g_tile_assignment": _q_tile_assignment,
         "g_partition_plan": _q_partition_plan,
         "g_knn": _q_knn,
@@ -975,7 +997,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "e_windowed_agg": _q_windowed_agg,
-        "e_sessionize": _q_sessionize,
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
         # ---- tail (position > 50): redundant with a gated sibling; every
@@ -994,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_ngram_jaccard": _q_ngram_jaccard,  # near-dup scores: t_simhash/t_minhash_lsh (r4 row)
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
+        "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)
         "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)

@@ -179,6 +179,26 @@ def main() -> None:
         t = tbl.read_table(spark, table_root, quadkey_prefix=geojson_to_quadkey(aoi))
         aoi_op.aoi_query(t, aoi).select(F.count("*")).collect()
 
+    # city window over the S2-ordered layout: manifest file prune ->
+    # pushed OR-of-BETWEEN (row-group pruning) -> native lon/lat refine
+    s2_root = f"/tmp/ob_spark_bench/s2layout_rev{datagen.DATAGEN_REV}_sf{sf}_r{replicas}"
+    def _ensure_s2_layout():
+        import os
+
+        from open_buildings_spark.operators import s2scan
+
+        if not os.path.exists(os.path.join(s2_root, s2scan.MANIFEST_NAME)):
+            g = enrich.add_geo_columns(docs, drop_nongeo=True)
+            s2scan.write_s2_layout(g, s2_root, num_files=64)
+
+    def q_s2_scan():
+        from open_buildings_spark.operators import s2scan
+
+        w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+        s2scan.s2_bbox_scan(spark, s2_root, w, s, e, n, cover_level=10).select(
+            F.count("*")
+        ).collect()
+
     def q_partition_plan():
         g = enrich.add_geo_columns(docs, drop_nongeo=True)
         partition.partition_plan(g, 10000).select(F.count("*")).collect()
@@ -333,6 +353,7 @@ def main() -> None:
         "join_tiles": q_join_tiles,
         "aoi_query": q_aoi,
         "s2_rollup": q_s2_rollup,
+        "s2_scan": q_s2_scan,
         "aoi_table": q_aoi_table,
         "partition_plan": q_partition_plan,
         "knn": q_knn,
@@ -359,6 +380,8 @@ def main() -> None:
         names
     ):
         _ensure_table()  # one-time build outside the timed window
+    if "s2_scan" in names:
+        _ensure_s2_layout()
     if "convert_csv" in names:
         _ensure_csv()
     for name in names:

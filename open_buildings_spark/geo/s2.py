@@ -297,6 +297,45 @@ def neighbor_cells(cell_id: int, ring: int = 1) -> list[int]:
     return sorted(disk)
 
 
+def merge_ranges(cells, max_ranges: int | None = None) -> list[tuple[int, int]]:
+    """Minimal sorted list of disjoint leaf-id ranges [lo, hi] covering the
+    given cells: adjacent cells coalesce (the Hilbert curve makes covers of
+    contiguous regions mostly contiguous in id space), but never across the
+    int64 sign flip between faces 3 and 4 — a signed BETWEEN with lo > 0 >
+    hi matches nothing. With ``max_ranges``, the smallest same-sign gaps
+    are closed first until the budget holds; closing a gap only widens the
+    ranges, so the result stays a superset (callers re-filter exactly)."""
+    lo, hi = cell_range(np.asarray(cells, dtype=np.int64))
+    order = np.argsort(lo.view(np.uint64))
+    lo, hi = lo[order], hi[order]
+    merged: list[list[int]] = []
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        # gap <= 2, not 1: consecutive cells' ranges skip exactly one EVEN
+        # id (no leaf ends in 0), so semantically-adjacent ranges sit two
+        # apart — requiring +1 adjacency would merge nothing, ever
+        if merged and a <= merged[-1][1] + 2 and (merged[-1][1] < 0) == (a < 0):
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    if max_ranges is not None and len(merged) > max_ranges:
+        # close the smallest same-sign gaps in ONE vectorized pass (the
+        # one-at-a-time variant is O(n^2) and a 400k-cell world cover hangs)
+        glo = np.array([m[0] for m in merged], dtype=np.int64)
+        ghi = np.array([m[1] for m in merged], dtype=np.int64)
+        gaps = (glo[1:].view(np.uint64) - ghi[:-1].view(np.uint64)).astype(
+            np.uint64
+        )
+        closable = np.where((ghi[:-1] < 0) == (glo[1:] < 0))[0]
+        n_close = min(len(merged) - max_ranges, len(closable))
+        close = closable[np.argsort(gaps[closable], kind="stable")[:n_close]]
+        keep = np.ones(len(merged) - 1, dtype=bool)
+        keep[close] = False  # boundaries that survive
+        starts = np.concatenate(([0], np.where(keep)[0] + 1))
+        ends = np.concatenate((np.where(keep)[0], [len(merged) - 1]))
+        merged = [[int(glo[a]), int(ghi[b])] for a, b in zip(starts, ends)]
+    return [(a, b) for a, b in merged]
+
+
 def _annular_sector_bbox(r0, r1, a0, a1):
     """Planar bbox (x0, x1, y0, y1) of the annular sector
     {radius in [r0, r1], angle in [a0, a1] degrees, a1 - a0 <= 360} —

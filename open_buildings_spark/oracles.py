@@ -336,6 +336,18 @@ FROM {rq_fin} q LEFT JOIN {rd_fin} d ON d.face = q.face AND d.pos = q.pos
 GROUP BY 1, 2, 3
 """
 
+    # S2-ordered layout serve: the ENGINE answers via cover cells ->
+    # merged leaf-id ranges -> manifest file pruning -> pushed BETWEENs ->
+    # native refine; the ORACLE is the bare centroid-in-bbox predicate, so
+    # any cover gap, bad range merge, or over-eager file prune mismatches.
+    sqls["g_s2_scan"] = f"""
+WITH {bld}
+SELECT doc_id, qk AS quadkey FROM bld
+WHERE has_geom
+  AND (CASE WHEN is_multi THEN lon + 3e0 * r ELSE lon END) BETWEEN {w} AND {e}
+  AND lat BETWEEN {s} AND {n}
+"""
+
     sqls["g_partition_plan"] = f"""
 WITH {bld},
 h12 AS (SELECT qk AS c, COUNT(*) AS n FROM bld WHERE has_geom GROUP BY 1),
