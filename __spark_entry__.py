@@ -737,6 +737,18 @@ def _q_corpus_report(spark, sf_dir):
     )
 
 
+def _q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer induction, the distributed half: word counts over the
+    dup-augmented corpus, then weighted adjacent-character-pair counts on
+    the DISTINCT-word table (per-char work is O(vocab), not O(corpus)) —
+    top-50 merge candidates in deterministic (count DESC, pair ASC) order.
+    The greedy merge loop itself (bpe.learn) is bounded driver state like
+    kmeans centroids; encode applies merges via native replace chains."""
+    from open_buildings_spark.operators import bpe
+
+    return bpe.pair_stats(dedup.augment_corpus(spark, sf_dir), top_k=50)
+
+
 def _q_length_quantiles(spark, sf_dir):
     """Per-source token-length quantiles (exact percentile, rounded)."""
     return textstats.length_quantiles(
@@ -981,7 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_normalize": _q_normalize,  # NEW r5: text normalization
         "t_chunk": _q_chunk,  # NEW r5: training-window chunking
         "t_vocab": _q_vocab,
-        "t_corpus_report": _q_corpus_report,
+        "t_bpe_pairs": _q_bpe_pairs,  # NEW r5: BPE merge-candidate scan (operators/bpe.py)
         "t_bm25": _q_bm25,
         "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dup_spans": _q_dup_spans,  # span family: r4 row; cut variant below
         "t_dup_span_cut": _q_dup_span_cut,  # span family: t_dup_spans (r4 row)
         "t_ngram_jaccard": _q_ngram_jaccard,  # near-dup scores: t_simhash/t_minhash_lsh (r4 row)
+        "t_corpus_report": _q_corpus_report,  # stats rollup: r4 row; t_token_stats stays in head
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
         "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family

@@ -285,6 +285,31 @@ SELECT i.a, i.b, CAST(i.i AS DOUBLE) / CAST(na.n + nb.n - i.i AS DOUBLE) AS jac
 FROM inter i JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
 """
 
+    # BPE round-1 merge candidates: word counts over the dup-augmented
+    # corpus, then weighted adjacent-character-pair counts over the
+    # DISTINCT-word table (O(vocab) per-char work — the scale contract the
+    # engine's operators/bpe.py pair_stats makes). Deterministic order:
+    # (n DESC, pair ASC) for both the top-k cut and the rank.
+    sqls["t_bpe_pairs"] = f"""
+WITH {corpus},
+bwords AS (
+  SELECT u.w AS word, COUNT(*) AS wc
+  FROM corpus, unnest({_TOKS}) AS u(w)
+  GROUP BY 1
+),
+bpairs AS (
+  SELECT substr(word, CAST(g.i AS INT), 1) || ' ' ||
+         substr(word, CAST(g.i AS INT) + 1, 1) AS pair,
+         SUM(wc) AS n
+  FROM bwords, unnest(range(1, length(word))) AS g(i)
+  WHERE length(word) >= 2
+  GROUP BY 1
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+       pair, CAST(n AS BIGINT) AS n
+FROM bpairs ORDER BY n DESC, pair LIMIT 50
+"""
+
     sqls["t_token_stats"] = f"""
 WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
 SELECT doc_id,
