@@ -22,13 +22,14 @@ training-data toolkit the engine adds):
    distributed part is producing that dict.
 
 :func:`apply_merges` / :func:`encode` apply a learned merge list —
-encode stays a native expression chain (two ``replace`` calls per merge
-on a delimiter-guarded symbol string), so corpus-wide tokenization never
-leaves the JVM.
+encode runs the exact per-word rule once per DISTINCT word (Arrow-batched
+over the vocab table) and rebuilds documents with joins, so the
+corpus-sized work stays in the JVM while Python cost is O(vocab).
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via globals
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -135,52 +136,38 @@ def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
-SEP = "\x01"  # symbol delimiter; must not occur in the text itself
-
-
 def encode(
-    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Add ``bpe_tokens`` (array<string>): each whitespace token segmented
-    by the merge list, applied in creation order — entirely native
-    expressions, so corpus-wide tokenization never crosses the Python
-    boundary (2 ``replace`` calls per merge on a delimiter-guarded symbol
-    string; ~2*len(merges) expression nodes).
+    """Add ``bpe_tokens`` (array<string>): every whitespace token segmented
+    with :func:`apply_merges` — bit-identical to the per-word priority
+    rule, including self-pair runs (``aaaaaa`` under merge (a, a) pairs
+    strictly left-to-right), where replace-chain tricks diverge.
 
-    Mechanics: a word becomes SEP-delimited symbols and each merge (a, b)
-    replaces ``SEP a SEP b SEP`` with ``SEP ab SEP``. The delimiters make
-    multi-char symbol boundaries unambiguous; because consecutive
-    occurrences share a delimiter, ``replace``'s left-to-right
-    non-overlapping scan can skip at most every second occurrence, so a
-    second identical replace catches the stragglers — two passes are
-    exact (after pass one, any unmerged occurrence has merged or
-    non-matching neighbors on both sides). Matches :func:`apply_merges`
-    on learn()-produced merge lists (pinned by test): in-order
-    application equals priority-rank application there."""
-    spaced = F.transform(
-        tokens_col(text_col),
-        lambda w: F.concat(
-            F.lit(SEP), F.regexp_replace(w, "(?<=.)(?=.)", SEP), F.lit(SEP)
-        ),
+    Scale shape: the Python rule runs ONCE PER DISTINCT WORD (an
+    Arrow-batched UDF over the vocab table — O(vocab), same contract as
+    :func:`pair_stats`); the corpus-sized work is pure joins/aggregations
+    the optimizer can plan (AQE broadcasts the segmented vocab when it is
+    small). Token order is restored by sorting (pos, segment) structs, so
+    the result is deterministic regardless of join ordering."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def seg_udf(w: pd.Series) -> pd.Series:
+        return w.map(lambda x: apply_merges(x, merges))
+
+    toks = df.select(id_col, F.posexplode(tokens_col(text_col)).alias("pos", "word"))
+    seg = toks.select("word").distinct().withColumn("seg", seg_udf("word"))
+    per_doc = (
+        toks.join(seg, "word")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "seg"))).alias("ps"))
+        .select(id_col, F.flatten(F.col("ps").getField("seg")).alias("bpe_tokens"))
     )
-    def _merge_step(prev, pat: str, rep: str):
-        # a closure, not default lambda args: pyspark counts defaults in a
-        # higher-order lambda's arity and rejects 3-arg transforms
-        return F.transform(
-            prev,
-            lambda s: F.replace(
-                F.replace(s, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
-            ),
-        )
-
-    for a, b in merges:
-        spaced = _merge_step(spaced, f"{SEP}{a}{SEP}{b}{SEP}", f"{SEP}{a}{b}{SEP}")
-    return df.withColumn(
-        "bpe_tokens",
-        F.flatten(
-            F.transform(
-                spaced,
-                lambda s: F.filter(F.split(s, SEP), lambda t: t != F.lit("")),
-            )
-        ),
+    empty = F.array().cast("array<string>")
+    return df.join(per_doc, id_col, "left").withColumn(
+        "bpe_tokens", F.coalesce(F.col("bpe_tokens"), empty)
     )

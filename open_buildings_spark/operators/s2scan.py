@@ -56,12 +56,21 @@ def write_s2_layout(
     from .enrich import add_s2_cell
 
     with_id = add_s2_cell(df, level=s2.MAX_LEVEL, lon_col=lon_col, lat_col=lat_col)
-    (
-        with_id.repartitionByRange(num_files, "s2_cell")
-        .sortWithinPartitions("s2_cell")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # materialize BEFORE repartitionByRange: the RangePartitioner's sampling
+    # job would otherwise re-execute the whole Python enrich/S2 pipeline a
+    # second time (the global-sort-above-UDF trap). At petabyte scale swap
+    # the persist for an intermediate parquet stage.
+    with_id = with_id.persist()
+    try:
+        with_id.count()
+        (
+            with_id.repartitionByRange(num_files, "s2_cell")
+            .sortWithinPartitions("s2_cell")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        with_id.unpersist()
     spark = df.sparkSession
     stats = (
         spark.read.parquet(path)
@@ -85,14 +94,24 @@ def write_s2_layout(
         ),
         key=lambda f: f["name"],
     )
-    manifest = {"version": 1, "id_col": "s2_cell", "files": files}
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+    manifest = {
+        "version": 1,
+        "id_col": "s2_cell",
+        "lon_col": lon_col,
+        "lat_col": lat_col,
+        "files": files,
+    }
+    # atomic: existence of the manifest is the build-complete marker for
+    # callers, so a kill mid-dump must never leave a truncated file behind
+    tmp = os.path.join(path, f"{MANIFEST_NAME}.{os.getpid()}.inprogress")
+    with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
     return manifest
 
 
-def _range_predicate(ranges: Sequence[tuple[int, int]]):
-    c = F.col("s2_cell")
+def _range_predicate(ranges: Sequence[tuple[int, int]], id_col: str):
+    c = F.col(id_col)
     pred = None
     for lo, hi in ranges:
         term = (c >= F.lit(lo)) & (c <= F.lit(hi))
@@ -128,15 +147,20 @@ def s2_bbox_scan(
         if f["lo"] is not None
         and any(f["lo"] <= hi and lo <= f["hi"] for lo, hi in ranges)
     ]
+    # the column names come FROM the manifest, so a layout written with
+    # custom lon/lat/id columns reads back against the same columns
+    id_col = manifest["id_col"]
+    lon_col = manifest.get("lon_col", "lon")
+    lat_col = manifest.get("lat_col", "lat")
     if not keep:
         return spark.read.parquet(path).where(F.lit(False))
     return (
         spark.read.parquet(*keep)
-        .where(_range_predicate(ranges))
+        .where(_range_predicate(ranges, id_col))
         .where(
-            (F.col("lon") >= F.lit(float(w)))
-            & (F.col("lon") <= F.lit(float(e)))
-            & (F.col("lat") >= F.lit(float(s)))
-            & (F.col("lat") <= F.lit(float(n)))
+            (F.col(lon_col) >= F.lit(float(w)))
+            & (F.col(lon_col) <= F.lit(float(e)))
+            & (F.col(lat_col) >= F.lit(float(s)))
+            & (F.col(lat_col) <= F.lit(float(n)))
         )
     )

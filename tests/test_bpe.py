@@ -131,12 +131,19 @@ def test_encode_matches_apply_merges(spark):
 
 
 def test_encode_repeated_selfpair(spark):
-    # 'aaaa' under merge (a,a): left-to-right pairing -> ['aa', 'aa'];
-    # 'aaa' -> ['aa', 'a']; the two-pass replace must agree with the
-    # per-word rule
-    df = spark.createDataFrame([(1, "aaaa aaa aa a")], "doc_id long, text string")
-    got = bpe.encode(df, [("a", "a"), ("aa", "aa")]).collect()[0]["bpe_tokens"]
-    assert got == ["aaaa", "aa", "a", "aa", "a"]
+    # self-pair runs are where corpus-wide replace chains diverge from the
+    # strict left-to-right pairing rule — including runs >= 5, which a
+    # two-pass delimiter replace gets WRONG (['aa','a','aa','a'] for 6)
+    df = spark.createDataFrame(
+        [(1, "aaaa aaa aa a"), (2, "aaaaaa aaaaa soooooo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe.encode(df, [("a", "a"), ("aa", "aa"), ("o", "o")]).collect()
+    }
+    assert rows[1] == ["aaaa", "aa", "a", "aa", "a"]
+    assert rows[2] == ["aaaa", "aa", "aaaa", "a", "s", "oo", "oo", "oo"]
 
 
 def test_encode_token_count_parity_on_corpus(spark):

@@ -133,6 +133,29 @@ def test_bbox_scan_world_window(layout, spark):
     assert got.count() == len(pdf)
 
 
+def test_custom_coordinate_columns_roundtrip(spark, tmp_path):
+    """lon_col/lat_col must flow through the manifest to the read side —
+    the refine must filter the SAME columns the layout was keyed on."""
+    import pandas as pd
+
+    path = str(tmp_path / "custom")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "cx": [12.5, 50.0, 12.6],
+            "cy": [41.9, 10.0, 41.95],
+        }
+    )
+    m = s2scan.write_s2_layout(
+        spark.createDataFrame(pdf), path, num_files=2, lon_col="cx", lat_col="cy"
+    )
+    assert m["lon_col"] == "cx" and m["lat_col"] == "cy"
+    got = s2scan.s2_bbox_scan(spark, path, 12.0, 41.0, 13.0, 42.0)
+    assert sorted(r["doc_id"] for r in got.collect()) == ["a", "c"]
+    # no leftover temp manifest from the atomic rename
+    assert not [f for f in os.listdir(path) if f.endswith(".inprogress")]
+
+
 def test_manifest_is_invisible_to_spark(layout, spark):
     path, pdf, _ = layout
     # the underscore-prefixed manifest must not break a plain read
