@@ -872,6 +872,33 @@ def _q_windowed_agg(spark, sf_dir):
     return events_ops.windowed_counts_batch(spark, sf_dir)
 
 
+def _q_asof(spark, sf_dir):
+    """As-of join (point-in-time): every purchase event picks up the
+    user's latest view value at or before it. The engine runs the
+    union + carry-forward window shape (ONE hash exchange, no join node,
+    no range-join explosion — operators/asof.py); the oracle is DuckDB's
+    NATIVE `ASOF LEFT JOIN`, a genuinely independent implementation, so
+    the tie rule (ts_r == ts_l matches; (key, ts) dups reduce by MAX) is
+    pinned across both."""
+    from open_buildings_spark.operators import asof as asof_op
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_op.asof_join(purchases, views, on="user_id", ts_col="ts")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value_asof").alias("asof_value"),
+        (us("ts") - us("ts_asof")).cast("long").alias("lag_us"),
+    )
+
+
 def _q_sessionize(spark, sf_dir):
     return events_ops.sessionize_batch(spark, sf_dir)
 
@@ -1008,7 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_embedding_neardup": _q_embedding_neardup,
         # multimodal + events
         "m_media_decode": _q_media_decode,
-        "e_windowed_agg": _q_windowed_agg,
+        "e_asof": _q_asof,  # NEW r5: as-of join (operators/asof.py)
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
         # ---- tail (position > 50): redundant with a gated sibling; every
@@ -1028,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_corpus_report": _q_corpus_report,  # stats rollup: r4 row; t_token_stats stays in head
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
+        "e_windowed_agg": _q_windowed_agg,  # r4 row; events family: e_asof in head
         "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)

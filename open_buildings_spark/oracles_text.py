@@ -878,6 +878,23 @@ FROM f, LATERAL (SELECT unnest(range(0, f.n_frames, 2)) AS i) u
 
     # ---------------- events -----------------
 
+    # as-of join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle — an
+    # independent implementation of the same point-in-time semantics the
+    # engine's union + carry-forward window produces. (key, ts)-duplicate
+    # right rows reduce by MAX first (the engine's documented tie rule).
+    sqls["e_asof"] = """
+WITH v AS (
+  SELECT user_id, ts, MAX(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, v.value AS asof_value,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
     sqls["e_windowed_agg"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value_r4
