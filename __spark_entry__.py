@@ -903,6 +903,14 @@ def _q_sessionize(spark, sf_dir):
     return events_ops.sessionize_batch(spark, sf_dir)
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered funnel view -> click -> purchase: one groupBy-user shuffle
+    plus a native array fold advancing a stage pointer; the oracle chains
+    independent min-timestamp CTE joins for the same first-occurrence
+    semantics."""
+    return events_ops.funnel_batch(spark, sf_dir)
+
+
 _SESS_STREAM_SEQ = iter(range(10**6))
 
 
@@ -1024,7 +1032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25": _q_bm25,
         "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
-        "t_langid": _q_langid,
         "t_stratified_sample": _q_stratified_sample,
         "t_hash_split": _q_hash_split,
         # similarity search over embeddings
@@ -1036,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "e_asof": _q_asof,  # NEW r5: as-of join (operators/asof.py)
+        "e_funnel": _q_funnel,  # NEW r5: ordered funnel (stage-pointer fold)
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
         # ---- tail (position > 50): redundant with a gated sibling; every
@@ -1055,7 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_corpus_report": _q_corpus_report,  # stats rollup: r4 row; t_token_stats stays in head
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
-        "e_windowed_agg": _q_windowed_agg,  # r4 row; events family: e_asof in head
+        "t_langid": _q_langid,  # r4 row; textstats family: t_token_stats/t_repetition in head
+        "e_windowed_agg": _q_windowed_agg,  # r4 row; events family: e_asof/e_funnel in head
         "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)

@@ -895,6 +895,31 @@ SELECT p.event_id, p.user_id, v.value AS asof_value,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+    # ordered funnel: independent formulation as chained min-timestamp CTE
+    # joins (first view, first click at-or-after it, first purchase
+    # at-or-after that) vs the engine's single-shuffle stage-pointer fold
+    sqls["e_funnel"] = """
+WITH u1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+u2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY 1
+),
+u3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN u2 ON e.user_id = u2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY 1
+)
+SELECT 1 AS stage, 'view' AS stage_name, CAST((SELECT COUNT(*) FROM u1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM u3) AS BIGINT)
+"""
+
     sqls["e_windowed_agg"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value_r4

@@ -102,6 +102,55 @@ def sessionize_batch(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) ->
     )
 
 
+def funnel_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered-funnel analysis: per stage k, how many users emitted a
+    stage-1 event, then a stage-2 event at-or-after it, then ... up to
+    stage k (first-occurrence chaining — the standard product-analytics
+    funnel). Returns (stage, stage_name, n_users), one row per stage.
+
+    Scale shape: ONE shuffle (groupBy user), then a native fold: each
+    user's (ts, stage) pairs sort in-memory and an `aggregate` lambda
+    advances a stage pointer — per-user state is a single int, the
+    per-user array is bounded by that user's activity (the same bound
+    sessionize already carries), and nothing crosses the Python boundary.
+    The oracle reimplements the semantics independently as chained
+    min-timestamp CTE joins."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_idx = F.create_map(
+        *[x for i, s in enumerate(stages) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    tagged = ev.where(F.col("event_type").isin(*stages)).select(
+        "user_id",
+        F.struct(
+            F.col("ts"), stage_idx[F.col("event_type")].alias("stage")
+        ).alias("e"),
+    )
+    # ties at equal ts: the struct sorts by (ts, stage), so an earlier
+    # stage at the same timestamp is seen first — "at-or-after" semantics
+    reached = tagged.groupBy("user_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("e")),
+            F.lit(0),
+            lambda acc, e: F.when(e["stage"] == acc + 1, acc + 1).otherwise(acc),
+        ).alias("max_stage")
+    )
+    # collapse users to (max_stage, n) FIRST (<= len(stages)+1 rows), so
+    # the theta join below touches a handful of rows, not one per user
+    by_max = reached.groupBy("max_stage").agg(F.count(F.lit(1)).alias("n"))
+    stage_rows = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage int, stage_name string"
+    )
+    return (
+        stage_rows.join(by_max, F.col("max_stage") >= F.col("stage"), "left")
+        .groupBy("stage", "stage_name")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_users"))
+    )
+
+
 def sessionize_stream_stateful(
     spark: SparkSession, sf_dir: str, gap_minutes: int = 30, src_dir: str | None = None
 ) -> DataFrame:

@@ -151,3 +151,39 @@ def test_asof_matches_pandas_merge_asof(spark):
     lw = want["value"].to_numpy()
     lg = got["value_asof"].to_numpy()
     assert ((lw == lg) | (pd.isna(lw) & pd.isna(lg))).all()
+
+
+def test_funnel_batch_matches_brute_force(spark):
+    """funnel_batch's stage-pointer fold vs a per-user python replay of
+    the first-occurrence chaining rule over the real events table."""
+    from open_buildings_spark.streaming import events as events_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["stage"]: (r["stage_name"], r["n_users"])
+        for r in events_ops.funnel_batch(spark, sf_dir).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    )
+    stages = {"view": 1, "click": 2, "purchase": 3}
+    per_user = {}
+    for r in ev:
+        if r["event_type"] in stages:
+            per_user.setdefault(r["user_id"], []).append(
+                (r["ts"], stages[r["event_type"]])
+            )
+    counts = [0, 0, 0, 0]
+    for evs in per_user.values():
+        s = 0
+        for _, k in sorted(evs):
+            if k == s + 1:
+                s += 1
+        for i in range(1, s + 1):
+            counts[i] += 1
+    assert got[1] == ("view", counts[1])
+    assert got[2] == ("click", counts[2])
+    assert got[3] == ("purchase", counts[3])
+    assert counts[1] >= counts[2] >= counts[3] > 0
