@@ -889,8 +889,9 @@ def _q_asof(spark, sf_dir):
     views = ev.where(F.col("event_type") == "view").select(
         "user_id", "ts", "value"
     )
+    from open_buildings_spark.tsutil import unix_micros_ntz as us
+
     j = asof_op.asof_join(purchases, views, on="user_id", ts_col="ts")
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
     return j.select(
         "event_id",
         "user_id",
@@ -992,7 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     same-family variants that were hash-green in r4."""
     return {
         # geospatial core (SURVEY.md §2)
-        "g_enrich_quadkey": _q_enrich_quadkey,
+        "e_windowed_agg": _q_windowed_agg,  # only F.window tumbling-agg code path
         "g_gpkg_roundtrip": _q_gpkg_roundtrip,  # gpkg writer changed in r5
         "g_stream_table": _q_stream_table,
         "g_quadkey_hist": _q_quadkey_hist,
@@ -1064,7 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_length_quantiles": _q_length_quantiles,  # stats: t_corpus_report
         "t_fingerprint": _q_fingerprint,  # textstats: t_token_stats
         "t_langid": _q_langid,  # r4 row; textstats family: t_token_stats/t_repetition in head
-        "e_windowed_agg": _q_windowed_agg,  # r4 row; events family: e_asof/e_funnel in head
+        "g_enrich_quadkey": _q_enrich_quadkey,  # r4 row; enrich path hash-gated via g_country_join/g_aoi_query in head
         "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)

@@ -13,15 +13,20 @@ Scale shape — union + carry-forward window, NOT a range join:
   payload forward;
 - left rows filter back out with the carried columns attached.
 
-The plan contains NO join node at all: one hash exchange on the key plus
-a sort — the same cost as a groupBy, immune to the row-explosion a
-``l.ts >= r.ts`` theta-join suffers (Spark would otherwise
-nested-loop-join every left row against every right row per key). Skewed
-keys behave exactly like a skewed groupBy (AQE handles them).
+The plan contains NO join node at all and exactly ONE hash exchange on
+the key (pinned by test) — the same cost as a groupBy, immune to the
+row-explosion a ``l.ts >= r.ts`` theta-join suffers (Spark would
+otherwise nested-loop-join every left row against every right row per
+key). Skewed keys behave exactly like a skewed groupBy (AQE handles
+them).
 
-Tie handling inside the right side is made deterministic BEFORE the
-union: right rows sharing (key, ts) reduce to one row via per-column MAX
-— the same rule the DuckDB oracle applies, so the gate pins it.
+Right rows sharing (key, ts) need no pre-aggregation (which would cost a
+second, differently-keyed shuffle): the window sort order ends with the
+right payload columns, so the running ``last`` deterministically keeps
+the lexicographically-greatest right row of each tie group — for a
+single value column that is exactly MAX(value), the rule the DuckDB
+oracle applies, so the gate pins it. Right payload columns must be of
+orderable types.
 """
 
 from __future__ import annotations
@@ -49,25 +54,44 @@ def asof_join(
     rts = f"{ts_col}{suffix}"
     tagged = [f"{c}{suffix}" for c in right_cols]
 
-    # deterministic per-(key, ts) reduction of the right side
-    rj = right.groupBy(on, ts_col).agg(
-        *[F.max(c).alias(t) for c, t in zip(right_cols, tagged)]
+    clash = ({rts, *tagged, "_is_left", "_carry"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left columns {sorted(clash)} collide with asof_join's output/"
+            "internal names; rename them or pass a different suffix"
+        )
+
+    # one select per side (not a withColumn chain — O(width) projections)
+    lt = left.select(
+        "*",
+        F.lit(1).alias("_is_left"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(t)
+            for c, t in zip(right_cols, tagged)
+        ],
+        F.lit(None).cast(left.schema[ts_col].dataType).alias(rts),
+    )
+    rt = right.select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in left.schema.fields
+            if f.name not in {on, ts_col}
+        ],
+        on,
+        ts_col,
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(t) for c, t in zip(right_cols, tagged)],
+        F.col(ts_col).alias(rts),
     )
 
-    lt = left.withColumn("_is_left", F.lit(1))
-    for c, t in zip(right_cols, tagged):
-        lt = lt.withColumn(t, F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn(rts, F.lit(None).cast(left.schema[ts_col].dataType))
-
-    rt = rj.withColumn("_is_left", F.lit(0)).withColumn(rts, F.col(ts_col))
-    for f in left.schema.fields:
-        if f.name not in {on, ts_col}:
-            rt = rt.withColumn(f.name, F.lit(None).cast(f.dataType))
-
     u = lt.unionByName(rt.select(*lt.columns))
+    # sort tail (*tagged): right rows tied on (key, ts) resolve to the
+    # lexicographically-greatest payload (nulls first, so == MAX for one
+    # column); left rows (_is_left = 1) still sort after every tied right
+    # row regardless of their all-null payload slots
     w = (
         Window.partitionBy(on)
-        .orderBy(ts_col, "_is_left")
+        .orderBy(ts_col, "_is_left", *tagged)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # carry ONE struct, not per-column lasts: a right row whose value is
@@ -85,7 +109,8 @@ def asof_join(
 
     out = u.where(F.col("_is_left") == 1).drop("_is_left", "_carry")
     if tolerance_us is not None:
-        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        from ..tsutil import unix_micros_ntz as us
+
         fresh = us(ts_col) - us(rts) <= F.lit(int(tolerance_us))
         for c in (*tagged, rts):
             out = out.withColumn(c, F.when(fresh, F.col(c)))

@@ -81,9 +81,8 @@ def sessionize_batch(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) ->
     gap = F.lag("ts").over(w)
     # microsecond-exact gap (events carry sub-second timestamps; second
     # truncation would disagree with the oracle's epoch_us)
-    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP — the cast applies a
-    # session-tz offset, which cancels in the difference
-    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    # ts is TIMESTAMP_NTZ; the NTZ-cast subtlety lives in tsutil
+    from ..tsutil import unix_micros_ntz as us
     new_session = (
         F.when(gap.isNull(), 1)
         .when(us(F.col("ts")) - us(gap) > gap_minutes * 60 * 1_000_000, 1)

@@ -103,8 +103,8 @@ def test_asof_plan_single_exchange_no_join(spark):
     nodes = re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), re.M)
     assert not any("Join" in n for n in nodes)
     assert sum(1 for n in nodes if n == "Window") == 1
-    # exchanges: the union sides may each repartition, but all on the key —
-    # never a broadcast of either full side
+    # the headline property: exactly ONE shuffle for the whole operator
+    assert sum(1 for n in nodes if n == "Exchange") == 1
     assert not any("Broadcast" in n for n in nodes)
 
 
