@@ -904,6 +904,13 @@ def _q_sessionize(spark, sf_dir):
     return events_ops.sessionize_batch(spark, sf_dir)
 
 
+def _q_hopping(spark, sf_dir):
+    """Hopping 1-hour/15-minute windows per event_type — every event lands
+    in 4 overlapping windows; the oracle re-derives Spark's epoch-aligned
+    window-start rule arithmetically, so the gate pins the alignment."""
+    return events_ops.hopping_counts_batch(spark, sf_dir)
+
+
 def _q_funnel(spark, sf_dir):
     """Ordered funnel view -> click -> purchase: one groupBy-user shuffle
     plus a native array fold advancing a stage pointer; the oracle chains
@@ -1040,7 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_ann_ivf": _q_ann_ivf,
         "s_ann_lsh": _q_ann_lsh,
         "s_kmeans_ivf": _q_kmeans_ivf,
-        "s_embedding_neardup": _q_embedding_neardup,
+        "e_hopping": _q_hopping,  # NEW r5: hopping windows (third windowing shape)
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "e_asof": _q_asof,  # NEW r5: as-of join (operators/asof.py)
@@ -1068,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_enrich_quadkey": _q_enrich_quadkey,  # r4 row; enrich path hash-gated via g_country_join/g_aoi_query in head
         "e_sessionize": _q_sessionize,  # r4 row; streaming twin below shares family
         "e_sessionize_stream": _q_sessionize_stream,  # sessionize: e_sessionize (r4 row)
+        "s_embedding_neardup": _q_embedding_neardup,  # r4 row; banded-bucket path: s_ann_lsh in head
         "s_embedding_clusters": _q_embedding_clusters,  # CC closure: t_neardup_clusters, pairs: s_embedding_neardup (r4 row)
         "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)

@@ -895,6 +895,19 @@ SELECT p.event_id, p.user_id, v.value AS asof_value,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+    # hopping windows: Spark assigns each event to exactly length/slide
+    # epoch-aligned windows; the oracle derives the same starts
+    # arithmetically — floor(epoch/slide)*slide - k*slide for k in 0..3
+    # (900000000 us = 15 min). An alignment bug in either engine flips
+    # every window_start and hash-fails.
+    sqls["e_hopping"] = """
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                      - k.k * 900000000) AS window_start,
+       event_type, COUNT(*) AS n_events, round(SUM(value), 4) AS sum_value_r4
+FROM events, unnest(range(0, 4)) AS k(k)
+GROUP BY 1, 2
+"""
+
     # ordered funnel: independent formulation as chained min-timestamp CTE
     # joins (first view, first click at-or-after it, first purchase
     # at-or-after that) vs the engine's single-shuffle stage-pointer fold

@@ -35,6 +35,36 @@ def windowed_counts_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hopping_counts_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Hopping (sliding) windows: every event lands in length/slide
+    overlapping windows — the third of the three windowing shapes next to
+    tumbling (:func:`windowed_counts_batch`) and session
+    (:func:`sessionize_batch`). Spark's ``F.window(ts, length, slide)``
+    assigns epoch-aligned window starts; the oracle re-derives the same
+    assignment arithmetically (floor(epoch/slide)*slide - k*slide), so the
+    gate pins the alignment rule itself. Returns
+    (window_start, event_type, n_events, sum_value_r4)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", length, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value_r4"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r4",
+        )
+    )
+
+
 def windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same aggregation as a watermarked streaming query (file source).
     Caller starts it with .writeStream (tests use format('memory') +
@@ -98,6 +128,39 @@ def sessionize_batch(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) ->
         F.count("*").alias("n_events"),
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
+    )
+
+
+def hopping_counts_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Streaming twin of :func:`hopping_counts_batch` (watermarked file
+    source; tests drain it to a memory sink and compare bit-for-bit with
+    the batch result — valid because count/sum are commutative)."""
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    return (
+        stream.where(F.col("event_id").isNotNull())
+        .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", "2 hours")
+        .groupBy(F.window("ts_ltz", length, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value_r4"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value_r4",
+        )
     )
 
 

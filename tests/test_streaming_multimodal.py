@@ -30,6 +30,25 @@ def test_stream_windowed_agg_equals_batch(spark, sf_dir):
     pd.testing.assert_frame_equal(_norm(got), _norm(batch))
 
 
+def test_stream_hopping_agg_equals_batch(spark, sf_dir):
+    batch = ev.hopping_counts_batch(spark, sf_dir).toPandas()
+    # each event lands in exactly length/slide = 4 overlapping windows
+    assert batch["n_events"].sum() == 4 * spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+    stream = ev.hopping_counts_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hop_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from hop_agg").toPandas()
+    pd.testing.assert_frame_equal(_norm(got), _norm(batch))
+
+
 def test_stateful_sessionize_equals_batch(spark, sf_dir):
     batch = ev.sessionize_batch(spark, sf_dir).toPandas()
     stream = ev.sessionize_stream_stateful(spark, sf_dir)
