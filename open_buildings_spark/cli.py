@@ -338,18 +338,12 @@ def cmd_export_sharded(args) -> None:
     )
 
 
-def cmd_window(args) -> None:
-    """Window query over a sharded geo export: manifest envelope prune +
-    per-shard index walk (FGB Hilbert R-tree / GPKG rtree / shp record
-    bboxes), results to parquet or stdout count."""
-    from .operators import sharded
-    from .session import get_spark
-
-    parts = args.bbox.split(",")
+def _parse_bbox(raw: str) -> tuple[float, float, float, float]:
+    parts = raw.split(",")
     if len(parts) != 4:
         raise SystemExit("--bbox wants 4 comma-separated values: w,s,e,n")
     w, s, e, n = (float(v) for v in parts)
-    # an inverted window silently prunes every shard — fail loudly instead
+    # an inverted window silently prunes everything — fail loudly instead
     if w > e or s > n:
         raise SystemExit(
             f"--bbox order is w,s,e,n (lon_min,lat_min,lon_max,lat_max); "
@@ -357,6 +351,17 @@ def cmd_window(args) -> None:
             f"--bbox order is w,s,e,n (lon_min,lat_min,lon_max,lat_max); "
             f"got s={s} > n={n}"
         )
+    return w, s, e, n
+
+
+def cmd_window(args) -> None:
+    """Window query over a sharded geo export: manifest envelope prune +
+    per-shard index walk (FGB Hilbert R-tree / GPKG rtree / shp record
+    bboxes), results to parquet or stdout count."""
+    from .operators import sharded
+    from .session import get_spark
+
+    w, s, e, n = _parse_bbox(args.bbox)
     spark = get_spark(app_name="ob-window")
     df = sharded.sharded_to_df(spark, args.src, bbox=(w, s, e, n))
     if args.dst:
@@ -364,6 +369,42 @@ def cmd_window(args) -> None:
         print(f"wrote {spark.read.parquet(args.dst).count()} rows to {args.dst}")
     else:
         print(f"{df.count()} features intersect ({w}, {s}, {e}, {n})")
+
+
+def cmd_s2_layout(args) -> None:
+    """Build an S2-ordered parquet layout (range-partitioned + sorted by
+    leaf id, per-file [min,max] manifest) from a parquet source carrying
+    centroid lon/lat columns — the numeric-range serving layout next to
+    the quadkey table (operators/s2scan.py)."""
+    from .operators import s2scan
+    from .session import get_spark
+
+    spark = get_spark(app_name="ob-s2-layout")
+    df = spark.read.parquet(args.src)
+    m = s2scan.write_s2_layout(
+        df, args.dst, num_files=args.files, lon_col=args.lon_col,
+        lat_col=args.lat_col,
+    )
+    print(
+        f"wrote {sum(f['rows'] for f in m['files'])} rows in "
+        f"{len(m['files'])} S2-ordered files to {args.dst}"
+    )
+
+
+def cmd_s2_window(args) -> None:
+    """Bbox window over an S2 layout: manifest file prune + pushed
+    OR-of-BETWEEN leaf-id ranges + exact native lon/lat refine."""
+    from .operators import s2scan
+    from .session import get_spark
+
+    w, s, e, n = _parse_bbox(args.bbox)
+    spark = get_spark(app_name="ob-s2-window")
+    df = s2scan.s2_bbox_scan(spark, args.src, w, s, e, n)
+    if args.dst:
+        df.write.mode("overwrite").parquet(args.dst)
+        print(f"wrote {spark.read.parquet(args.dst).count()} rows to {args.dst}")
+    else:
+        print(f"{df.count()} rows with centroid in ({w}, {s}, {e}, {n})")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -468,6 +509,24 @@ def main(argv: list[str] | None = None) -> None:
     )
     wq.add_argument("--dst", help="parquet output (omit to print the count)")
     wq.set_defaults(fn=cmd_window)
+
+    sl = sub.add_parser(
+        "s2-layout", help="build an S2-ordered range-serving parquet layout"
+    )
+    sl.add_argument("--src", required=True, help="parquet with lon/lat columns")
+    sl.add_argument("--dst", required=True, help="layout output directory")
+    sl.add_argument("--files", type=int, default=16, help="number of range files")
+    sl.add_argument("--lon-col", dest="lon_col", default="lon")
+    sl.add_argument("--lat-col", dest="lat_col", default="lat")
+    sl.set_defaults(fn=cmd_s2_layout)
+
+    sw = sub.add_parser(
+        "s2-window", help="bbox window query over an S2 layout"
+    )
+    sw.add_argument("--src", required=True, help="S2 layout directory")
+    sw.add_argument("--bbox", required=True, help="w,s,e,n in lon/lat degrees")
+    sw.add_argument("--dst", help="parquet output (omit to print the count)")
+    sw.set_defaults(fn=cmd_s2_window)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -215,3 +215,38 @@ def test_cli_window_query(spark, docs, tmp_path, capsys):
         cli.main(["window", "--src", src, "--bbox", f"{w},{n},{e},{s}"])
     with pytest.raises(SystemExit, match="4 comma"):
         cli.main(["window", "--src", src, "--bbox", f"{w},{s},{e}"])
+
+
+def test_cli_s2_layout_and_window(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from open_buildings_spark import cli
+
+    src = str(tmp_path / "docs")
+    pd_df = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "c"],
+            "lon": [12.5, 50.0, 12.6],
+            "lat": [41.9, 10.0, 41.95],
+        }
+    )
+    spark.createDataFrame(pd_df).write.parquet(src)
+    layout = str(tmp_path / "s2")
+    cli.main(["s2-layout", "--src", src, "--dst", layout, "--files", "2"])
+    assert "3 rows in 2 S2-ordered files" in capsys.readouterr().out
+    cli.main(["s2-window", "--src", layout, "--bbox", "12,41,13,42"])
+    assert "2 rows with centroid in" in capsys.readouterr().out
+    out = str(tmp_path / "hits")
+    cli.main(["s2-window", "--src", layout, "--bbox", "12,41,13,42", "--dst", out])
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == ["a", "c"]
+
+
+def test_cli_s2_window_bad_bbox_errors(tmp_path):
+    import pytest as _pytest
+
+    from open_buildings_spark import cli
+
+    with _pytest.raises(SystemExit, match="order is w,s,e,n"):
+        cli.main(["s2-window", "--src", str(tmp_path), "--bbox", "13,41,12,42"])
