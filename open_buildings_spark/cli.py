@@ -354,6 +354,16 @@ def _parse_bbox(raw: str) -> tuple[float, float, float, float]:
     return w, s, e, n
 
 
+def _emit_window_result(spark, df, dst, phrase: str) -> None:
+    """Shared window-command output: parquet write + read-back count, or
+    '<count> <phrase>' on stdout when no destination is given."""
+    if dst:
+        df.write.mode("overwrite").parquet(dst)
+        print(f"wrote {spark.read.parquet(dst).count()} rows to {dst}")
+    else:
+        print(f"{df.count()} {phrase}")
+
+
 def cmd_window(args) -> None:
     """Window query over a sharded geo export: manifest envelope prune +
     per-shard index walk (FGB Hilbert R-tree / GPKG rtree / shp record
@@ -364,11 +374,7 @@ def cmd_window(args) -> None:
     w, s, e, n = _parse_bbox(args.bbox)
     spark = get_spark(app_name="ob-window")
     df = sharded.sharded_to_df(spark, args.src, bbox=(w, s, e, n))
-    if args.dst:
-        df.write.mode("overwrite").parquet(args.dst)
-        print(f"wrote {spark.read.parquet(args.dst).count()} rows to {args.dst}")
-    else:
-        print(f"{df.count()} features intersect ({w}, {s}, {e}, {n})")
+    _emit_window_result(spark, df, args.dst, f"features intersect ({w}, {s}, {e}, {n})")
 
 
 def cmd_s2_layout(args) -> None:
@@ -379,6 +385,8 @@ def cmd_s2_layout(args) -> None:
     from .operators import s2scan
     from .session import get_spark
 
+    if args.files < 1:
+        raise SystemExit(f"--files must be >= 1, got {args.files}")
     spark = get_spark(app_name="ob-s2-layout")
     df = spark.read.parquet(args.src)
     m = s2scan.write_s2_layout(
@@ -400,11 +408,7 @@ def cmd_s2_window(args) -> None:
     w, s, e, n = _parse_bbox(args.bbox)
     spark = get_spark(app_name="ob-s2-window")
     df = s2scan.s2_bbox_scan(spark, args.src, w, s, e, n)
-    if args.dst:
-        df.write.mode("overwrite").parquet(args.dst)
-        print(f"wrote {spark.read.parquet(args.dst).count()} rows to {args.dst}")
-    else:
-        print(f"{df.count()} rows with centroid in ({w}, {s}, {e}, {n})")
+    _emit_window_result(spark, df, args.dst, f"rows with centroid in ({w}, {s}, {e}, {n})")
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -1,8 +1,9 @@
 """Physical-plan audit for the headline queries: renders, per query, the
-node histogram (exchanges, joins, python evals, codegen spans) and the
-parquet-scan pushdown lines — the evidence that filters reach the scan,
-broadcasts/shuffles are the intended ones, and Python stays off the hot
-path. Writes BENCH/PLANS_r5.md.
+node histogram (exchanges, joins, python evals, window/agg shapes) and
+the parquet-scan PushedFilters/ReadSchema lines — the evidence that
+filters and column pruning reach the scan, broadcasts/shuffles are the
+intended ones, and Python stays off the hot path. Writes
+BENCH/PLANS_r5.md.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
@@ -11,11 +12,13 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 import re
 import sys
 from collections import Counter
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 QUERIES = [
     "g_aoi_query",
@@ -76,10 +79,11 @@ def main() -> None:
         plan = buf.getvalue()
         nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
         hist = Counter(n for n in nodes if any(k in n for k in INTERESTING))
+        # match to end of line: filter lists nest brackets (In-lists)
         pushed = [
             f"{p}" + (f" (x{c})" if c > 1 else "")
             for p, c in Counter(
-                re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+                re.findall(r"(?:PushedFilters|ReadSchema): .*", plan)
             ).items()
         ]
         lines.append(f"## {name}")
@@ -95,7 +99,7 @@ def main() -> None:
             lines.append(f"- `{p}`")
         lines.append("")
         print(name, dict(hist))
-    with open("/root/repo/BENCH/PLANS_r5.md", "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "PLANS_r5.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("wrote BENCH/PLANS_r5.md")
 
