@@ -374,18 +374,30 @@ def cover_bbox(w: float, s: float, e: float, n: float, level: int) -> list[int]:
         raise ValueError("level must be 0..30")
     if not (w <= e and s <= n):
         raise ValueError("bbox must satisfy w <= e and s <= n")
+    # tan(lat) flips sign past the poles, silently breaking the
+    # conservative-cover guarantee — clamp instead of trusting the caller
+    s, n = max(s, -90.0), min(n, 90.0)
     boxes: list[tuple[int, float, float, float, float]] = []
 
+    # face ownership is exactly |D| <= 45 (|u| = |tan D| <= 1); clamping
+    # the window there (plus a float-tie margin) keeps sec(D) bounded —
+    # otherwise a thin 360-degree band near the hemisphere edge blows its
+    # v-interval past the face square and enumerates ENTIRE faces
+    own = 45.001
     width = min(e - w, 360.0)
     for face, c in ((0, 0.0), (1, 90.0), (3, 180.0), (4, -90.0)):
         d0 = w - c
         d0 -= 360.0 * np.floor((d0 + 180.0) / 360.0)  # normalize to [-180, 180)
         d1 = d0 + width
         for lo, hi, off in ((-90.0, 90.0, 0.0), (270.0, 450.0, 360.0)):
+            # strict >: a zero-width rect (w == e) is valid input and must
+            # still cover its single column of cells
             a, b = max(d0, lo), min(d1, hi)
-            if a >= b:
+            if a > b:
                 continue
-            a, b = a - off, b - off  # back to the (-90, 90) window
+            a, b = max(a - off, -own), min(b - off, own)
+            if a > b:
+                continue
             td0, td1 = np.tan(np.radians(a)), np.tan(np.radians(b))
             seca, secb = 1.0 / np.cos(np.radians(a)), 1.0 / np.cos(np.radians(b))
             sec_lo = 1.0 if a <= 0.0 <= b else min(seca, secb)

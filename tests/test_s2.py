@@ -210,6 +210,43 @@ def test_cover_bbox_contains_member_points():
             assert not missing, (w, s, e, n, level, missing[:3])
 
 
+def test_cover_bbox_degenerate_and_out_of_domain():
+    rng = np.random.default_rng(31)
+    # zero-width rect: a meridian segment is valid and must still be
+    # covered (the old strict-interval skip returned an empty cover)
+    cover = set(s2.cover_bbox(12.5, 41.0, 12.5, 42.0, 8))
+    assert cover
+    lat = rng.uniform(41.0, 42.0, 200)
+    for c in np.unique(s2.cells_from_lonlat(np.full(200, 12.5), lat, 8)):
+        assert int(c) in cover
+    # out-of-range latitudes clamp instead of flipping tan() sign
+    cover = set(s2.cover_bbox(-1.0, 30.0, 1.0, 95.0, 8))
+    lon = rng.uniform(-1.0, 1.0, 400)
+    lat = rng.uniform(30.0, 90.0, 400)
+    for c in np.unique(s2.cells_from_lonlat(lon, lat, 8)):
+        assert int(c) in cover
+    cover = set(s2.cover_bbox(10.0, -95.0, 12.0, -30.0, 8))
+    lon = rng.uniform(10.0, 12.0, 400)
+    lat = rng.uniform(-90.0, -30.0, 400)
+    for c in np.unique(s2.cells_from_lonlat(lon, lat, 8)):
+        assert int(c) in cover
+
+
+def test_cover_bbox_thin_band_stays_tight():
+    """A 2-degree band around the full equator must cover a band of cells,
+    not enumerate entire faces (the unclamped sec(D) blowup kept whole
+    faces: 262k cells at level 8; the clamped bound is ~10k — 256 columns
+    x ~10 conservative rows x 4 faces)."""
+    cover = s2.cover_bbox(-180.0, -1.0, 180.0, 1.0, 8)
+    assert len(cover) < 20_000
+    rng = np.random.default_rng(37)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    lat = rng.uniform(-1.0, 1.0, 500)
+    cset = set(cover)
+    for c in np.unique(s2.cells_from_lonlat(lon, lat, 8)):
+        assert int(c) in cset
+
+
 def test_cover_bbox_is_tight_for_small_rects():
     # a city-sized rect at matched level should cover a handful of cells,
     # not a face's worth
