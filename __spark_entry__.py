@@ -546,7 +546,10 @@ def _q_big_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datagen.interleaved_docs(spark, sf_dir)
     aois = datagen.big_aois_df(spark, sf_dir).select("aoi_id", "wkt")
-    out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
+    # cover_level 13 > stored quadkey depth: gates the deep-cover path
+    # (native JVM anchor-cell expression + 1-cell cover expansion ring,
+    # spatial_join._doc_cell_col) — result must be level-independent
+    out = spatial_join.aoi_join_big(docs, aois, cover_level=13)
     return out.select("doc_id", "aoi_id")
 
 
@@ -747,6 +750,25 @@ def _q_bpe_pairs(spark, sf_dir):
     from open_buildings_spark.operators import bpe
 
     return bpe.pair_stats(dedup.augment_corpus(spark, sf_dir), top_k=50)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Exact distributed BPE encode (bpe.encode): the per-word priority
+    rule runs once per DISTINCT word (Arrow-batched, O(vocab)); documents
+    rebuild via posexplode/join/sort_array. Merge list = bpe.DEMO_MERGES
+    (pinned — exercises priority chains and self-pair runs); the oracle
+    re-applies it from scratch with a DuckDB recursive CTE."""
+    from open_buildings_spark.operators import bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = bpe.encode(d, bpe.DEMO_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.concat_ws("|", "bpe_tokens").alias("bpe_text"),
+    )
 
 
 def _q_length_quantiles(spark, sf_dir):
@@ -1036,7 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_normalize": _q_normalize,  # NEW r5: text normalization
         "t_chunk": _q_chunk,  # NEW r5: training-window chunking
         "t_vocab": _q_vocab,
-        "t_bpe_pairs": _q_bpe_pairs,  # NEW r5: BPE merge-candidate scan (operators/bpe.py)
+        "t_bpe_encode": _q_bpe_encode,  # NEW r6: exact distributed BPE apply (bpe.encode)
         "t_bm25": _q_bm25,
         "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
@@ -1080,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": _q_frame_sample,  # multimodal mapInArrow: m_media_decode (r4 row)
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)
         "t_quality": _q_quality,  # map-only native textstats: t_token_stats/t_langid (r4 row)
+        "t_bpe_pairs": _q_bpe_pairs,  # r5 row; BPE family: t_bpe_encode (the subtler apply path) in head
     }
 
 

@@ -222,22 +222,39 @@ def _segments_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
 
 
 def _geom_edges(batch: GeomBatch):
-    """All edges of all rings as arrays (ex0, ey0, ex1, ey1, edge_geom)."""
-    e0, e1, eg = [], [], []
-    for r in range(batch.n_rings):
-        coords = batch.ring(r)
-        if len(coords) < 2:
-            continue
-        ring = coords
-        if not np.array_equal(ring[0], ring[-1]):
-            ring = np.vstack([ring, ring[0]])
-        e0.append(ring[:-1])
-        e1.append(ring[1:])
-        eg.append(np.full(len(ring) - 1, batch.ring_geom[r], dtype=np.int64))
-    if not e0:
+    """All edges of all rings as arrays (e0 (E,2), e1 (E,2), edge_geom).
+
+    Fully vectorized (this runs once per AOI group inside the big join's
+    refine — the per-ring python loop it replaces was ~60% of the whole
+    within kernel on building-sized geometries). Consecutive-vertex edges
+    come from one index gather; unclosed rings contribute their wrap edge
+    (last->first) appended at the end — edge ORDER differs from the old
+    per-ring loop there, which is fine: every consumer aggregates per
+    geometry (any/unique), never by edge position."""
+    offs = batch.ring_offsets
+    sizes = np.diff(offs)
+    valid = np.nonzero(sizes >= 2)[0]
+    if not len(valid):
         z = np.empty((0, 2))
         return z, z, np.empty(0, dtype=np.int64)
-    return np.concatenate(e0), np.concatenate(e1), np.concatenate(eg)
+    starts = offs[:-1][valid]
+    ends = offs[1:][valid]
+    cnt = ends - starts - 1  # consecutive edges per ring
+    tot = int(cnt.sum())
+    # flat coordinate index of each edge's first vertex (per-ring ranges)
+    idx = np.repeat(starts - (np.cumsum(cnt) - cnt), cnt) + np.arange(tot)
+    e0 = batch.coords[idx]
+    e1 = batch.coords[idx + 1]
+    eg = np.repeat(batch.ring_geom[valid].astype(np.int64), cnt)
+    closed = (batch.coords[starts] == batch.coords[ends - 1]).all(axis=1)
+    open_r = np.nonzero(~closed)[0]
+    if len(open_r):
+        e0 = np.concatenate([e0, batch.coords[ends[open_r] - 1]])
+        e1 = np.concatenate([e1, batch.coords[starts[open_r]]])
+        eg = np.concatenate(
+            [eg, batch.ring_geom[valid[open_r]].astype(np.int64)]
+        )
+    return e0, e1, eg
 
 
 def within_mask(batch: GeomBatch, aoi_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:

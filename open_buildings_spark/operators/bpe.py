@@ -36,6 +36,19 @@ from pyspark.sql import functions as F
 from .dedup import tokens_col
 
 
+# fixed merge list for the driver-gated encode query (t_bpe_encode): the
+# gated operator is the DISTRIBUTED APPLY (encode), so the list is pinned
+# rather than learned — chosen to exercise the two subtle rules: priority
+# chains (t+h -> th, then th+e -> the; a+n -> an, then an+d -> and) and
+# SELF-PAIR RUNS (e e / o o pair strictly left-to-right: 'eeeeee' ->
+# ee|ee|ee), where replace-chain shortcuts diverge. The DuckDB oracle
+# re-applies the same list from scratch with a recursive CTE.
+DEMO_MERGES: list[tuple[str, str]] = [
+    ("e", "e"), ("t", "h"), ("th", "e"), ("a", "n"),
+    ("o", "o"), ("i", "n"), ("an", "d"), ("e", "r"),
+]
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, wc) — one map-side-combinable shuffle over the corpus."""
     return (

@@ -39,16 +39,79 @@ from .enrich import add_geo_columns, extract_geometry
 ZOOM = 12
 
 
-def polygon_cover_cells(feature: dict, level: int) -> list[str]:
+def polygon_cover_cells(feature: dict, level: int, ring: int = 0) -> list[str]:
     """Quadkey cells at ``level`` covering the AOI's bbox (coarse cover;
-    exactness comes from the refinement step)."""
+    exactness comes from the refinement step). ``ring`` expands the tile
+    range outward (clamped to the tile grid) — the deep-cover paths use
+    ring=1 to absorb any last-ulp disagreement between the doc side's
+    JVM-native anchor-tile math and this side's libm (see
+    :func:`_doc_cell_col`)."""
     w, s, e, n = mercator.geometry_bounds(feature["geometry"])
     x0, y0, x1, y1 = mercator.bbox_tile_range(w, s, e, n, level)
+    if ring:
+        zmax = (1 << level) - 1
+        x0, y0 = max(x0 - ring, 0), max(y0 - ring, 0)
+        x1, y1 = min(x1 + ring, zmax), min(y1 + ring, zmax)
     return [
         mercator.quadkey_from_tile(x, y, level)
         for x in range(x0, x1 + 1)
         for y in range(y0, y1 + 1)
     ]
+
+
+def _doc_cell_col(df: DataFrame, cover_level: int) -> "F.Column":
+    """The doc-side join cell at ``cover_level``.
+
+    Levels up to the stored quadkey depth (ZOOM=12) are a prefix substring
+    of the stored key — bit-exact, zero extra math. DEEPER levels (finer
+    covers raise the interior-cell skip rate quadratically on large AOIs)
+    can't come from the stored key: substring would silently return the
+    whole 12-char key, match no level-L cover cell, and drop every row —
+    so the cell is computed natively from the doc's anchor point instead
+    (bbox midpoint when the bbox columns are present — the same anchor the
+    stored quadkey used — else the centroid; any point guaranteed inside
+    the geometry works, because doc-within-AOI implies the whole doc bbox,
+    hence the anchor, lies in the AOI's covered bbox). The native mercator
+    expression mirrors ``mercator.tiles_np`` term-for-term, but JVM libm
+    may differ from numpy by 1 ulp at exact tile edges — the cover side
+    absorbs that with a 1-cell expansion ring (``ring=1``)."""
+    import math as _math
+
+    from ..functions import quadkey_from_tiles_col
+
+    if cover_level <= ZOOM:
+        return F.substring("quadkey", 1, cover_level)
+    cols = set(df.columns)
+    if {"minx", "miny", "maxx", "maxy"} <= cols:
+        ax = (F.col("minx") + F.col("maxx")) / 2.0
+        ay = (F.col("miny") + F.col("maxy")) / 2.0
+    elif {"lon", "lat"} <= cols:
+        ax, ay = F.col("lon"), F.col("lat")
+    else:
+        raise ValueError(
+            f"cover_level={cover_level} exceeds the stored quadkey depth "
+            f"({ZOOM}) and the docs side has neither bbox (minx..maxy) nor "
+            "centroid (lon/lat) columns to derive a deeper cell from"
+        )
+    z2 = float(1 << cover_level)
+    zmax = (1 << cover_level) - 1
+    x01 = ax / 360.0 + 0.5
+    sinlat = F.sin(F.radians(ay))
+    y01 = 0.5 - 0.25 * F.log((1.0 + sinlat) / (1.0 - sinlat)) / _math.pi
+    eps = mercator.EPSILON
+
+    def _tile(t01):
+        t = F.floor((t01 + eps) * z2).cast("long")
+        t = F.greatest(F.least(t, F.lit(zmax)), F.lit(0))
+        # edge pins match tiles_np; NaN anchors fall through every branch
+        # to a NULL tile -> NULL cell -> no candidates (tiles_np's -1)
+        return (
+            F.when(t01 <= 0.0, F.lit(0))
+            .when(t01 >= 1.0, F.lit(zmax))
+            .otherwise(t)
+        )
+
+    return quadkey_from_tiles_col(_tile(x01), _tile(y01), cover_level)
 
 
 def _make_within_by_aoi(aois: list[tuple[int, dict]]):
@@ -95,8 +158,9 @@ def classified_cover_cells(
     from ..udfs import aoi_rings
 
     out = []
+    ring = 1 if cover_level > ZOOM else 0
     for aid, feat in aois:
-        cells = polygon_cover_cells(feat, cover_level)
+        cells = polygon_cover_cells(feat, cover_level, ring=ring)
         rects = np.asarray(
             [
                 mercator.tile_bounds(*mercator.tile_from_quadkey(c))
@@ -164,7 +228,7 @@ def aoi_join(
     had_bbox = {"minx", "miny", "maxx", "maxy"} <= set(docs.columns)
     df = _prepare_docs(docs, keep_bbox=True)
     has_bbox = {"minx", "miny", "maxx", "maxy"} <= set(df.columns)
-    df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
+    df = df.withColumn("cell", _doc_cell_col(df, cover_level))
     cand = df.join(F.broadcast(cells_df), "cell")
     skip = _interior_skip_col(has_bbox)
     refine = _make_within_by_aoi(aois)
@@ -258,6 +322,20 @@ def aoi_join_big(
         .select("aoi_id", "_aoi_wkt", "_cov.*")
         .filter(F.col("x0") >= 0)
     )
+    if cover_level > ZOOM:
+        # deep cover: the doc cell comes from a JVM-native anchor-tile
+        # expression (see _doc_cell_col) whose libm can disagree with the
+        # cover pass's numpy by 1 ulp at exact tile edges — one expansion
+        # ring makes the cover a superset under any ±1-tile drift. The
+        # extra ring cells match only docs OUTSIDE the AOI bbox, which the
+        # native first-vertex prefilter below kills before any Arrow work.
+        zmax = (1 << cover_level) - 1
+        a = (
+            a.withColumn("x0", F.greatest(F.col("x0") - 1, F.lit(0)))
+            .withColumn("y0", F.greatest(F.col("y0") - 1, F.lit(0)))
+            .withColumn("x1", F.least(F.col("x1") + 1, F.lit(zmax)))
+            .withColumn("y1", F.least(F.col("y1") + 1, F.lit(zmax)))
+        )
     z2 = float(1 << cover_level)
     pi = float(math.pi)
     interior = make_cell_interior()
@@ -311,7 +389,7 @@ def aoi_join_big(
     had_bbox = {"minx", "miny", "maxx", "maxy"} <= set(docs.columns)
     df = _prepare_docs(docs, keep_bbox=True)
     has_bbox = {"minx", "miny", "maxx", "maxy"} <= set(df.columns)
-    df = df.withColumn("cell", F.substring("quadkey", 1, cover_level))
+    df = df.withColumn("cell", _doc_cell_col(df, cover_level))
     # materialize the first vertex BEFORE the join: the bbox prefilter
     # references both sides, so Catalyst can't push it below the join —
     # computed post-join, the WKT string ops would re-run once per

@@ -310,6 +310,64 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
 FROM bpairs ORDER BY n DESC, pair LIMIT 50
 """
 
+    # Exact BPE encode: re-applies the pinned merge list (bpe.DEMO_MERGES,
+    # rank = list position) from scratch with a recursive CTE — each step
+    # merges the LOWEST-RANK applicable pair at its LEFTMOST occurrence
+    # (list_position returns the first index), exactly the published apply
+    # rule incl. self-pair runs; iteration count per word is bounded by
+    # word length (each step removes one symbol), and the final
+    # segmentation is the unique minimum-length state per word.
+    from .operators.bpe import DEMO_MERGES
+
+    _ml = "[" + ", ".join(f"'{a} {b}'" for a, b in DEMO_MERGES) + "]"
+    sqls["t_bpe_encode"] = f"""
+WITH RECURSIVE
+ewords AS (SELECT DISTINCT u.w AS word FROM documents, unnest({_TOKS}) AS u(w)),
+seg(word, syms) AS (
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1))
+  FROM ewords
+  UNION ALL
+  SELECT word,
+         syms[1:CAST(pos - 1 AS INT)]
+           || [syms[CAST(pos AS INT)] || syms[CAST(pos + 1 AS INT)]]
+           || syms[CAST(pos + 2 AS INT):]
+  FROM (
+    SELECT word, syms,
+           list_position(
+             ranks,
+             list_aggregate(list_filter(ranks, r -> r IS NOT NULL), 'min')
+           ) AS pos
+    FROM (
+      SELECT word, syms,
+             list_transform(range(1, len(syms)), i ->
+               nullif(list_position({_ml},
+                 syms[CAST(i AS INT)] || ' ' || syms[CAST(i + 1 AS INT)]), 0)
+             ) AS ranks
+      FROM seg
+    )
+  ) WHERE pos IS NOT NULL
+),
+efinal AS (SELECT word, min_by(syms, len(syms)) AS syms FROM seg GROUP BY word),
+etoks AS (
+  SELECT doc_id, CAST(g.i AS INT) AS pos, tk[CAST(g.i AS INT)] AS word
+  FROM (SELECT doc_id, {_TOKS} AS tk FROM documents) t,
+  unnest(range(1, len(tk) + 1)) AS g(i)
+),
+eagg AS (
+  SELECT e.doc_id,
+         SUM(len(f.syms)) AS n_bpe,
+         string_agg(array_to_string(f.syms, '|'), '|' ORDER BY e.pos) AS bpe_text
+  FROM etoks e JOIN efinal f USING (word)
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_bpe, 0) AS INT) AS n_bpe,
+       coalesce(a.bpe_text, '') AS bpe_text
+FROM documents d LEFT JOIN eagg a USING (doc_id)
+"""
+
     sqls["t_token_stats"] = f"""
 WITH toks AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents)
 SELECT doc_id,

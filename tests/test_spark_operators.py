@@ -954,6 +954,64 @@ def test_big_aoi_join_interior_cells_bypass_refine(spark):
     assert got == {"skip-me", "good"}
 
 
+def test_deep_cover_levels_match_level12(spark, docs):
+    """cover_level deeper than the stored quadkey (12) must return the
+    EXACT level-12 row set — exercised on both join shapes. Before the
+    native anchor-cell path existed, substring(quadkey, 1, 13) silently
+    matched nothing and returned 0 rows; this pins the fix (deep doc cell
+    from the bbox-midpoint mercator expression + the 1-cell cover
+    expansion ring absorbing JVM/numpy libm drift)."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.operators import spatial_join
+
+    feats = datagen.multi_aois()[:2]
+
+    def to_wkt(f):
+        rings = f["geometry"]["coordinates"]
+        return "POLYGON (" + ", ".join(
+            "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+            for ring in rings
+        ) + ")"
+
+    aois_df = spark.createDataFrame(
+        [(aid, to_wkt(f)) for aid, f in feats], "aoi_id int, wkt string"
+    )
+
+    def rowset(df):
+        return sorted(
+            (r["doc_id"], r["aoi_id"])
+            for r in df.select("doc_id", "aoi_id").collect()
+        )
+
+    base = rowset(spatial_join.aoi_join_big(docs, aois_df, cover_level=12))
+    assert len(base) > 0
+    for lvl in (13, 14):
+        assert rowset(
+            spatial_join.aoi_join_big(docs, aois_df, cover_level=lvl)
+        ) == base
+    # small-AOI shape shares _doc_cell_col + the driver-side expansion ring
+    small = rowset(spatial_join.aoi_join(docs, feats, cover_level=13))
+    assert small == base
+
+
+def test_deep_cover_requires_an_anchor(spark):
+    """Deep covers need bbox or centroid columns on pre-enriched docs —
+    a table with neither must raise, not silently drop every row."""
+    import pytest
+
+    from open_buildings_spark.operators import spatial_join
+
+    docs = spark.createDataFrame(
+        [("d1", "301001330310", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "doc_id string, quadkey string, wkt string",
+    )
+    aois = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")], "aoi_id int, wkt string"
+    )
+    with pytest.raises(ValueError, match="cover_level"):
+        spatial_join.aoi_join_big(docs, aois, cover_level=13)
+
+
 def test_lm_score_semantics(spark):
     """The bigram LM must score corpus-typical word sequences above rare
     ones: a doc repeating the corpus's dominant bigram outranks a doc of
