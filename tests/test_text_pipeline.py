@@ -136,3 +136,49 @@ def test_pack_sequences_plan(spark):
     )
     plan = textstats.pack_sequences(docs, seq_len=8, bucket=16)._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" in plan or "broadcast" in plan.lower()
+
+
+def test_pack_bucket_plan_thresholds():
+    """Auto-sizing bounds the offsets frame; explicit buckets keep the
+    broadcast hint only under the bound (the r5-verdict watch item: a
+    10^12-doc corpus with the old fixed bucket=1024 default would have
+    HINTED a ~10^9-row broadcast)."""
+    import pytest as _pytest
+
+    from open_buildings_spark.operators.textstats import _pack_bucket_plan
+
+    b, bc = _pack_bucket_plan(10**12, "auto", 1_000_000)
+    assert bc and 10**12 // b + 1 <= 1_000_001
+    assert _pack_bucket_plan(500, "auto", 1_000_000) == (1, True)
+    b, bc = _pack_bucket_plan(10**12, 1024, 1_000_000)
+    assert b == 1024 and not bc
+    b, bc = _pack_bucket_plan(10**6, 1024, 1_000_000)
+    assert b == 1024 and bc
+    with _pytest.raises(ValueError):
+        _pack_bucket_plan(10, 0, 100)
+
+
+def test_pack_sequences_bucket_invariant(spark):
+    """tok_start/seq ranges are identical for any bucket choice (buckets
+    partition the id order) — auto, explicit, and the gated no-broadcast
+    path all emit the same rows."""
+    from open_buildings_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(i * 37, "w " * (i % 7 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+
+    def rows(**kw):
+        return [
+            tuple(r)
+            for r in textstats.pack_sequences(docs, seq_len=5, **kw)
+            .orderBy("doc_id")
+            .collect()
+        ]
+
+    base = rows(bucket=1)
+    assert rows(bucket="auto") == base
+    assert rows(bucket=7) == base
+    # explicit bucket past the bound: broadcast gate OFF, same rows
+    assert rows(bucket=1, max_offset_rows=2) == base
