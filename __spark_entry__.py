@@ -944,12 +944,12 @@ def _q_funnel(spark, sf_dir):
 _SESS_STREAM_SEQ = iter(range(10**6))
 
 
-def _q_sessionize_stream(spark, sf_dir):
-    """Stateful streaming sessionizer (applyInPandasWithState) under the
-    oracle gate: events materialized as time-range-ordered files (mtimes
-    staggered so the file source replays them in event-time order — the
-    per-key in-order arrival any production log gives), availableNow into a
-    memory sink. Oracle = batch sessions minus each user's final open one."""
+def _time_ordered_events_copy(spark, sf_dir) -> str:
+    """Events materialized as time-range-ordered files with staggered
+    mtimes (file-source replay order is (modTime, path)), so a streaming
+    file source replays them in event-time order — the per-key in-order
+    arrival any production log gives. Shared by every stateful-twin gate
+    query (sessionize, as-of)."""
     import os
 
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
@@ -959,16 +959,39 @@ def _q_sessionize_stream(spark, sf_dir):
         ev.repartitionByRange(8, "ts", "event_id").write.mode("overwrite").parquet(
             ev_dir
         )
-    # file-source replay order is (modTime, path): stagger mtimes to match
-    # the lexicographic = time-range order
-    parts = sorted(
-        f for f in os.listdir(ev_dir) if f.endswith(".parquet")
-    )
+    parts = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
     t0 = os.path.getmtime(os.path.join(ev_dir, parts[0])) if parts else 0
     for i, f in enumerate(parts):
         os.utime(os.path.join(ev_dir, f), (t0 + i, t0 + i))
+    return ev_dir
+
+
+def _q_sessionize_stream(spark, sf_dir):
+    """Stateful streaming sessionizer (applyInPandasWithState) under the
+    oracle gate: time-ordered file replay, availableNow into a memory
+    sink. Oracle = batch sessions minus each user's final open one."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ev_dir = _time_ordered_events_copy(spark, sf_dir)
     name = f"sess_stream_{base}_{next(_SESS_STREAM_SEQ)}"
     return events_ops.sessionize_stream_to_memory(spark, ev_dir, sf_dir, name)
+
+
+def _q_asof_stream(spark, sf_dir):
+    """Streaming twin of e_asof (streaming/asof.py): stateful
+    point-in-time enrichment — each purchase emits immediately with the
+    user's carried latest view (ONE (ts, value) register per key in the
+    state store), time-ordered file replay, availableNow into a memory
+    sink. Same oracle as e_asof: DuckDB's native ASOF LEFT JOIN."""
+    import os
+
+    from open_buildings_spark.streaming import asof as asof_stream
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ev_dir = _time_ordered_events_copy(spark, sf_dir)
+    name = f"asof_stream_{base}_{next(_SESS_STREAM_SEQ)}"
+    return asof_stream.asof_stream_to_memory(spark, ev_dir, sf_dir, name)
 
 
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1033,7 +1056,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_country_join": _q_country_join,
         "g_tile_rollup": _q_tile_rollup,
         "g_s2_rollup": _q_s2_rollup,  # NEW r5: S2 cell provider (geo/s2.py)
-        "g_s2_range": _q_s2_range,  # NEW r5: S2 range-containment lookup
         "g_s2_scan": _q_s2_scan,  # NEW r5: S2-ordered layout, range-pruned serve
         "g_tile_assignment": _q_tile_assignment,
         "g_partition_plan": _q_partition_plan,
@@ -1073,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "e_asof": _q_asof,  # NEW r5: as-of join (operators/asof.py)
+        "e_asof_stream": _q_asof_stream,  # NEW r6: stateful streaming as-of twin
         "e_funnel": _q_funnel,  # NEW r5: ordered funnel (stage-pointer fold)
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
@@ -1103,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h_top_customers": _q_top_customers,  # star schema: h_pricing_summary (r4 row)
         "t_quality": _q_quality,  # map-only native textstats: t_token_stats/t_langid (r4 row)
         "t_bpe_pairs": _q_bpe_pairs,  # r5 row; BPE family: t_bpe_encode (the subtler apply path) in head
+        "g_s2_range": _q_s2_range,  # r5 row; S2 family: g_s2_rollup (encode) + g_s2_scan (range prune) in head
     }
 
 

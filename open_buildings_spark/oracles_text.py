@@ -953,6 +953,10 @@ SELECT p.event_id, p.user_id, v.value AS asof_value,
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+    # the streaming twin (stateful carry-forward register) must land on
+    # the IDENTICAL result set — same oracle, verbatim
+    sqls["e_asof_stream"] = sqls["e_asof"]
+
     # hopping windows: Spark assigns each event to exactly length/slide
     # epoch-aligned windows; the oracle derives the same starts
     # arithmetically — floor(epoch/slide)*slide - k*slide for k in 0..3

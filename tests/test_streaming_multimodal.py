@@ -77,6 +77,44 @@ def test_stateful_sessionize_equals_batch(spark, sf_dir):
     assert (merged.t_end == merged.t_end_b).all()
 
 
+def test_stateful_asof_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming as-of twin (carry-forward register per key) must emit
+    the batch asof_join's exact rows — including purchases with NO prior
+    view (NULL asof_value/lag_us, not NaN) — when files replay in event
+    time (single time-sorted file => in-order arrival)."""
+    from open_buildings_spark.operators import asof as asof_op
+    from open_buildings_spark.streaming import asof as asof_stream
+    from open_buildings_spark.tsutil import unix_micros_ntz as us
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    batch = (
+        asof_op.asof_join(purchases, views, on="user_id", ts_col="ts")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value_asof").alias("asof_value"),
+            (us("ts") - us("ts_asof")).cast("long").alias("lag_us"),
+        )
+        .toPandas()
+    )
+    assert batch["asof_value"].isna().any()  # fixture has no-match rows
+
+    src = str(tmp_path / "ordered")
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+    got = asof_stream.asof_stream_to_memory(
+        spark, src, sf_dir, "asof_twin_test"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(batch), check_dtype=False
+    )
+
+
 def test_media_decode_schema_and_determinism(spark, docs):
     out = multimodal.decode_media(docs)
     assert [f.name for f in out.schema.fields] == [
