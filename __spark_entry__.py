@@ -493,6 +493,63 @@ def _q_s2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_s2_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 as a first-class TABLE-LAYER cell provider (table/s2table.py):
+    one gate exercising the full lifecycle the bespoke r5 sidecar layout
+    forfeited — adaptive-cell S2 write (key strings route through the
+    same planner/manifest machinery as quadkeys), copy-on-write MERGE
+    (movers flip lon sign and re-key; inserts clone '77' docs), TIME
+    TRAVEL (snap 1 = pre-upsert), and the cover-prefix-pruned window
+    read. Emits per (snapshot, doc) the level-10 (face, pos) derived
+    from the STORED KEY STRING; the oracle re-derives face+Hilbert from
+    scratch and replays the merge arithmetic."""
+    import os
+
+    from open_buildings_spark.table import iceberg_lite as tbl
+    from open_buildings_spark.table import s2table as s2t
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = f"/tmp/ob_spark_entry/s2table_{sf}_rev{datagen.DATAGEN_REV}"
+    tbl.drop_table(root)
+    g = _geo_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    m1 = s2t.write_s2_table(g, root, max_per_file=10_000)
+    cur = tbl.read_table(spark, root)
+    lvl = s2t.table_key_level(root)  # re-key maintenance batches at the
+    # table's own level, never a default that could drift
+    movers = s2t.add_s2_key(
+        cur.filter(F.col("doc_id").endswith("33")).withColumn(
+            "lon", -F.col("lon")
+        ),
+        level=lvl,
+    )
+    ins = s2t.add_s2_key(
+        cur.filter(F.col("doc_id").endswith("77")).withColumn(
+            "doc_id", F.concat(F.lit("s2-"), F.col("doc_id"))
+        ),
+        level=lvl,
+    )
+    tbl.upsert_rows(
+        movers.unionByName(ins.select(*movers.columns)), root, key="doc_id"
+    )
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    pre = s2t.window_read(
+        spark, root, w, s, e, n, cover_level=10, snapshot_id=m1["snapshot_id"]
+    ).withColumn("snap", F.lit(1))
+    post = s2t.window_read(spark, root, w, s, e, n, cover_level=10).withColumn(
+        "snap", F.lit(2)
+    )
+    out = pre.unionByName(post)
+    # (face, level-10 pos) FROM THE STORED KEY STRING — pins the key
+    # codec itself; level-10 truncation absorbs the known ~1e-14 lat
+    # divergence (same device as g_s2_rollup)
+    return out.select(
+        "snap",
+        "doc_id",
+        F.substring("quadkey", 1, 1).cast("long").alias("s2_face"),
+        F.conv(F.substring("quadkey", 2, 10), 4, 10).cast("long").alias("s2_pos"),
+    )
+
+
 def _q_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partition.partition_plan(_geo_docs(spark, sf_dir), oracles.MAX_PER_FILE)
 
@@ -1050,13 +1107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_stream_table": _q_stream_table,
         "g_quadkey_hist": _q_quadkey_hist,
         "g_aoi_query": _q_aoi_query,
-        "g_upsert_table": _q_upsert_table,
         "g_keyed_upsert": _q_keyed_upsert,
         "g_delete_table": _q_delete_table,
         "g_country_join": _q_country_join,
         "g_tile_rollup": _q_tile_rollup,
         "g_s2_rollup": _q_s2_rollup,  # NEW r5: S2 cell provider (geo/s2.py)
         "g_s2_scan": _q_s2_scan,  # NEW r5: S2-ordered layout, range-pruned serve
+        "g_s2_table": _q_s2_table,  # NEW r6: S2 as a table-layer cell provider (write/MERGE/time-travel/window)
         "g_tile_assignment": _q_tile_assignment,
         "g_partition_plan": _q_partition_plan,
         "g_knn": _q_knn,
@@ -1127,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality": _q_quality,  # map-only native textstats: t_token_stats/t_langid (r4 row)
         "t_bpe_pairs": _q_bpe_pairs,  # r5 row; BPE family: t_bpe_encode (the subtler apply path) in head
         "g_s2_range": _q_s2_range,  # r5 row; S2 family: g_s2_rollup (encode) + g_s2_scan (range prune) in head
+        "g_upsert_table": _q_upsert_table,  # r5 row; copy-on-write MERGE path: g_keyed_upsert + g_s2_table in head
     }
 
 

@@ -441,3 +441,48 @@ def cover_bbox(w: float, s: float, e: float, n: float, level: int) -> list[int]:
         )
         out.update(int(c) for c in cell_at_level(leafs, level))
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical key strings — S2 as a cell PROVIDER for the table layer.
+# ---------------------------------------------------------------------------
+
+
+def key_strings(ids, level: int) -> np.ndarray:
+    """Cell ids -> prefix-hierarchical digit strings: the face digit (0-5)
+    followed by one base-4 Hilbert digit per level, MSB first. Properties
+    that make S2 a drop-in cell provider for the table layer
+    (table/iceberg_lite.py): an ancestor's string is a PREFIX of every
+    descendant's, and lexicographic order == numeric cell-id order (the
+    face digit leads, then position digits MSB-first), so prefix-pruned
+    manifests, substring partition plans and sorted-file range scans all
+    work unchanged over S2 geography. Object array of python strings."""
+    face, pos = face_pos(ids, level)
+    n = face.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=object)
+    digits = np.empty((n, level + 1), dtype=np.uint8)
+    digits[:, 0] = face.astype(np.uint8) + 48
+    for k in range(level):
+        digits[:, 1 + k] = (
+            (pos >> (2 * (level - 1 - k))) & 3
+        ).astype(np.uint8) + 48
+    return np.ascontiguousarray(digits).view(f"S{level + 1}").ravel().astype(
+        str
+    ).astype(object)
+
+
+def key_to_cell(key: str) -> int:
+    """Digit string (any length >= 1) -> cell id at that string's level —
+    the scalar inverse of :func:`key_strings` (same bit layout as
+    cell_at_level: position bits then the trailing center bit)."""
+    face = int(key[0])
+    level = len(key) - 1
+    if not 0 <= face <= 5 or level > MAX_LEVEL:
+        raise ValueError(f"not an S2 key string: {key!r}")
+    pos = int(key[1:], 4) if level else 0
+    shift = 2 * (MAX_LEVEL - level) + 1
+    u = (np.uint64(face) << np.uint64(2 * MAX_LEVEL + 1)) | (
+        np.uint64(pos) << np.uint64(shift)
+    ) | (np.uint64(1) << np.uint64(shift - 1))
+    return int(u.astype(np.int64))

@@ -348,6 +348,37 @@ WHERE has_geom
   AND lat BETWEEN {s} AND {n}
 """
 
+    # S2 TABLE-LAYER gate (table/s2table.py): the oracle replays the
+    # merge arithmetic (movers LIKE '%33' flip lon sign; inserts clone
+    # '%77' docs under 's2-' ids), takes each snapshot's window rows with
+    # the bare centroid-in-bbox predicate, and re-derives each row's
+    # level-10 S2 (face, pos) FROM SCRATCH — so the engine's stored key
+    # strings (substr/conv-decoded), the cover-prefix pruning, the
+    # copy-on-write MERGE and time travel must all agree at once.
+    st_src = (
+        "SELECT snap, doc_id, plon, plat FROM ("
+        "  SELECT 1 AS snap, doc_id, plon, plat FROM s2t_base"
+        "  UNION ALL"
+        "  SELECT 2, doc_id, plon, plat FROM s2t_merged"
+        f") WHERE plon BETWEEN {w} AND {e} AND plat BETWEEN {s} AND {n}"
+    )
+    st_ctes, st_fin = _s2_cell_ctes("s2t10_", st_src, "snap, doc_id", 10)
+    sqls["g_s2_table"] = f"""
+WITH {bld},
+s2t_base AS ({s2_docs_src}),
+s2t_merged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id LIKE '%33' THEN -plon ELSE plon END AS plon,
+         plat
+  FROM s2t_base
+  UNION ALL
+  SELECT 's2-' || doc_id, plon, plat FROM s2t_base WHERE doc_id LIKE '%77'
+),
+{st_ctes}
+SELECT snap, doc_id, CAST(face AS BIGINT) AS s2_face, pos AS s2_pos
+FROM {st_fin}
+"""
+
     sqls["g_partition_plan"] = f"""
 WITH {bld},
 h12 AS (SELECT qk AS c, COUNT(*) AS n FROM bld WHERE has_geom GROUP BY 1),

@@ -1091,16 +1091,19 @@ def manifest_at(root: str, snapshot_id: int) -> dict | None:
 def read_table(
     spark: SparkSession,
     root: str,
-    quadkey_prefix: str | None = None,
+    quadkey_prefix=None,
     snapshot_id: int | None = None,
     **key_filters: str,
 ) -> DataFrame:
     """Manifest-planned scan with partition pruning.
 
     ``quadkey_prefix``: keep partitions whose cell overlaps the prefix
-    (cell startswith prefix OR prefix startswith cell). Key equality
-    filters prune on manifest partition values. Returns an empty DataFrame
-    with no files when everything prunes away.
+    (cell startswith prefix OR prefix startswith cell); a LIST of
+    prefixes keeps partitions overlapping ANY of them (a window's cell
+    cover — e.g. table/s2table.py window_read — prunes in one plan pass
+    instead of one read per cover cell). Key equality filters prune on
+    manifest partition values. Returns an empty DataFrame with no files
+    when everything prunes away.
 
     ``snapshot_id``: time travel — plan from that snapshot's manifest
     instead of the current one. Snapshots are fully immutable: every write
@@ -1119,11 +1122,18 @@ def read_table(
             f"no committed snapshot at {root}"
             + (f" (snapshot {snapshot_id})" if snapshot_id is not None else "")
         )
+    prefixes = (
+        [quadkey_prefix]
+        if isinstance(quadkey_prefix, str)
+        else list(quadkey_prefix or [])
+    )
     files: list[str] = []
     for part in m["partitions"]:
-        if quadkey_prefix:
+        if prefixes:
             cell = part["cell"]
-            if not (cell.startswith(quadkey_prefix) or quadkey_prefix.startswith(cell)):
+            if not any(
+                cell.startswith(p) or p.startswith(cell) for p in prefixes
+            ):
                 continue
         if any(part["values"].get(k) != v for k, v in key_filters.items()):
             continue

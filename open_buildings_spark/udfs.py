@@ -474,6 +474,33 @@ def plus_code12(lat: pd.Series, lon: pd.Series) -> pd.Series:
 
 
 
+def make_s2_key(level: int):
+    """Arrow-batched lon/lat -> S2 KEY STRING at ``level`` (face digit +
+    base-4 Hilbert digits, geo/s2.py key_strings): the cell-provider
+    column for S2-layout tables — prefix-hierarchical and sorted like the
+    numeric id, so the quadkey table machinery (prefix plans, manifest
+    pruning, clustered sort) runs unchanged over it. NULL coords -> NULL
+    key (the planner's null-key filter handles them like a failed parse)."""
+    from .geo import s2
+
+    if not 0 <= level <= s2.MAX_LEVEL:
+        raise ValueError("level must be 0..30")
+
+    @F.pandas_udf(StringType())
+    def s2_key(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        bad = np.isnan(lo) | np.isnan(la)
+        ids = s2.cells_from_lonlat(
+            np.where(bad, 0.0, lo), np.where(bad, 0.0, la), level
+        )
+        out = s2.key_strings(ids, level)
+        out[bad] = None
+        return pd.Series(out)
+
+    return s2_key
+
+
 def make_s2_cell(level: int):
     """Arrow-batched lon/lat -> S2 cell id at ``level`` (int64, the public
     S2 bit layout — see geo/s2.py). The second cell provider next to the

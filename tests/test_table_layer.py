@@ -440,3 +440,77 @@ def test_upsert_guards_and_append_only_cells(spark, enriched, tmp_path):
     assert len(p2["files"]) > len(tgt["files"])       # plus new ones
     assert p2["n_rows"] == tgt["n_rows"] + 1
     assert tbl.read_table(spark, root).count() == enriched.count() + 1
+
+
+def test_s2_table_lifecycle(spark, enriched, tmp_path):
+    """S2 as a table-layer cell provider (table/s2table.py): adaptive
+    write routes on S2 key strings, MERGE re-keys movers, time travel
+    reads the pre-merge state, the window read is exact and prefix-pruned,
+    and compaction preserves the row set. One engine, two providers."""
+    from open_buildings_spark.geo import s2
+    from open_buildings_spark.table import s2table as s2t
+
+    root = str(tmp_path / "s2tbl")
+    g = enriched.select("doc_id", "lon", "lat")
+    m1 = s2t.write_s2_table(g, root, max_per_file=1000, level=12)
+    m = tbl.current_manifest(root)
+    assert m["metrics"]["cell_provider"] == "s2"
+    assert s2t.table_key_level(root) == 12
+    cur = tbl.read_table(spark, root)
+    n0 = cur.count()
+    assert n0 == g.count()
+    # every key decodes to a valid cell containing the row's centroid
+    row = cur.first()
+    cell = s2.key_to_cell(row["quadkey"])
+    import numpy as np
+
+    leaf = int(s2.leaf_from_lonlat(np.array([row["lon"]]), np.array([row["lat"]]))[0])
+    lo, hi = s2.cell_range(np.array([cell], dtype=np.int64))
+    assert int(lo[0]) <= leaf <= int(hi[0])
+
+    # MERGE: move one doc to the antipode (re-keyed), insert one clone
+    mover = s2t.add_s2_key(
+        cur.limit(1).withColumn("lon", -F.col("lon")), level=12
+    )
+    ins = s2t.add_s2_key(
+        cur.limit(1).withColumn("doc_id", F.concat(F.lit("x-"), "doc_id")),
+        level=12,
+    )
+    tbl.upsert_rows(mover.unionByName(ins.select(*mover.columns)), root, key="doc_id")
+    assert tbl.read_table(spark, root).count() == n0 + 1
+
+    # window read: exact vs brute force, current and time-travel
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+
+    def brute(df):
+        return {
+            r["doc_id"]
+            for r in df.where(
+                (F.col("lon") >= w) & (F.col("lon") <= e)
+                & (F.col("lat") >= s) & (F.col("lat") <= n)
+            ).collect()
+        }
+
+    got_now = {
+        r["doc_id"]
+        for r in s2t.window_read(spark, root, w, s, e, n, cover_level=10).collect()
+    }
+    assert got_now == brute(tbl.read_table(spark, root))
+    got_old = {
+        r["doc_id"]
+        for r in s2t.window_read(
+            spark, root, w, s, e, n, cover_level=10,
+            snapshot_id=m1["snapshot_id"],
+        ).collect()
+    }
+    assert got_old == brute(tbl.read_table(spark, root, snapshot_id=m1["snapshot_id"]))
+
+    # provider guard: a quadkey table refuses S2 window reads
+    qroot = str(tmp_path / "qtbl")
+    tbl.write_partitioned(enriched, qroot, max_per_file=1000)
+    with pytest.raises(ValueError, match="not an S2 layout"):
+        s2t.window_read(spark, qroot, w, s, e, n)
+
+    # compaction keeps the row set
+    tbl.compact_cells(spark, root)
+    assert tbl.read_table(spark, root).count() == n0 + 1
