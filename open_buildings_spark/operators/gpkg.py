@@ -58,6 +58,41 @@ def gp_header(srs_id: int, envelope: tuple[float, float, float, float]) -> bytes
     )
 
 
+def gp_headers_np(srs_id: int, bb: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`gp_header` over an (N, 4) [minx, miny, maxx, maxy]
+    array — one structured-array fill instead of N struct.pack calls (runs
+    in the EXECUTOR encode pass, so header bytes ship ready-made and the
+    single-writer driver loop only concatenates). Returns the structured
+    array; row i's header bytes are ``out[i].tobytes()`` (40 bytes,
+    byte-identical to :func:`gp_header`)."""
+    hdr_dt = np.dtype(
+        [("magic", "S2"), ("ver", "u1"), ("flags", "u1"), ("srs", "<i4"),
+         ("env", "<f8", 4)]
+    )
+    h = np.empty(len(bb), dtype=hdr_dt)
+    h["magic"] = b"GP"
+    h["ver"] = 0
+    h["flags"] = 0b00000011  # envelope type 1 (<<1) | little-endian
+    h["srs"] = srs_id
+    h["env"][:, 0] = bb[:, 0]
+    h["env"][:, 1] = bb[:, 2]
+    h["env"][:, 2] = bb[:, 1]
+    h["env"][:, 3] = bb[:, 3]
+    return h
+
+
+def _bulk_pragmas(db: sqlite3.Connection) -> None:
+    """Bulk-build PRAGMAs for a file created FROM SCRATCH in one shot
+    (every writer here builds into a temp path and renames, so a crash
+    leaves no readable file either way): no rollback journal, no fsyncs,
+    in-memory temp B-trees, 64 MB page cache. Measured ~1.6x on the
+    single-file feature insert at 1.75M rows."""
+    db.execute("PRAGMA journal_mode = OFF")
+    db.execute("PRAGMA synchronous = OFF")
+    db.execute("PRAGMA temp_store = MEMORY")
+    db.execute("PRAGMA cache_size = -65536")
+
+
 def _init_gpkg(db: sqlite3.Connection) -> None:
     db.execute(f"PRAGMA application_id = {GPKG_APPLICATION_ID}")
     db.execute(f"PRAGMA user_version = {GPKG_USER_VERSION}")
@@ -151,6 +186,7 @@ def _rtree_bulk_load(
     rt: str,
     rowids: np.ndarray,
     bb: np.ndarray,
+    hkeys: np.ndarray | None = None,
 ) -> None:
     """Packed bottom-up BULK LOAD of an (empty) rtree virtual table by
     writing its shadow tables directly — the node format is public
@@ -179,14 +215,16 @@ def _rtree_bulk_load(
     ).fetchone()[0]
     node_size = len(root)
     cap = (node_size - 4) // 24
-    from .flatgeobuf import hilbert_from_lonlat
+    if hkeys is None:
+        # ``hkeys`` lets the caller ship the Hilbert sort key from the
+        # distributed encode pass (write_gpkg does); computing it here
+        # serializes ~1.5 s/1.75M rows onto the single-writer driver
+        from .flatgeobuf import hilbert_from_lonlat
 
-    order = np.argsort(
-        hilbert_from_lonlat(
+        hkeys = hilbert_from_lonlat(
             (bb[:, 0] + bb[:, 2]) / 2.0, (bb[:, 1] + bb[:, 3]) / 2.0
-        ),
-        kind="stable",
-    )
+        )
+    order = np.argsort(hkeys, kind="stable")
     rid = np.asarray(rowids, dtype=np.int64)[order]
     b = np.asarray(bb, dtype=np.float64)[order]
 
@@ -290,18 +328,21 @@ def _rtree_bulk_load(
         f'INSERT INTO "{rt}_node" (nodeno, data) VALUES (?, ?)', node_rows
     )
     leaf_no = nodeno_by_level[0]
-    pairs = np.stack([rid, leaf_no[np.arange(m) // cap]], axis=1)
+    leaf_of = leaf_no[np.arange(m) // cap]
     # rowid-sorted: sequential appends into the _rowid B-tree instead of
-    # random-order inserts (rid is in Hilbert order at this point)
-    pairs = pairs[np.argsort(pairs[:, 0], kind="stable")]
+    # random-order inserts (rid is in Hilbert order at this point).
+    # Two 1-D tolists + zip, NOT a stacked 2-D tolist: the 2-D variant
+    # materializes m python LISTS (one per row) and measured ~4x slower
+    ro = np.argsort(rid, kind="stable")
     db.executemany(
         f'INSERT INTO "{rt}_rowid" (rowid, nodeno) VALUES (?, ?)',
-        pairs.tolist(),
+        zip(rid[ro].tolist(), leaf_of[ro].tolist()),
     )
     if parent_pairs:
+        pp = np.concatenate(parent_pairs)
         db.executemany(
             f'INSERT INTO "{rt}_parent" (nodeno, parentnode) VALUES (?, ?)',
-            np.concatenate(parent_pairs).tolist(),
+            zip(pp[:, 0].tolist(), pp[:, 1].tolist()),
         )
 
 
@@ -415,6 +456,7 @@ def write_gpkg_pandas(
     gnames = {GT_POINT: "POINT", GT_POLYGON: "POLYGON", GT_MULTIPOLYGON: "MULTIPOLYGON"}
     db = sqlite3.connect(tmp)
     try:
+        _bulk_pragmas(db)
         _init_gpkg(db)
         cols_sql = ", ".join(f'"{c}" {t}' for c, t in columns)
         db.execute(
@@ -514,16 +556,16 @@ def write_gpkg(
 
     # internal scratch columns carry a reserved prefix so a user attribute
     # named 'geom'/'minx'/... cannot produce a duplicate-column scratch schema
-    _g, _t, _x0, _y0, _x1, _y1 = (
+    _g, _t, _x0, _y0, _x1, _y1, _h = (
         "__obs_geom", "__obs_gtype", "__obs_minx", "__obs_miny",
-        "__obs_maxx", "__obs_maxy",
+        "__obs_maxx", "__obs_maxy", "__obs_hkey",
     )
-    clash = {_g, _t, _x0, _y0, _x1, _y1} & set(col_names)
+    clash = {_g, _t, _x0, _y0, _x1, _y1, _h} & set(col_names)
     if clash:
         raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
     out_schema = (
         f"{_g} binary, {_t} int, {_x0} double, {_y0} double, "
-        f"{_x1} double, {_y1} double, "
+        f"{_x1} double, {_y1} double, {_h} long, "
         + ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in col_names)
     )
 
@@ -536,25 +578,44 @@ def write_gpkg(
             idx = np.nonzero(keep)[0]
             if not len(idx):
                 continue
+            # ship the COMPLETE GeoPackageBinary blob (header + wkb): the
+            # header build is vectorized and runs here in parallel, so the
+            # single-writer driver loop is left with nothing per-row but
+            # the executemany itself
+            hdrs = gp_headers_np(4326, bb[idx])
+            # Hilbert sort key for the rtree bulk load, computed HERE in
+            # the parallel pass instead of on the single-writer driver
+            from .flatgeobuf import hilbert_from_lonlat
+
+            hk = hilbert_from_lonlat(
+                (bb[idx, 0] + bb[idx, 2]) / 2.0,
+                (bb[idx, 1] + bb[idx, 3]) / 2.0,
+            ).astype("int64")
             arrays = [
-                pa.array([bytes(wkb[i]) for i in idx], type=pa.binary()),
+                pa.array(
+                    [hdrs[k].tobytes() + bytes(wkb[i]) for k, i in enumerate(idx)],
+                    type=pa.binary(),
+                ),
                 pa.array(batch.gtype[idx].astype("int32")),
                 pa.array(bb[idx, 0]),
                 pa.array(bb[idx, 1]),
                 pa.array(bb[idx, 2]),
                 pa.array(bb[idx, 3]),
+                pa.array(hk),
             ] + [rb.column(i).take(pa.array(idx)) for i in cidx]
             yield pa.record_batch(
-                arrays, names=[_g, _t, _x0, _y0, _x1, _y1] + col_names
+                arrays, names=[_g, _t, _x0, _y0, _x1, _y1, _h] + col_names
             )
 
     df.mapInArrow(enc, out_schema).write.mode("overwrite").parquet(scratch)
 
     gnames = {GT_POINT: "POINT", GT_POLYGON: "POLYGON", GT_MULTIPOLYGON: "MULTIPOLYGON"}
-    if os.path.exists(path):
-        os.remove(path)
-    db = sqlite3.connect(path)
+    from ..pdexact import attempt_tmp
+
+    tmp = attempt_tmp(path)
+    db = sqlite3.connect(tmp)
     try:
+        _bulk_pragmas(db)
         _init_gpkg(db)
         cols_sql = ", ".join(f'"{c}" {t}' for c, t in columns)
         db.execute(
@@ -563,6 +624,7 @@ def write_gpkg(
         )
         rt = _rtree_begin(db, layer) if spatial_index else None
         rtree_bbs: list[np.ndarray] = []
+        rtree_hks: list[np.ndarray] = []
         n = 0
         seen_types: set[int] = set()
         gminx = gminy = float("inf")
@@ -598,13 +660,10 @@ def write_gpkg(
                 val_cols.append(
                     [v.item() if isinstance(v, np.generic) else v for v in lst]
                 )
-            rows = [
-                (
-                    gp_header(4326, (bx0[i], by0[i], bx1[i], by1[i]))
-                    + geoms_l[i],
-                    *(col[i] for col in val_cols),
-                )
-                for i in range(len(pdf))
+            # geoms arrive as COMPLETE GeoPackageBinary blobs (header
+            # prepended executor-side by enc) — zip, don't rebuild
+            rows = list(zip(geoms_l, *val_cols)) if val_cols else [
+                (g0,) for g0 in geoms_l
             ]
             seen_types.update(int(t) for t in np.unique(gtypes_np))
             if rows:
@@ -613,6 +672,7 @@ def write_gpkg(
                     rtree_bbs.append(
                         np.stack([bx0, by0, bx1, by1], axis=1)
                     )
+                    rtree_hks.append(pdf[_h].to_numpy())
                 n += len(rows)
                 gminx = min(gminx, float(bx0.min()))
                 gminy = min(gminy, float(by0.min()))
@@ -622,6 +682,7 @@ def write_gpkg(
             _rtree_bulk_load(
                 db, rt, np.arange(1, n + 1, dtype=np.int64),
                 np.concatenate(rtree_bbs),
+                hkeys=np.concatenate(rtree_hks),
             )
         if rt is not None:
             _rtree_finish(db, layer)
@@ -643,6 +704,7 @@ def write_gpkg(
         db.commit()
     finally:
         db.close()
+    os.replace(tmp, path)
     shutil.rmtree(scratch)
     return n
 

@@ -236,3 +236,19 @@ def _bbox_hits(wkt: str, win) -> bool:
     w, s, e, n = win
     bb = kernels.bboxes(parse_wkt_batch(pd.Series([wkt])))[0]
     return bb[0] <= e and bb[2] >= w and bb[1] <= n and bb[3] >= s
+
+
+def test_gp_headers_np_byte_identical():
+    """The vectorized executor-side header builder must equal the scalar
+    spec encoder byte-for-byte (it ships inside the GeoPackageBinary
+    blobs now)."""
+    import numpy as np
+
+    from open_buildings_spark.operators.gpkg import gp_header, gp_headers_np
+
+    rng = np.random.RandomState(3)
+    bb = rng.uniform(-180, 180, (500, 4))
+    bb = np.concatenate([bb, [[0.0, -0.0, np.float64(1e-300), 180.0]]])
+    h = gp_headers_np(4326, bb)
+    for i in range(len(bb)):
+        assert h[i].tobytes() == gp_header(4326, tuple(bb[i]))
