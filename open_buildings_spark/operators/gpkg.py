@@ -511,7 +511,12 @@ def write_gpkg_pandas(
             (layer, "geom", gtype_name, 4326, 0, 0),
         )
         db.commit()
-    finally:
+    except BaseException:
+        db.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)  # same no-orphan rule as write_gpkg
+        raise
+    else:
         db.close()
     os.replace(tmp, path)
     return n, env
@@ -702,7 +707,12 @@ def write_gpkg(
             (layer, "geom", gtype_name, 4326, 0, 0),
         )
         db.commit()
-    finally:
+    except BaseException:
+        db.close()
+        if os.path.exists(tmp):
+            os.remove(tmp)  # never leak a multi-GB hidden .inprogress file
+        raise
+    else:
         db.close()
     os.replace(tmp, path)
     shutil.rmtree(scratch)

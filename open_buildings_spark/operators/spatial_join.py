@@ -103,10 +103,15 @@ def _doc_cell_col(df: DataFrame, cover_level: int) -> "F.Column":
     def _tile(t01):
         t = F.floor((t01 + eps) * z2).cast("long")
         t = F.greatest(F.least(t, F.lit(zmax)), F.lit(0))
-        # edge pins match tiles_np; NaN anchors fall through every branch
-        # to a NULL tile -> NULL cell -> no candidates (tiles_np's -1)
+        # edge pins match tiles_np; the explicit isnan guard gives NaN
+        # anchors a NULL tile -> NULL cell -> no candidates (tiles_np's
+        # -1). Without it Spark's NaN ordering (NaN > everything) would
+        # route NaN anchors to the (zmax, zmax) corner cell — never a
+        # wrong OUTPUT row (the exact refine rejects them) but a spurious
+        # candidate for every AOI covering that corner.
         return (
-            F.when(t01 <= 0.0, F.lit(0))
+            F.when(F.isnan(t01), F.lit(None).cast("long"))
+            .when(t01 <= 0.0, F.lit(0))
             .when(t01 >= 1.0, F.lit(zmax))
             .otherwise(t)
         )

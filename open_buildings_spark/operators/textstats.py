@@ -499,16 +499,29 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    span_row = df.select(
-        F.min(F.col(id_col).cast("long")).alias("lo"),
-        F.max(F.col(id_col).cast("long")).alias("hi"),
-    ).first()
-    id_span = (
-        int(span_row["hi"]) - int(span_row["lo"]) + 1
-        if span_row["lo"] is not None
-        else 1
-    )
-    bucket, use_broadcast = _pack_bucket_plan(id_span, bucket, max_offset_rows)
+    if bucket != "auto" and max_offset_rows <= 0:
+        # escape hatch (lm_score's max_broadcast_rows=0 convention): the
+        # caller vouches for its explicit bucket — no sizing scan runs at
+        # construction time and the offsets frame broadcasts unchecked
+        bucket, use_broadcast = int(bucket), True
+        if bucket < 1:
+            raise ValueError("bucket must be >= 1 or 'auto'")
+    else:
+        # one column-pruned (min, max) id scan; note it runs EAGERLY at
+        # DataFrame-construction time because the chosen bucket shapes
+        # the plan itself
+        span_row = df.select(
+            F.min(F.col(id_col).cast("long")).alias("lo"),
+            F.max(F.col(id_col).cast("long")).alias("hi"),
+        ).first()
+        id_span = (
+            int(span_row["hi"]) - int(span_row["lo"]) + 1
+            if span_row["lo"] is not None
+            else 1
+        )
+        bucket, use_broadcast = _pack_bucket_plan(
+            id_span, bucket, max_offset_rows
+        )
 
     toks = tokens_col()
     d = df.select(

@@ -82,10 +82,15 @@ def asof_stream_stateful(
         if rts is not None:
             state.update((rts, val))
         if out:
-            # nullable dtypes, NOT a plain DataFrame: None in a float64
-            # column becomes NaN (which Arrow keeps as NaN, not NULL) and
-            # an int column with None upcasts to float64 — either would
-            # diverge from the batch twin's true NULLs (pdexact rule)
+            # exact null semantics (pdexact rules): ints as Int64 (a plain
+            # int column with None upcasts to float64), asof_value as an
+            # OBJECT series so None stays NULL. KNOWN LIMIT: a NaN right
+            # VALUE also becomes NULL here — pandas/Arrow interop defines
+            # float NaN AS the missing marker, so no pandas-mediated
+            # stateful operator can round-trip NaN-vs-NULL (the JVM-side
+            # batch twin preserves NaN); the twin equality contract
+            # therefore assumes NaN-free value columns (pinned by
+            # test_asof_stream_nan_becomes_null)
             yield pd.DataFrame(
                 {
                     "event_id": pd.array(
@@ -94,8 +99,8 @@ def asof_stream_stateful(
                     "user_id": pd.array(
                         [r[1] for r in out], dtype="Int64"
                     ),
-                    "asof_value": pd.array(
-                        [r[2] for r in out], dtype="Float64"
+                    "asof_value": pd.Series(
+                        [r[2] for r in out], dtype=object
                     ),
                     "lag_us": pd.array([r[3] for r in out], dtype="Int64"),
                 }

@@ -122,15 +122,28 @@ def window_read(
     lon_col: str = "lon",
     lat_col: str = "lat",
     snapshot_id: int | None = None,
+    max_cover_cells: int = 64,
     **key_filters: str,
 ) -> DataFrame:
     """Exact window serve off an S2 table: cover prefixes -> manifest cell
     pruning (read_table) -> pushed ``startswith`` cover predicate (parquet
     row-group pruning on the sorted key's string stats) -> exact native
     lon/lat refine. Time travel and hive-key filters pass straight
-    through to read_table — the whole point of being one engine."""
-    table_key_level(root)  # provider guard
+    through to read_table — the whole point of being one engine.
+
+    ``cover_level`` clamps two ways, both exactness-preserving because
+    the lon/lat refine decides membership: to the table's stored key
+    level (a deeper cover emits prefixes LONGER than every stored key,
+    matches no row, and would silently return empty — the cliff the
+    spatial joins guard), and COARSER until the cover holds at most
+    ``max_cover_cells`` prefixes (a big window at a fine level covers
+    thousands of cells; a thousand-term OR both overflows the plan-tree
+    stack and bloats the pushed filter list)."""
+    cover_level = min(cover_level, table_key_level(root))  # provider guard too
     prefixes = cover_prefixes(w, s, e, n, cover_level)
+    while len(prefixes) > max_cover_cells and cover_level > 0:
+        cover_level -= 1
+        prefixes = cover_prefixes(w, s, e, n, cover_level)
     df = iceberg_lite.read_table(
         spark, root, quadkey_prefix=prefixes, snapshot_id=snapshot_id,
         **key_filters,

@@ -115,6 +115,38 @@ def test_stateful_asof_stream_equals_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_asof_stream_nan_becomes_null(spark, tmp_path):
+    """Documented interop limit: pandas/Arrow define float NaN AS the
+    missing marker, so a NaN right VALUE cannot round-trip through any
+    pandas-mediated stateful operator — it surfaces as NULL (the JVM-side
+    batch twin preserves NaN; twin equality assumes NaN-free values).
+    No-match rows stay true NULL and real values pass through exactly."""
+    from open_buildings_spark.streaming import asof as asof_stream
+
+    rows = [
+        (1, 100, "purchase", "2021-01-01 00:00:01", 0.0),   # no prior view
+        (2, 100, "view", "2021-01-01 00:00:02", float("nan")),
+        (3, 100, "purchase", "2021-01-01 00:00:03", 0.0),   # carries NaN
+        (4, 200, "view", "2021-01-01 00:00:01", 7.5),
+        (5, 200, "purchase", "2021-01-01 00:00:02", 0.0),   # carries 7.5
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s string, value double"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    src = str(tmp_path / "sf"); srcdir = str(tmp_path / "stream")
+    ev.coalesce(1).write.parquet(f"{src}/events.parquet")
+    ev.orderBy("ts", "event_id").coalesce(1).write.parquet(srcdir)
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_stream.asof_stream_to_memory(
+            spark, srcdir, src, "asof_nan_twin"
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[3] is None  # NaN value -> NULL at the pandas/Arrow boundary
+    assert got[5] == 7.5
+
+
 def test_media_decode_schema_and_determinism(spark, docs):
     out = multimodal.decode_media(docs)
     assert [f.name for f in out.schema.fields] == [

@@ -496,6 +496,13 @@ def test_s2_table_lifecycle(spark, enriched, tmp_path):
         for r in s2t.window_read(spark, root, w, s, e, n, cover_level=10).collect()
     }
     assert got_now == brute(tbl.read_table(spark, root))
+    # cover deeper than the stored key level must CLAMP, not silently
+    # return zero rows (prefixes longer than every key match nothing)
+    got_deep = {
+        r["doc_id"]
+        for r in s2t.window_read(spark, root, w, s, e, n, cover_level=14).collect()
+    }
+    assert got_deep == got_now
     got_old = {
         r["doc_id"]
         for r in s2t.window_read(
