@@ -846,6 +846,16 @@ def _q_vocab(spark, sf_dir):
     return search.vocab_stats(_docs_table(spark, sf_dir), top_n=100)
 
 
+def _q_dsir(spark, sf_dir):
+    """DSIR-style importance weights (hashed-bigram importance
+    resampling, Xie et al. 2023): target distribution = docs with
+    doc_id %% 10 == 0; both distributions are fixed-width 4096-bucket
+    tables (bounded BY CONSTRUCTION, broadcast-safe at any corpus
+    size). Oracle re-hashes the features and replays the smoothing."""
+    d = _docs_table(spark, sf_dir)
+    return textstats.dsir_weights(d, d.filter(F.col("doc_id") % 10 == 0))
+
+
 def _q_bm25(spark, sf_dir):
     """BM25 keyword search: top-20 docs for a fixed 3-term query; scores
     rounded to 6 dp before ranking for cross-engine determinism."""
@@ -868,6 +878,24 @@ def _q_cosine_topk(spark, sf_dir):
 
 def _q_ann_lsh(spark, sf_dir):
     return similarity.ann_topk_lsh(_emb(spark, sf_dir), [0, 1, 2, 3, 4], k=3)
+
+
+def _q_hybrid_rrf(spark, sf_dir):
+    """Hybrid sparse+dense retrieval: BM25 top-50 and brute-cosine top-50
+    (query = vec 0's embedding) fused by reciprocal rank (1/(60+rank) per
+    list — operators/search.py hybrid_search_rrf). Rank-only fusion keeps
+    the incomparable score scales apart; the fusion join touches at most
+    2 x depth rows regardless of corpus size."""
+    from open_buildings_spark.operators import search
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    return search.hybrid_search_rrf(
+        _docs_table(spark, sf_dir), emb, BM25_QUERY_TERMS, q, k=20, depth=50
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -1134,7 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_stats": _q_token_stats,
         "t_repetition": _q_repetition,  # NEW r5: Gopher repetition signals
         "t_pii": _q_pii,  # NEW r5: PII detect + scrub
-        "t_normalize": _q_normalize,  # NEW r5: text normalization
+        "t_dsir": _q_dsir,  # NEW r6: DSIR hashed-bigram importance weights
         "t_chunk": _q_chunk,  # NEW r5: training-window chunking
         "t_vocab": _q_vocab,
         "t_bpe_encode": _q_bpe_encode,  # NEW r6: exact distributed BPE apply (bpe.encode)
@@ -1144,7 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _q_stratified_sample,
         "t_hash_split": _q_hash_split,
         # similarity search over embeddings
-        "s_cosine_topk": _q_cosine_topk,
+        "s_hybrid_rrf": _q_hybrid_rrf,  # NEW r6: sparse+dense RRF fusion (runs cosine_topk + bm25 inside)
         "s_ann_ivf": _q_ann_ivf,
         "s_ann_lsh": _q_ann_lsh,
         "s_kmeans_ivf": _q_kmeans_ivf,
@@ -1185,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_pairs": _q_bpe_pairs,  # r5 row; BPE family: t_bpe_encode (the subtler apply path) in head
         "g_s2_range": _q_s2_range,  # r5 row; S2 family: g_s2_rollup (encode) + g_s2_scan (range prune) in head
         "g_upsert_table": _q_upsert_table,  # r5 row; copy-on-write MERGE path: g_keyed_upsert + g_s2_table in head
+        "s_cosine_topk": _q_cosine_topk,  # r5 row; exact-cosine path runs INSIDE s_hybrid_rrf in head
+        "t_normalize": _q_normalize,  # r5 row; map-only native-expr family: t_pii + t_chunk in head
     }
 
 

@@ -104,3 +104,61 @@ def bm25_search(
     top = scored.orderBy(F.desc("score_r6"), id_col).limit(k)
     w = Window.orderBy(F.desc("score_r6"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    queries: DataFrame,
+    k: int = 20,
+    depth: int = 50,
+    k_rrf: int = RRF_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion: the
+    canonical RAG / training-data retrieval composition (score ranked
+    lists from incomparable scorers by rank alone):
+
+        rrf(d) = sum over lists containing d of 1 / (k_rrf + rank_d)
+
+    Sparse list = :func:`bm25_search` top-``depth``; dense list =
+    ``similarity.cosine_topk`` top-``depth`` for the (single) query row
+    of ``queries`` (query_id, q_embedding); ``emb`` is (vec_id,
+    embedding) with vec_id in the same id domain as ``docs.doc_id``.
+    Returns (doc_id, rrf_r9, rank) of the fused top-``k``.
+
+    Determinism: ranks are integers, each doc contributes at most two
+    1/(k_rrf + rank) terms — an exact, order-free float sum — and the
+    fused score still rounds (9 dp) before ranking with a doc_id
+    tie-break, the engine-wide cross-engine device. Scale shape: both
+    input lists are top-``depth`` (TakeOrderedAndProject /
+    windowed-filter bounded), so the fusion join touches at most
+    2 x depth rows regardless of corpus size."""
+    from .similarity import cosine_topk
+
+    sparse = bm25_search(docs, terms, k=depth).select(
+        F.col(id_col).alias("fid"), F.col("rank").alias("r_sparse")
+    )
+    dense = cosine_topk(emb, queries, k=depth).select(
+        F.col("vec_id").alias("fid"), F.col("rank").alias("r_dense")
+    )
+    fused = sparse.join(dense, "fid", "full_outer").select(
+        "fid",
+        (
+            F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_sparse")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    scored = fused.select(
+        F.col("fid").alias(id_col), F.round("rrf", 9).alias("rrf_r9")
+    )
+    w = Window.orderBy(F.desc("rrf_r9"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("rrf_r9"), F.asc(id_col))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )

@@ -559,3 +559,96 @@ def pack_sequences(
         last_seq.cast("long").alias("last_seq"),
         (last_seq - first_seq + 1).cast("int").alias("n_seqs"),
     )
+
+
+DSIR_BUCKETS = 4096
+DSIR_SMOOTH = 1.0
+
+
+def _bigram_buckets(df: DataFrame, id_col: str | None, n_buckets: int):
+    """Word-bigram instances hashed into ``n_buckets`` (md5 -> 60-bit int
+    -> pmod; textually mirrored by the DuckDB oracle). With ``id_col``
+    every instance keeps its doc; without, just the bucket stream."""
+    from .dedup import tokens_col
+
+    cols = [id_col] if id_col else []
+    t = df.select(*cols, tokens_col().alias("tk")).filter(F.size("tk") >= 2)
+    grams = t.select(
+        *cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), i -> concat("
+                "element_at(tk, cast(i as int)), ' ', "
+                "element_at(tk, cast(i + 1 as int))))"
+            )
+        ).alias("g"),
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return grams.select(*cols, b.alias("b"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method): each
+    corpus doc scores how much more likely its hashed-bigram features are
+    under a TARGET distribution (a small trusted/reference set) than
+    under the corpus itself; resampling by these weights steers a
+    pretraining mix toward the target domain.
+
+        logratio(bucket) = ln p_target(bucket) - ln p_source(bucket)
+        (add-k smoothing over the n_buckets hashed-feature space)
+        weight(doc) = mean over the doc's bigram instances
+
+    Returns (id, n_grams, avg_logratio_r6); docs with < 2 tokens have no
+    feature and are absent. The mean rounds to 6 dp before emission (the
+    engine-wide float-sum-order device).
+
+    Scale shape: BOTH distributions are fixed-width bucket tables
+    (n_buckets rows — bounded BY CONSTRUCTION, unlike a vocab-sized
+    model), built by one map-side-combinable groupBy each and broadcast
+    to the scoring join; per-doc scoring is one explode + one broadcast
+    join + one groupBy. Nothing data-dependent ever broadcasts."""
+    s = float(DSIR_SMOOTH)
+    src = _bigram_buckets(df, None, n_buckets).groupBy("b").agg(
+        F.count("*").alias("cs")
+    )
+    tgt = _bigram_buckets(target, None, n_buckets).groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    tots = src.agg(F.sum("cs").cast("double").alias("ts")).crossJoin(
+        tgt.agg(F.sum("ct").cast("double").alias("tt"))
+    )
+    ratio = (
+        src.join(tgt, "b", "full_outer")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + s)
+                    / (F.col("tt") + s * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cs"), F.lit(0)) + s)
+                    / (F.col("ts") + s * n_buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    inst = _bigram_buckets(df, id_col, n_buckets)
+    return (
+        inst.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.avg("lr"), 6).alias("avg_logratio_r6"),
+        )
+    )

@@ -573,6 +573,89 @@ r AS (
 SELECT doc_id, score_r6, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
 """
 
+    # DSIR importance weights: hashed-bigram buckets re-derived from
+    # scratch (same md5 -> 60-bit -> mod device as every hash oracle),
+    # add-1 smoothing over the 4096-bucket feature space, target = docs
+    # with doc_id % 10 = 0; per-doc mean rounds at 6 dp (float device)
+    _b = _hex_bigint("substr(md5(g), 1, 15)")
+    sqls["t_dsir"] = f"""
+WITH dtoks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+grams AS (
+  SELECT doc_id, tk[CAST(u.i AS INT)] || ' ' || tk[CAST(u.i + 1 AS INT)] AS g
+  FROM dtoks, unnest(range(1, len(tk))) AS u(i)
+  WHERE len(tk) >= 2
+),
+binst AS (SELECT doc_id, {_b} % 4096 AS b FROM grams),
+srcb AS (SELECT b, COUNT(*) AS cs FROM binst GROUP BY 1),
+tgtb AS (SELECT b, COUNT(*) AS ct FROM binst WHERE doc_id % 10 = 0 GROUP BY 1),
+tots AS (
+  SELECT (SELECT CAST(SUM(cs) AS DOUBLE) FROM srcb) AS ts,
+         (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgtb) AS tt
+),
+ratio AS (
+  SELECT COALESCE(s.b, t.b) AS b,
+         ln((COALESCE(t.ct, 0) + 1e0) / (o.tt + 4096e0))
+           - ln((COALESCE(s.cs, 0) + 1e0) / (o.ts + 4096e0)) AS lr
+  FROM srcb s FULL OUTER JOIN tgtb t ON s.b = t.b CROSS JOIN tots o
+)
+SELECT i.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       round(AVG(r.lr), 6) AS avg_logratio_r6
+FROM binst i JOIN ratio r USING (b) GROUP BY 1
+"""
+
+    # hybrid sparse+dense retrieval: BM25 top-50 and cosine top-50 (query
+    # = vec 0's embedding) fused by reciprocal rank, 1/(60 + rank) per
+    # list — rank-only fusion, so the two scorers' incomparable score
+    # scales never meet; round-before-rank as everywhere
+    sqls["s_hybrid_rrf"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokx GROUP BY doc_id),
+stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokx
+  WHERE term IN ({_terms}) GROUP BY doc_id, term
+),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((s.n_docs - dfq.df + 5e-1) / (dfq.df + 5e-1) + 1e0)
+           * (tf.tf * ({k1} + 1e0))
+           / (tf.tf + {k1} * (1e0 - {b} + {b} * dl.dl / s.avgdl))
+           AS c
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+sscored AS (SELECT doc_id, round(SUM(c), 6) AS score_r6 FROM contrib GROUP BY doc_id),
+stop AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_r6 DESC, doc_id) AS rank
+    FROM sscored
+  ) WHERE rank <= 50
+),
+dq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dd AS (
+  SELECT e.vec_id, round(list_cosine_similarity(e.embedding, dq.qe), 6) AS sim_r
+  FROM embeddings e, dq
+),
+dtop AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim_r DESC, vec_id) AS rank
+    FROM dd
+  ) WHERE rank <= 50
+),
+fused AS (
+  SELECT COALESCE(s.doc_id, d.vec_id) AS doc_id,
+         round(COALESCE(1e0 / (60 + s.rank), 0e0)
+               + COALESCE(1e0 / (60 + d.rank), 0e0), 9) AS rrf_r9
+  FROM stop s FULL OUTER JOIN dtop d ON s.doc_id = d.vec_id
+),
+rr AS (
+  SELECT doc_id, rrf_r9,
+         ROW_NUMBER() OVER (ORDER BY rrf_r9 DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT doc_id, rrf_r9, CAST(rank AS BIGINT) AS rank FROM rr WHERE rank <= 20
+"""
+
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
     sqls["t_quality"] = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents)

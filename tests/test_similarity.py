@@ -114,3 +114,51 @@ def test_lsh_banding_knobs(emb):
             aug, threshold=0.999, n_planes=planes, n_bands=bands
         ).filter((_F.col("a") == 7) & (_F.col("b") == 900000))
         assert got.count() == 1, (planes, bands)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF must (a) score a doc present in BOTH lists above one equally
+    ranked in a single list, (b) use ranks only — score scales must not
+    leak through, (c) break ties by doc_id."""
+    from open_buildings_spark.operators.search import hybrid_search_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table fast row table"),      # strong sparse hit
+            (1, "table fast"),                # sparse hit
+            (2, "nothing relevant here"),     # dense-only candidate
+            (3, "table row fast table fast"),  # strong sparse hit
+        ],
+        "doc_id long, text string",
+    )
+    # embeddings engineered so doc 2 and doc 0 are the dense top-2 for a
+    # query equal to doc 2's vector
+    emb = spark.createDataFrame(
+        [
+            (0, [0.9, 0.1]),
+            (1, [-1.0, 0.5]),
+            (2, [1.0, 0.0]),
+            (3, [-0.5, -0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([(2, [1.0, 0.0])], "query_id long, q_embedding array<float>")
+    out = hybrid_search_rrf(
+        docs, emb, ["table", "fast", "row"], q, k=4, depth=2
+    ).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in out}
+    scores = {r["doc_id"]: r["rrf_r9"] for r in out}
+    # doc 0: in BOTH top-2 lists -> must outrank every single-list doc
+    assert by_rank[1] == 0
+    # two-list score = sum of two reciprocal terms
+    assert scores[0] > max(s for d, s in scores.items() if d != 0)
+    # every emitted score is a sum of 1/(60+r) terms, r in 1..2
+    import math
+
+    for d, s in scores.items():
+        terms = [
+            round(a + b, 9)
+            for a in (0.0, 1 / 61, 1 / 62)
+            for b in (0.0, 1 / 61, 1 / 62)
+        ]
+        assert any(math.isclose(s, t, abs_tol=2e-9) for t in terms), (d, s)

@@ -182,3 +182,29 @@ def test_pack_sequences_bucket_invariant(spark):
     assert rows(bucket=7) == base
     # explicit bucket past the bound: broadcast gate OFF, same rows
     assert rows(bucket=1, max_offset_rows=2) == base
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from pyspark.sql import functions as F
+
+    """Docs sharing the target set's bigrams must score a HIGHER mean
+    log-ratio than docs made of source-only bigrams; absent feature
+    smoothing keeps out-of-domain docs finite; short docs are absent."""
+    from open_buildings_spark.operators import textstats
+
+    target_text = "alpha beta gamma delta alpha beta"
+    source_text = "xx yy zz ww xx yy zz"
+    rows = [(i, target_text if i % 10 == 0 else source_text) for i in range(40)]
+    rows.append((100, "alpha beta gamma"))   # target-like probe
+    rows.append((101, "xx yy zz"))           # source-like probe
+    rows.append((102, "single"))             # no bigram -> absent
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.dsir_weights(
+            docs, docs.filter(F.col("doc_id") % 10 == 0)
+        ).collect()
+    }
+    assert 102 not in out
+    assert out[100]["avg_logratio_r6"] > out[101]["avg_logratio_r6"]
+    assert out[100]["n_grams"] == 2 and out[101]["n_grams"] == 2
