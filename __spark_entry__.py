@@ -846,6 +846,22 @@ def _q_vocab(spark, sf_dir):
     return search.vocab_stats(_docs_table(spark, sf_dir), top_n=100)
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+
+
+def _q_mixture(spark, sf_dir):
+    """Deterministic dataset-mixture draw (operators/sampling.py
+    mixture_sample): largest subset matching the target source
+    proportions without upsampling; the scarcest source binds. Weight
+    doubles are exact binary fractions so floor arithmetic is
+    engine-identical; the draw is the md5-rank device."""
+    from open_buildings_spark.operators import sampling
+
+    return sampling.mixture_sample(
+        _docs_table(spark, sf_dir).select("doc_id", "source"), MIX_WEIGHTS
+    ).select("doc_id", "source", F.col("mix_rank").cast("long").alias("mix_rank"))
+
+
 def _q_dsir(spark, sf_dir):
     """DSIR-style importance weights (hashed-bigram importance
     resampling, Xie et al. 2023): target distribution = docs with
@@ -1026,6 +1042,19 @@ def _q_funnel(spark, sf_dir):
     return events_ops.funnel_batch(spark, sf_dir)
 
 
+def _q_funnel_stream(spark, sf_dir):
+    """Streaming twin of e_funnel: per-user stage POINTER in the state
+    store (one int per key), advanced in event-time order; the drained
+    per-user MAX equals the batch fold because the pointer is monotone.
+    Same oracle as e_funnel (chained min-timestamp CTE joins)."""
+    import os
+
+    base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    ev_dir = _time_ordered_events_copy(spark, sf_dir)
+    name = f"funnel_stream_{base}_{next(_SESS_STREAM_SEQ)}"
+    return events_ops.funnel_stream_to_memory(spark, ev_dir, sf_dir, name)
+
+
 _SESS_STREAM_SEQ = iter(range(10**6))
 
 
@@ -1169,19 +1198,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25": _q_bm25,
         "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
-        "t_stratified_sample": _q_stratified_sample,
+        "t_mixture": _q_mixture,  # NEW r6: dataset-mixture draw (proportioned downsample)
         "t_hash_split": _q_hash_split,
         # similarity search over embeddings
         "s_hybrid_rrf": _q_hybrid_rrf,  # NEW r6: sparse+dense RRF fusion (runs cosine_topk + bm25 inside)
         "s_ann_ivf": _q_ann_ivf,
         "s_ann_lsh": _q_ann_lsh,
         "s_kmeans_ivf": _q_kmeans_ivf,
-        "e_hopping": _q_hopping,  # NEW r5: hopping windows (third windowing shape)
         # multimodal + events
         "m_media_decode": _q_media_decode,
         "e_asof": _q_asof,  # NEW r5: as-of join (operators/asof.py)
         "e_asof_stream": _q_asof_stream,  # NEW r6: stateful streaming as-of twin
         "e_funnel": _q_funnel,  # NEW r5: ordered funnel (stage-pointer fold)
+        "e_funnel_stream": _q_funnel_stream,  # NEW r6: stateful streaming funnel twin
         # generic analytics over the star schema
         "h_pricing_summary": _q_pricing_summary,
         # ---- tail (position > 50): redundant with a gated sibling; every
@@ -1215,6 +1244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_upsert_table": _q_upsert_table,  # r5 row; copy-on-write MERGE path: g_keyed_upsert + g_s2_table in head
         "s_cosine_topk": _q_cosine_topk,  # r5 row; exact-cosine path runs INSIDE s_hybrid_rrf in head
         "t_normalize": _q_normalize,  # r5 row; map-only native-expr family: t_pii + t_chunk in head
+        "t_stratified_sample": _q_stratified_sample,  # r5 row; md5-rank draw family: t_mixture (per-stratum quotas) in head
+        "e_hopping": _q_hopping,  # r5 row; F.window slide path, stream twin pytest-pinned; tumbling e_windowed_agg in head
     }
 
 

@@ -93,3 +93,77 @@ def hash_split(
         .when(pfx < F.lit(train_per_4096 + val_per_4096), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """Deterministic dataset-mixture draw: the largest subset whose
+    per-``strata_col`` composition matches the target ``weights``
+    (fractions summing to ~1) WITHOUT upsampling any source — the
+    datasets-mixing step that turns filtered corpora into a pretraining
+    mix with pinned domain proportions.
+
+        n_total = min over sources of floor(available_s / w_s)
+        take_s  = floor(w_s * n_total)
+
+    so the scarcest source (relative to its target share) binds the mix
+    and every other source downsamples to proportion. Within each source
+    the take is rank-based on (md5(id), id) — the engine's deterministic
+    RNG stand-in — so the mix is reproducible across runs, engines and
+    partitionings. Sources absent from ``weights`` (or weighted 0) drop.
+
+    Returns df's columns + ``mix_rank`` (1-based within the source).
+
+    Scale shape: per-source availability is one map-side-combinable
+    count collected at |sources| rows (bounded driver state); the draw is
+    the same salted two-stage top-n as :func:`stratified_sample`, with
+    the per-source quota joined in as a broadcast column — a 10^9-row
+    source costs its reducers only quota-bounded shards."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}")
+    pos = {s: w for s, w in weights.items() if w > 0}
+    if not pos:
+        raise ValueError("weights must contain at least one positive entry")
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.filter(F.col(strata_col).isin(list(pos)))
+        .groupBy(strata_col)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    import math
+
+    n_total = min(
+        math.floor(counts.get(s, 0) / w) for s, w in pos.items()
+    )
+    takes = [(s, int(math.floor(w * n_total))) for s, w in pos.items()]
+    spark = df.sparkSession
+    quota = spark.createDataFrame(takes, f"{strata_col} string, _quota long")
+    h = _id_hash(id_col)
+    salted = (
+        df.join(F.broadcast(quota), strata_col)
+        .withColumn("_h", h)
+        .withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salts)))
+    )
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    local = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("_quota"))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(strata_col).orderBy(
+        F.col("_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("mix_rank", F.row_number().over(w2))
+        .filter(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_h", "_quota")
+    )

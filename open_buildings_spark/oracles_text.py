@@ -707,6 +707,35 @@ SELECT doc_id, lang_pred, CAST(sample_rank AS BIGINT) AS sample_rank
 FROM r WHERE sample_rank <= 40
 """
 
+    # mixture draw: availability counts -> binding source -> per-source
+    # quotas, identical IEEE arithmetic on identical double literals both
+    # sides (floor(n/w), floor(w*n_total)); md5-rank draw as above
+    sqls["t_mixture"] = """
+WITH wts(source, w) AS (
+  VALUES ('src0', 5e-1), ('src1', 25e-2), ('src2', 125e-3), ('src3', 125e-3)
+),
+mcnt AS (
+  SELECT w.source, w.w, COALESCE(c.n, 0) AS n
+  FROM wts w LEFT JOIN (
+    SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+  ) c USING (source)
+),
+ntot AS (SELECT MIN(CAST(floor(n / w) AS BIGINT)) AS nt FROM mcnt),
+mtake AS (
+  SELECT source, CAST(floor(w * nt) AS BIGINT) AS q FROM mcnt, ntot
+),
+mr AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS mix_rank
+  FROM documents d JOIN mtake USING (source)
+)
+SELECT r.doc_id, r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank
+FROM mr r JOIN mtake t USING (source) WHERE r.mix_rank <= t.q
+"""
+
     from .operators.sampling import TRAIN_PER_4096, VAL_PER_4096
 
     # integer compare of the 3-hex-digit prefix (mirrors hash_split — a
@@ -1039,6 +1068,9 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
     # the streaming twin (stateful carry-forward register) must land on
     # the IDENTICAL result set — same oracle, verbatim
     sqls["e_asof_stream"] = sqls["e_asof"]
+    # likewise the funnel twin's monotone stage pointer: drained MAX per
+    # user == the batch fold, so the stage counts share the oracle
+    # (assigned after e_funnel is defined below)
 
     # hopping windows: Spark assigns each event to exactly length/slide
     # epoch-aligned windows; the oracle derives the same starts
@@ -1077,6 +1109,8 @@ SELECT 2, 'click', CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
 UNION ALL
 SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM u3) AS BIGINT)
 """
+
+    sqls["e_funnel_stream"] = sqls["e_funnel"]
 
     sqls["e_windowed_agg"] = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -200,8 +200,16 @@ def funnel_batch(
             lambda acc, e: F.when(e["stage"] == acc + 1, acc + 1).otherwise(acc),
         ).alias("max_stage")
     )
-    # collapse users to (max_stage, n) FIRST (<= len(stages)+1 rows), so
-    # the theta join below touches a handful of rows, not one per user
+    return _stage_counts(spark, reached, stages)
+
+
+def _stage_counts(
+    spark: SparkSession, reached: DataFrame, stages: tuple[str, ...]
+) -> DataFrame:
+    """(stage, stage_name, n_users) from per-user (user_id, max_stage) —
+    shared tail of the batch funnel and its streaming twin. Collapses
+    users to (max_stage, n) FIRST (<= len(stages)+1 rows), so the theta
+    join touches a handful of rows, not one per user."""
     by_max = reached.groupBy("max_stage").agg(F.count(F.lit(1)).alias("n"))
     stage_rows = spark.createDataFrame(
         [(i + 1, s) for i, s in enumerate(stages)], "stage int, stage_name string"
@@ -305,3 +313,96 @@ def sessionize_stream_to_memory(
         F.col("t_start").cast("timestamp_ntz").alias("t_start"),
         F.col("t_end").cast("timestamp_ntz").alias("t_end"),
     )
+
+
+def funnel_stream_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    src_dir: str | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`funnel_batch`'s per-user fold: state is
+    ONE int per user (the stage pointer — the same bounded register shape
+    as the as-of twin), advanced in event-time order; a row (user_id,
+    max_stage) is emitted whenever the pointer ADVANCES, so the drained
+    sink's per-user MAX equals the batch fold exactly (the pointer is
+    monotone). Ordering contract as every stateful twin here: per-key
+    event-time-ordered arrival across micro-batches; within a batch rows
+    sort by (ts, stage) — the batch tie rule (an earlier stage at the
+    same timestamp is seen first)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir or sf_dir)
+    )
+    stage_idx = F.create_map(
+        *[x for i, s in enumerate(stages) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    tagged = stream.where(F.col("event_type").isin(*stages)).select(
+        "user_id",
+        F.col("ts").alias("_ts"),
+        stage_idx[F.col("event_type")].alias("_stage"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        (ptr,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs)).sort_values(["_ts", "_stage"])
+        start = ptr
+        n_stages = len(stages)
+        for st in rows["_stage"]:
+            if ptr < n_stages and int(st) == ptr + 1:
+                ptr += 1
+        state.update((ptr,))
+        if ptr > start:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.array([user_id], dtype="Int64"),
+                    "max_stage": pd.array([ptr], dtype="Int64"),
+                }
+            )
+
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        fn,
+        "user_id long, max_stage int",
+        "ptr int",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_stream_to_memory(
+    spark: SparkSession,
+    src_dir: str,
+    sf_dir: str,
+    name: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Drain the streaming funnel (availableNow) and aggregate the final
+    per-user stages to (stage, stage_name, n_users) — the drained MAX per
+    user equals the batch fold because the pointer is monotone, so this
+    shares :func:`_stage_counts` with funnel_batch and sits under the
+    SAME oracle."""
+    out = funnel_stream_stateful(spark, sf_dir, stages=stages, src_dir=src_dir)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            f"streaming funnel did not drain within 600s (query {name})"
+        )
+    reached = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("max_stage").alias("max_stage"))
+    )
+    return _stage_counts(spark, reached, stages)

@@ -286,3 +286,26 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_stateful_funnel_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming funnel's drained per-user MAX stage must reproduce
+    the batch fold exactly (monotone pointer), hence identical stage
+    counts, when files replay in event time."""
+    from open_buildings_spark.streaming import events as ev2
+
+    batch = {
+        (r["stage"], r["stage_name"]): r["n_users"]
+        for r in ev2.funnel_batch(spark, sf_dir).collect()
+    }
+    src = str(tmp_path / "ordered")
+    spark.read.parquet(f"{sf_dir}/events.parquet").orderBy(
+        "ts", "event_id"
+    ).coalesce(1).write.parquet(src)
+    got = {
+        (r["stage"], r["stage_name"]): r["n_users"]
+        for r in ev2.funnel_stream_to_memory(
+            spark, src, sf_dir, "funnel_twin_test"
+        ).collect()
+    }
+    assert got == batch and sum(batch.values()) > 0

@@ -208,3 +208,43 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     assert 102 not in out
     assert out[100]["avg_logratio_r6"] > out[101]["avg_logratio_r6"]
     assert out[100]["n_grams"] == 2 and out[101]["n_grams"] == 2
+
+
+def test_mixture_sample_proportions_and_binding(spark):
+    """The scarcest source (relative to its weight) binds the mix; other
+    sources downsample to proportion; zero/absent weights drop; a missing
+    weighted source empties the mix (n_total = 0); output is stable
+    across repartitioning."""
+    import pytest as _pytest
+
+    from open_buildings_spark.operators import sampling
+
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(100 + i, "b") for i in range(10)]
+        + [(200 + i, "c") for i in range(50)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # b is scarce: n_total = min(100/.5, 10/.25, 50/.25) = 40
+    out = sampling.mixture_sample(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}
+    ).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {"a": 20, "b": 10, "c": 10}
+    # determinism under repartitioning
+    out2 = sampling.mixture_sample(
+        docs.repartition(7), {"a": 0.5, "b": 0.25, "c": 0.25}
+    ).collect()
+    assert {(r["doc_id"], r["mix_rank"]) for r in out2} == {
+        (r["doc_id"], r["mix_rank"]) for r in out
+    }
+    # weighted-but-absent source binds the whole mix to zero
+    assert (
+        sampling.mixture_sample(docs, {"a": 0.5, "zz": 0.5}).count() == 0
+    )
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"a": -0.1})
+    with _pytest.raises(ValueError):
+        sampling.mixture_sample(docs, {"a": 0.0})
