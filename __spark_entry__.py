@@ -1067,10 +1067,16 @@ def _time_ordered_events_copy(spark, sf_dir) -> str:
     import os
 
     base = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    ev_dir = f"/tmp/obs_stream_events_r{datagen.DATAGEN_REV}_{base}"
+    # v2: range-partitioned by ts ONLY — equal timestamps land in ONE
+    # file, so a same-user tie group can never straddle a micro-batch
+    # boundary (each twin's fn applies its own in-batch tie sort; a split
+    # tie would replay in (ts, event_id) order and diverge from e.g. the
+    # funnel's (ts, stage) batch rule). RangePartitioner keys equal
+    # values identically, so this is a hard guarantee, not a heuristic.
+    ev_dir = f"/tmp/obs_stream_events_v2_r{datagen.DATAGEN_REV}_{base}"
     if not os.path.exists(os.path.join(ev_dir, "_SUCCESS")):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ev.repartitionByRange(8, "ts", "event_id").write.mode("overwrite").parquet(
+        ev.repartitionByRange(8, "ts").write.mode("overwrite").parquet(
             ev_dir
         )
     parts = sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))

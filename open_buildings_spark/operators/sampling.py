@@ -29,23 +29,24 @@ def _id_hash(id_col: str):
     return F.md5(F.col(id_col).cast("string").cast("binary"))
 
 
-def stratified_sample(
+def _ranked_draw(
     df: DataFrame,
     strata_col: str,
-    n_per_stratum: int,
-    id_col: str = "doc_id",
-    salts: int = 16,
+    quota,
+    id_col: str,
+    salts: int,
+    rank_name: str,
 ) -> DataFrame:
-    """At most ``n_per_stratum`` rows per distinct ``strata_col`` value,
-    chosen deterministically: rows ranked by (md5(id), id) within each
-    stratum — an unbiased fixed-quota draw that is stable under reruns and
-    repartitioning. Adds ``sample_rank`` (1-based within the stratum).
+    """THE deterministic per-stratum draw (shared by stratified_sample and
+    mixture_sample so the device — hash, salt, tie-break — can never
+    diverge between them): rows ranked by (md5(id), id) within each
+    stratum, kept while rank <= ``quota`` (an int or a per-row Column).
 
-    Two-stage top-n: stage 1 ranks per (stratum, salt) shard and keeps n,
-    stage 2 merges n*salts survivors — the same skew-bounded pattern as the
-    kNN top-k, so a stratum with 10^9 rows costs its reducers only
-    n*salts rows each.
-    """
+    Two-stage top-n: stage 1 ranks per (stratum, salt) shard and keeps
+    quota, stage 2 merges the survivors — the same skew-bounded pattern
+    as the kNN top-k, so a stratum with 10^9 rows costs its reducers only
+    quota*salts rows each. Adds ``rank_name`` (1-based in-stratum)."""
+    q = F.lit(quota) if isinstance(quota, int) else quota
     h = _id_hash(id_col)
     salted = df.withColumn("_h", h).withColumn(
         "_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salts))
@@ -55,14 +56,30 @@ def stratified_sample(
     )
     local = (
         salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= n_per_stratum)
+        .filter(F.col("_r1") <= q)
         .drop("_r1", "_salt")
     )
     w = Window.partitionBy(strata_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return (
-        local.withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= n_per_stratum)
+        local.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= q)
         .drop("_h")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salts: int = 16,
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per distinct ``strata_col`` value,
+    chosen deterministically — an unbiased fixed-quota draw stable under
+    reruns and repartitioning (:func:`_ranked_draw`). Adds
+    ``sample_rank`` (1-based within the stratum)."""
+    return _ranked_draw(
+        df, strata_col, n_per_stratum, id_col, salts, "sample_rank"
     )
 
 
@@ -145,25 +162,7 @@ def mixture_sample(
     takes = [(s, int(math.floor(w * n_total))) for s, w in pos.items()]
     spark = df.sparkSession
     quota = spark.createDataFrame(takes, f"{strata_col} string, _quota long")
-    h = _id_hash(id_col)
-    salted = (
-        df.join(F.broadcast(quota), strata_col)
-        .withColumn("_h", h)
-        .withColumn("_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salts)))
-    )
-    w1 = Window.partitionBy(strata_col, "_salt").orderBy(
-        F.col("_h").asc(), F.col(id_col).asc()
-    )
-    local = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("_quota"))
-        .drop("_r1", "_salt")
-    )
-    w2 = Window.partitionBy(strata_col).orderBy(
-        F.col("_h").asc(), F.col(id_col).asc()
-    )
-    return (
-        local.withColumn("mix_rank", F.row_number().over(w2))
-        .filter(F.col("mix_rank") <= F.col("_quota"))
-        .drop("_h", "_quota")
-    )
+    joined = df.join(F.broadcast(quota), strata_col)
+    return _ranked_draw(
+        joined, strata_col, F.col("_quota"), id_col, salts, "mix_rank"
+    ).drop("_quota")

@@ -616,6 +616,8 @@ def dsir_weights(
     model), built by one map-side-combinable groupBy each and broadcast
     to the scoring join; per-doc scoring is one explode + one broadcast
     join + one groupBy. Nothing data-dependent ever broadcasts."""
+    from pyspark.sql import Window
+
     s = float(DSIR_SMOOTH)
     src = _bigram_buckets(df, None, n_buckets).groupBy("b").agg(
         F.count("*").alias("cs")
@@ -623,25 +625,28 @@ def dsir_weights(
     tgt = _bigram_buckets(target, None, n_buckets).groupBy("b").agg(
         F.count("*").alias("ct")
     )
-    tots = src.agg(F.sum("cs").cast("double").alias("ts")).crossJoin(
-        tgt.agg(F.sum("ct").cast("double").alias("tt"))
+    # totals via an everything-window over the JOINED bucket table (at
+    # most n_buckets rows — a bounded single-partition window, the same
+    # device the partition planner uses): separate .agg() frames would
+    # re-execute the whole corpus explode+hash pipeline once per total
+    joined = src.join(tgt, "b", "full_outer").select(
+        "b",
+        F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+        F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
     )
-    ratio = (
-        src.join(tgt, "b", "full_outer")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + s)
-                    / (F.col("tt") + s * n_buckets)
-                )
-                - F.log(
-                    (F.coalesce(F.col("cs"), F.lit(0)) + s)
-                    / (F.col("ts") + s * n_buckets)
-                )
-            ).alias("lr"),
-        )
+    w_all = Window.partitionBy()
+    ratio = joined.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + s)
+                / (F.sum("ct").over(w_all).cast("double") + s * n_buckets)
+            )
+            - F.log(
+                (F.col("cs") + s)
+                / (F.sum("cs").over(w_all).cast("double") + s * n_buckets)
+            )
+        ).alias("lr"),
     )
     inst = _bigram_buckets(df, id_col, n_buckets)
     return (

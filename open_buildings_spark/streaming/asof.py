@@ -116,18 +116,7 @@ def asof_stream_to_memory(
 ) -> DataFrame:
     """Drain the streaming as-of enrich (availableNow) into a memory sink
     and return the result table — the driver-gate entry point."""
+    from .drain import drain_to_memory
+
     out = asof_stream_stateful(spark, sf_dir, src_dir=src_dir)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # a truncated drain would hand the correctness gate a partial set
-        q.stop()
-        raise TimeoutError(
-            f"streaming as-of did not drain within 600s (query {name})"
-        )
-    return spark.table(name)
+    return drain_to_memory(spark, out, name)

@@ -44,13 +44,8 @@ def exact_dedup_stream_to_memory(
 ) -> DataFrame:
     """Drain the dedup stream (availableNow) into a memory sink in complete
     mode and return the final state table — the driver-gate entry point."""
-    q = (
-        exact_dedup_stream(spark, docs_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    from .drain import drain_to_memory
+
+    return drain_to_memory(
+        spark, exact_dedup_stream(spark, docs_dir), name, output_mode="complete"
     )
-    q.awaitTermination()
-    return spark.table(name)

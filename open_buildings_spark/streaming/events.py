@@ -291,22 +291,10 @@ def sessionize_stream_to_memory(
     memory sink and return the result table — the driver-gate entry point.
     Emits the CLOSED sessions (batch result minus each user's final open
     session); timestamps cast back to NTZ for parity with the batch twin."""
+    from .drain import drain_to_memory
+
     out = sessionize_stream_stateful(spark, sf_dir, src_dir=src_dir)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # returning the memory table mid-stream would silently hand the
-        # caller (and the correctness gate) a truncated session set
-        q.stop()
-        raise TimeoutError(
-            f"stateful sessionizer did not drain within 600s (query {name})"
-        )
-    return spark.table(name).select(
+    return drain_to_memory(spark, out, name).select(
         "user_id",
         "session_id",
         "n_events",
@@ -387,21 +375,11 @@ def funnel_stream_to_memory(
     user equals the batch fold because the pointer is monotone, so this
     shares :func:`_stage_counts` with funnel_batch and sits under the
     SAME oracle."""
+    from .drain import drain_to_memory
+
     out = funnel_stream_stateful(spark, sf_dir, stages=stages, src_dir=src_dir)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise TimeoutError(
-            f"streaming funnel did not drain within 600s (query {name})"
-        )
     reached = (
-        spark.table(name)
+        drain_to_memory(spark, out, name)
         .groupBy("user_id")
         .agg(F.max("max_stage").alias("max_stage"))
     )
