@@ -199,6 +199,33 @@ def main() -> None:
             F.count("*")
         ).collect()
 
+    s2tbl_root = (
+        f"/tmp/ob_spark_bench/s2table_rev{datagen.DATAGEN_REV}_sf{sf}_r{replicas}"
+    )
+
+    def _ensure_s2_table():
+        from open_buildings_spark.table import iceberg_lite as tbl
+        from open_buildings_spark.table import s2table as s2t
+
+        if tbl.current_manifest(s2tbl_root) is None:
+            g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
+                "doc_id", "quadkey", "lon", "lat"
+            )
+            s2t.write_s2_table(
+                g.drop("quadkey"), s2tbl_root, max_per_file=50_000
+            )
+
+    def q_s2_window():
+        # table-LAYER S2 serve (manifest cell prune + pushed startswith
+        # cover + native refine) — the snapshot/MERGE-capable sibling of
+        # q_s2_scan's sidecar layout
+        from open_buildings_spark.table import s2table as s2t
+
+        w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+        s2t.window_read(spark, s2tbl_root, w, s, e, n, cover_level=10).select(
+            F.count("*")
+        ).collect()
+
     def q_partition_plan():
         g = enrich.add_geo_columns(docs, drop_nongeo=True)
         partition.partition_plan(g, 10000).select(F.count("*")).collect()
@@ -354,6 +381,7 @@ def main() -> None:
         "aoi_query": q_aoi,
         "s2_rollup": q_s2_rollup,
         "s2_scan": q_s2_scan,
+        "s2_window": q_s2_window,
         "aoi_table": q_aoi_table,
         "partition_plan": q_partition_plan,
         "knn": q_knn,
@@ -382,6 +410,8 @@ def main() -> None:
         _ensure_table()  # one-time build outside the timed window
     if "s2_scan" in names:
         _ensure_s2_layout()
+    if "s2_window" in names:
+        _ensure_s2_table()
     if "convert_csv" in names:
         _ensure_csv()
     for name in names:
