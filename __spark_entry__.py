@@ -603,9 +603,29 @@ def _q_big_aoi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = datagen.interleaved_docs(spark, sf_dir)
     aois = datagen.big_aois_df(spark, sf_dir).select("aoi_id", "wkt")
-    # cover_level 13 > stored quadkey depth: gates the deep-cover path
-    # (native JVM anchor-cell expression + 1-cell cover expansion ring,
-    # spatial_join._doc_cell_col) — result must be level-independent
+    # cover_level 12 (the stored-key depth): the FULL AOI table at a
+    # deeper cover multiplies the cells side ~8x and OOMed a 1 GiB
+    # local[*] gate session mid-suite — the deep path is gated separately
+    # by g_deep_cover (AOI subset) and pinned level-equal by pytest
+    out = spatial_join.aoi_join_big(docs, aois, cover_level=12)
+    return out.select("doc_id", "aoi_id")
+
+
+def _q_deep_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-cover gate: the big join at cover_level=13 — past the stored
+    quadkey depth, so the doc cell comes from the native JVM mercator
+    anchor expression and the cover carries the 1-cell ulp-safety
+    expansion ring (spatial_join._doc_cell_col). A 1-in-20 AOI subset
+    keeps the exploded cells side gate-friendly; the result must equal
+    the same subset at any cover level (also pytest-pinned at 12/13/14)."""
+    from open_buildings_spark.operators import spatial_join
+
+    docs = datagen.interleaved_docs(spark, sf_dir)
+    aois = (
+        datagen.big_aois_df(spark, sf_dir)
+        .filter(F.col("aoi_id") % 20 == 0)
+        .select("aoi_id", "wkt")
+    )
     out = spatial_join.aoi_join_big(docs, aois, cover_level=13)
     return out.select("doc_id", "aoi_id")
 
@@ -1177,13 +1197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_s2_rollup": _q_s2_rollup,  # NEW r5: S2 cell provider (geo/s2.py)
         "g_s2_scan": _q_s2_scan,  # NEW r5: S2-ordered layout, range-pruned serve
         "g_s2_table": _q_s2_table,  # NEW r6: S2 as a table-layer cell provider (write/MERGE/time-travel/window)
-        "g_tile_assignment": _q_tile_assignment,
         "g_partition_plan": _q_partition_plan,
         "g_knn": _q_knn,
         "g_knn_join": _q_knn_join,
         "g_explode_parts": _q_explode_parts,
         "g_span_kinds": _q_span_kinds,
         "g_big_aoi_join": _q_big_aoi_join,
+        "g_deep_cover": _q_deep_cover,  # NEW r6: native deep-cover cells + expansion ring
         "g_sharded_window": _q_sharded_window,
         "g_gpkg_window": _q_gpkg_window,  # NEW r5: gpkg rtree window read
         # training-data pipeline: dedup + text analysis
@@ -1252,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_normalize": _q_normalize,  # r5 row; map-only native-expr family: t_pii + t_chunk in head
         "t_stratified_sample": _q_stratified_sample,  # r5 row; md5-rank draw family: t_mixture (per-stratum quotas) in head
         "e_hopping": _q_hopping,  # r5 row; F.window slide path, stream twin pytest-pinned; tumbling e_windowed_agg in head
+        "g_tile_assignment": _q_tile_assignment,  # r5 row; tiles.py family: g_tile_rollup (same assignment feeds the rollup) in head
     }
 
 

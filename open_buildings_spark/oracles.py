@@ -484,6 +484,19 @@ FROM fp JOIN aoi a ON fp.qk10 = a.qk10
 WHERE fp.fminx >= a.aw AND fp.fmaxx <= a.ae AND fp.fminy >= a.asx AND fp.fmaxy <= a.an
 """
 
+    # deep-cover gate: same within semantics on the 1-in-20 AOI subset —
+    # the ENGINE runs it at cover_level 13 (native anchor cells + the
+    # expansion ring), and must land on the cover-level-independent rows
+    sqls["g_deep_cover"] = f"""
+WITH {bld},
+{datagen.big_aois_sql_cte()},
+fp AS (SELECT doc_id, substr(qk, 1, 10) AS qk10, {_fp_bounds()} FROM bld WHERE has_geom)
+SELECT fp.doc_id, a.aoi_id
+FROM fp JOIN aoi a ON fp.qk10 = a.qk10
+WHERE a.aoi_id % 20 = 0
+  AND fp.fminx >= a.aw AND fp.fmaxx <= a.ae AND fp.fminy >= a.asx AND fp.fmaxy <= a.an
+"""
+
     sqls["e_pivot"] = """
 SELECT event_type,
 """ + ",\n".join(

@@ -48,6 +48,10 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
+        # one long-lived local[*] JVM carries driver + executors + the
+        # accumulated state of 80+ sequential queries; the 1 GiB default
+        # OOMed mid-suite once the heaviest join ran late in the list
+        .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
