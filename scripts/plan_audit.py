@@ -3,7 +3,7 @@ node histogram (exchanges, joins, python evals, window/agg shapes) and
 the parquet-scan PushedFilters/ReadSchema lines — the evidence that
 filters and column pruning reach the scan, broadcasts/shuffles are the
 intended ones, and Python stays off the hot path. Writes
-BENCH/PLANS_r5.md.
+BENCH/PLANS_r6.md.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
@@ -30,9 +30,14 @@ QUERIES = [
     "g_country_join",
     "g_partition_plan",
     "t_minhash_lsh",
-    "t_bpe_pairs",
+    "t_bpe_encode",
     "e_asof",
     "e_funnel",
+    "g_deep_cover",
+    "g_s2_table",
+    "s_hybrid_rrf",
+    "t_dsir",
+    "t_mixture",
 ]
 
 INTERESTING = (
@@ -60,10 +65,20 @@ def main() -> None:
     import __spark_entry__ as entry
     from open_buildings_spark.session import get_spark
 
-    spark = get_spark(app_name="plan-audit")
+    # explain("formatted") on the widest plans (deep-cover join, 100k+
+    # chars) recurses past the default JVM thread stack once the session
+    # has aged through a dozen prior explains, and 17 sequential explains
+    # outgrow the 1g default heap — set both BEFORE the JVM launches
+    # (driver.extraJavaOptions -Xss did not take on this pyspark launch
+    # path; SPARK_SUBMIT_OPTS does)
+    os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Xss64m")
+    spark = get_spark(
+        app_name="plan-audit",
+        extra_conf={"spark.driver.memory": "8g"},
+    )
     qs = entry.queries()
     lines = [
-        "# Physical-plan audit (r5 final code)",
+        "# Physical-plan audit (r6 final code)",
         "",
         f"Input: `{sf_dir}`. Per query: node histogram of the formatted plan",
         "(pre-execution, AQE outer node elided) and every `PushedFilters` /",
@@ -99,9 +114,9 @@ def main() -> None:
             lines.append(f"- `{p}`")
         lines.append("")
         print(name, dict(hist))
-    with open(os.path.join(REPO, "BENCH", "PLANS_r5.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "PLANS_r6.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote BENCH/PLANS_r5.md")
+    print("wrote BENCH/PLANS_r6.md")
 
 
 if __name__ == "__main__":
