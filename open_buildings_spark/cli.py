@@ -411,6 +411,62 @@ def cmd_s2_window(args) -> None:
     _emit_window_result(spark, df, args.dst, f"rows with centroid in ({w}, {s}, {e}, {n})")
 
 
+def cmd_s2_table(args) -> None:
+    """Build an S2-LAYOUT iceberg_lite table (snapshots, MERGE, time
+    travel, compaction — table/s2table.py) from a parquet source with
+    centroid lon/lat columns."""
+    from .session import get_spark
+    from .table import s2table as s2t
+
+    spark = get_spark(app_name="ob-s2-table")
+    df = spark.read.parquet(args.src)
+    m = s2t.write_s2_table(
+        df, args.dst, max_per_file=args.max_per_file, level=args.level,
+        lon_col=args.lon_col, lat_col=args.lat_col,
+    )
+    print(
+        f"S2 table at {args.dst}: snapshot {m['snapshot_id']}, "
+        f"{m['metrics']['rows_written']} rows in {len(m['partitions'])} cells "
+        f"(key level {args.level})"
+    )
+
+
+def cmd_s2_table_window(args) -> None:
+    """Bbox window over an S2 TABLE: cover prefixes -> manifest cell
+    pruning -> pushed startswith -> exact refine (time travel via
+    --snapshot)."""
+    from .session import get_spark
+    from .table import s2table as s2t
+
+    w, s, e, n = _parse_bbox(args.bbox)
+    spark = get_spark(app_name="ob-s2-table-window")
+    df = s2t.window_read(
+        spark, args.src, w, s, e, n, snapshot_id=args.snapshot
+    )
+    _emit_window_result(spark, df, args.dst, f"rows with centroid in ({w}, {s}, {e}, {n})")
+
+
+def cmd_mixture(args) -> None:
+    """Deterministic dataset-mixture draw: --weights src=frac,... picks
+    the largest subset matching the target proportions without
+    upsampling (operators/sampling.py mixture_sample)."""
+    from .operators.sampling import mixture_sample
+    from .session import get_spark
+
+    weights: dict[str, float] = {}
+    for part in args.weights.split(","):
+        k, _, v = part.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"bad --weights entry {part!r}; use src=frac,...")
+        weights[k] = float(v)
+    spark = get_spark(app_name="ob-mixture")
+    df = spark.read.parquet(args.src)
+    out = mixture_sample(df, weights, strata_col=args.strata_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.dst)
+    n = spark.read.parquet(args.dst).count()
+    print(f"mixture of {n} rows written to {args.dst}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="open_buildings_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -531,6 +587,36 @@ def main(argv: list[str] | None = None) -> None:
     sw.add_argument("--bbox", required=True, help="w,s,e,n in lon/lat degrees")
     sw.add_argument("--dst", help="parquet output (omit to print the count)")
     sw.set_defaults(fn=cmd_s2_window)
+
+    s2t = sub.add_parser(
+        "s2-table", help="build an S2-layout iceberg_lite table"
+    )
+    s2t.add_argument("--src", required=True, help="parquet source with lon/lat")
+    s2t.add_argument("--dst", required=True, help="table root")
+    s2t.add_argument("--max-per-file", type=int, default=200_000)
+    s2t.add_argument("--level", type=int, default=14, help="S2 key level")
+    s2t.add_argument("--lon-col", default="lon")
+    s2t.add_argument("--lat-col", default="lat")
+    s2t.set_defaults(fn=cmd_s2_table)
+
+    s2w = sub.add_parser(
+        "s2-table-window", help="bbox window query over an S2 table"
+    )
+    s2w.add_argument("--src", required=True, help="S2 table root")
+    s2w.add_argument("--bbox", required=True, help="w,s,e,n in lon/lat degrees")
+    s2w.add_argument("--snapshot", type=int, help="time travel to snapshot id")
+    s2w.add_argument("--dst", help="parquet output (omit to print the count)")
+    s2w.set_defaults(fn=cmd_s2_table_window)
+
+    mx = sub.add_parser(
+        "mixture", help="deterministic dataset-mixture draw by source proportions"
+    )
+    mx.add_argument("--src", required=True, help="parquet corpus")
+    mx.add_argument("--dst", required=True, help="parquet output")
+    mx.add_argument("--weights", required=True, help="src=frac,src=frac,...")
+    mx.add_argument("--strata-col", default="source")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.set_defaults(fn=cmd_mixture)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -33,6 +33,9 @@ Registered functions (z = 12, the engine/reference tile level):
   ob_plus_code(lat, lon)    Plus Code, codeLength 12 (google/process.py:112-113)
   ob_s2_cell(lon, lat, lvl) int64 S2 cell id at level lvl (geo/s2.py; the
                             S2 half of the H3/S2-index surface)
+  ob_s2_key(lon, lat, lvl)  S2 key STRING at level lvl (face digit +
+                            base-4 Hilbert digits — the S2 table layer's
+                            routing key, table/s2table.py)
 """
 
 from __future__ import annotations
@@ -117,9 +120,36 @@ def _ob_s2_cell(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
     return pd.Series(out).astype("Int64").mask(bad)
 
 
+@F.pandas_udf(StringType())
+def _ob_s2_key(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+    """S2 KEY STRING at ``level`` (face digit + base-4 Hilbert digits —
+    geo/s2.py key_strings): the table layer's S2 routing key, exposed to
+    SQL so a pure-SQL pipeline can build/join against S2 tables. Same
+    per-row-level grouping and NULL rules as ``ob_s2_cell``."""
+    from .geo import s2
+
+    lo = lon.to_numpy(dtype=np.float64)
+    la = lat.to_numpy(dtype=np.float64)
+    lvf = level.to_numpy(dtype=np.float64)
+    bad = (
+        np.isnan(lo)
+        | np.isnan(la)
+        | ~((lvf >= 0) & (lvf <= s2.MAX_LEVEL))
+    )
+    lv = np.where(np.isnan(lvf), 0.0, lvf).astype(np.int64)
+    out = np.empty(len(lo), dtype=object)
+    out[:] = None
+    for one in np.unique(lv[~bad]):
+        m = (lv == one) & ~bad
+        ids = s2.cells_from_lonlat(lo[m], la[m], int(one))
+        out[m] = s2.key_strings(ids, int(one))
+    return pd.Series(out)
+
+
 def register(spark: SparkSession) -> None:
     """Register all ``ob_*`` SQL functions on this session (idempotent)."""
     spark.udf.register("ob_s2_cell", _ob_s2_cell)
+    spark.udf.register("ob_s2_key", _ob_s2_key)
     spark.udf.register("ob_quadkey", _ob_quadkey)
     spark.udf.register("ob_point_quadkey", _ob_point_quadkey)
     spark.udf.register("ob_within", make_within_pairs())

@@ -79,6 +79,7 @@ def ingest_to_table(
     max_files_per_trigger: int = 4,
     keys: list[str] | None = None,
     transform=None,
+    write_opts: dict | None = None,
 ):
     """Stream docs straight into the MANIFEST table (not a plain file sink):
     each micro-batch appends through ``iceberg_lite.append_rows`` inside
@@ -96,6 +97,9 @@ def ingest_to_table(
     ``keys`` builds/maintains a KEY-PARTITIONED (hive ``country_iso=XX``)
     table — pass ``transform`` to derive the key column(s) on the enriched
     stream; subsequent appends route through the keyed directories.
+    ``write_opts`` forwards to the bootstrap ``write_partitioned`` (e.g.
+    an S2 ingest passes ``store_anchor_offset=False`` + provider metrics —
+    see table/s2table.py ingest_stream_to_s2_table).
     """
     from ..table import iceberg_lite as tbl
 
@@ -112,12 +116,16 @@ def ingest_to_table(
             # the manifest already proves batch 0 done and append_rows'
             # guard no-ops the replay — no window where data committed but
             # the watermark didn't
+            opts = dict(write_opts or {})
+            extra = dict(opts.pop("extra_metrics", None) or {})
+            extra["last_append_batch_id"] = batch_id
             tbl.write_partitioned(
                 bdf,
                 table_root,
                 max_per_file=max_per_file,
                 keys=keys,
-                extra_metrics={"last_append_batch_id": batch_id},
+                extra_metrics=extra,
+                **opts,
             )
         else:
             # keyed tables: append_rows reads the key list from the

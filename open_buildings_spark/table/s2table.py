@@ -160,3 +160,36 @@ def window_read(
         & (F.col(lat_col) >= F.lit(float(s)))
         & (F.col(lat_col) <= F.lit(float(n)))
     )
+
+
+def ingest_stream_to_s2_table(
+    spark: SparkSession,
+    docs_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    level: int = KEY_LEVEL,
+    max_per_file: int = 200_000,
+    max_files_per_trigger: int = 4,
+):
+    """Structured-Streaming ingest straight into an S2-layout table — the
+    last table-surface the quadkey layout had exclusively. Same
+    exactly-once contract as streaming/geo.py ingest_to_table (checkpoint
+    replay + the manifest batch-id guard); the per-batch transform
+    re-keys the enriched stream with the S2 key string, and the bootstrap
+    stamps the provider metrics so every later maintenance call and
+    window read recognizes the layout. Returns the streaming query."""
+    from ..streaming.geo import ingest_to_table
+
+    return ingest_to_table(
+        spark,
+        docs_dir,
+        table_root,
+        checkpoint_dir,
+        max_per_file=max_per_file,
+        max_files_per_trigger=max_files_per_trigger,
+        transform=lambda df: add_s2_key(df, level=level),
+        write_opts={
+            "store_anchor_offset": False,
+            "extra_metrics": {"cell_provider": "s2", "s2_key_level": level},
+        },
+    )

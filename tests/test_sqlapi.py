@@ -161,3 +161,21 @@ def test_ob_s2_cell_leaf_exact_with_null_in_batch(sql_spark):
     exp = s2.leaf_from_lonlat(np.array([12.5, -70.66]), np.array([41.9, -33.45]))
     assert got[0] == int(exp[0]) and got[2] == int(exp[1]) and got[1] is None
     assert got[0] & 1 == 1
+
+
+def test_ob_s2_key(sql_spark):
+    """ob_s2_key mirrors the table layer's routing key: equals
+    key_strings(cells_from_lonlat(...)), is a PREFIX-extension of its
+    parent's key, and NULLs propagate."""
+    import numpy as np
+
+    from open_buildings_spark.geo import s2
+
+    ids = s2.cells_from_lonlat(np.array([12.5]), np.array([41.9]), 14)
+    exp = str(s2.key_strings(ids, 14)[0])
+    got = _one(sql_spark, "ob_s2_key(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 14)")
+    assert got == exp
+    parent = _one(sql_spark, "ob_s2_key(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 8)")
+    assert got.startswith(parent) and len(parent) == 9
+    assert _one(sql_spark, "ob_s2_key(CAST(NULL AS DOUBLE), CAST(41.9 AS DOUBLE), 14)") is None
+    assert _one(sql_spark, "ob_s2_key(CAST(12.5 AS DOUBLE), CAST(41.9 AS DOUBLE), 31)") is None

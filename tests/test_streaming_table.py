@@ -142,3 +142,41 @@ def test_ingest_to_table_keyed(spark, docs, geo, tmp_path):
         for r in expect.select("doc_id", "ckey").collect()
     }
     assert got == want
+
+
+def test_ingest_stream_to_s2_table(spark, docs, geo, tmp_path):
+    """Streaming ingest into an S2-layout table: provider metrics stamp at
+    bootstrap and SURVIVE appends, the ingested rows equal a batch-built
+    S2 table's, and the cover-pruned window read serves the live table."""
+    from open_buildings_spark import datagen
+    from open_buildings_spark.table import s2table as s2t
+
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(6).write.parquet(docs_dir)
+    root = str(tmp_path / "s2table")
+    q = s2t.ingest_stream_to_s2_table(
+        spark, docs_dir, root, str(tmp_path / "ckpt"),
+        level=12, max_per_file=5000, max_files_per_trigger=2,
+    )
+    q.awaitTermination()
+    m = tbl.current_manifest(root)
+    assert m["metrics"].get("appended_batches", 0) >= 1  # multi-batch run
+    assert s2t.table_key_level(root) == 12  # provider metrics survived
+    got = {
+        (r["doc_id"], r["quadkey"])
+        for r in tbl.read_table(spark, root).select("doc_id", "quadkey").collect()
+    }
+    batch_root = str(tmp_path / "s2batch")
+    s2t.write_s2_table(
+        geo.select("doc_id", "lon", "lat"), batch_root, max_per_file=5000,
+        level=12,
+    )
+    expect = {
+        (r["doc_id"], r["quadkey"])
+        for r in tbl.read_table(spark, batch_root).select("doc_id", "quadkey").collect()
+    }
+    assert got == expect
+    w, s, e, n = datagen.aoi_bounds(datagen.city_aoi())
+    assert s2t.window_read(spark, root, w, s, e, n, cover_level=10).count() == (
+        s2t.window_read(spark, batch_root, w, s, e, n, cover_level=10).count()
+    )
