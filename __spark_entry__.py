@@ -1001,6 +1001,22 @@ def _q_hash_split(spark, sf_dir):
     return sampling.hash_split(_docs_table(spark, sf_dir)).select("doc_id", "split")
 
 
+def _q_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: the split key is the near-dup
+    CLUSTER canonical id (sampling.leakage_safe_split over
+    dedup.neardup_clusters), so a near-copy of a val doc can never land
+    in train. The oracle recomputes the clusters from scratch (the
+    t_neardup_clusters chain) and applies the hash_split device to the
+    canonical id."""
+    from open_buildings_spark.operators import sampling
+
+    corpus = dedup.augment_corpus(spark, sf_dir)
+    clusters = dedup.neardup_clusters(corpus)
+    return sampling.leakage_safe_split(
+        corpus.select("doc_id"), clusters
+    ).select("doc_id", "canonical_id", "split")
+
+
 def _q_media_decode(spark, sf_dir):
     docs = datagen.interleaved_docs(spark, sf_dir)
     return multimodal.media_feature_table(docs)
@@ -1225,7 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pack": _q_pack,  # NEW r5: sequence packing (two-level prefix sum)
         "t_lm_score": _q_lm_score,
         "t_mixture": _q_mixture,  # NEW r6: dataset-mixture draw (proportioned downsample)
-        "t_hash_split": _q_hash_split,
+        "t_safe_split": _q_safe_split,  # NEW r6: cluster-keyed leakage-safe split
         # similarity search over embeddings
         "s_hybrid_rrf": _q_hybrid_rrf,  # NEW r6: sparse+dense RRF fusion (runs cosine_topk + bm25 inside)
         "s_ann_ivf": _q_ann_ivf,
@@ -1273,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_stratified_sample": _q_stratified_sample,  # r5 row; md5-rank draw family: t_mixture (per-stratum quotas) in head
         "e_hopping": _q_hopping,  # r5 row; F.window slide path, stream twin pytest-pinned; tumbling e_windowed_agg in head
         "g_tile_assignment": _q_tile_assignment,  # r5 row; tiles.py family: g_tile_rollup (same assignment feeds the rollup) in head
+        "t_hash_split": _q_hash_split,  # r5 row; split device runs INSIDE t_safe_split (cluster-keyed) in head
     }
 
 

@@ -166,3 +166,40 @@ def mixture_sample(
     return _ranked_draw(
         joined, strata_col, F.col("_quota"), id_col, salts, "mix_rank"
     ).drop("_quota")
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "canonical_id",
+    train_per_4096: int = TRAIN_PER_4096,
+    val_per_4096: int = VAL_PER_4096,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the split key is the doc's DUPLICATE-CLUSTER canonical id
+    (``clusters`` = dedup.neardup_clusters / exact groups), so every
+    member of a cluster lands in the SAME split — the eval-contamination
+    hole a plain per-doc :func:`hash_split` leaves open (a near-copy of a
+    val doc in train is exactly how benchmarks leak into pretraining).
+
+    Same determinism contract as hash_split (membership is a pure
+    function of the canonical id; adding/removing other docs never moves
+    a cluster); docs absent from ``clusters`` fall back to their own id
+    (a missing row means the clusterer saw no duplicate evidence).
+
+    Scale shape: one broadcast-or-shuffle equi-join on the id plus the
+    map-only split expression — the cluster table is the dedup pass's
+    existing output, not a new computation."""
+    c = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("_ccanon")
+    )
+    j = df.join(c, id_col, "left").withColumn(
+        "_skey", F.coalesce(F.col("_ccanon"), F.col(id_col))
+    )
+    return (
+        hash_split(j, id_col="_skey", train_per_4096=train_per_4096,
+                   val_per_4096=val_per_4096)
+        .withColumn(cluster_col, F.col("_skey"))
+        .drop("_skey", "_ccanon")
+    )

@@ -780,6 +780,32 @@ SELECT doc_id,
 FROM documents
 """
 
+    # leakage-safe split: near-dup clusters recomputed from scratch (the
+    # t_neardup_clusters chain), then the hash_split device keyed on the
+    # CANONICAL id — every cluster member must land in one split
+    _cpfx = _hex_bigint("substr(md5(CAST(canonical_id AS VARCHAR)), 1, 3)")
+    sqls["t_safe_split"] = f"""
+WITH RECURSIVE {corpus},
+{minhash_ctes},
+good AS (SELECT a, b FROM jacs WHERE jac >= {JACCARD_THRESHOLD}),
+edges AS (
+  SELECT a AS src, b AS dst FROM good
+  UNION
+  SELECT b AS src, a AS dst FROM good
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+),
+canon AS (SELECT id AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY id)
+SELECT doc_id, canonical_id,
+       CASE WHEN {_cpfx} < {TRAIN_PER_4096} THEN 'train'
+            WHEN {_cpfx} < {TRAIN_PER_4096 + VAL_PER_4096} THEN 'val'
+            ELSE 'test' END AS split
+FROM canon
+"""
+
     sqls["t_fingerprint"] = """
 WITH g AS (
   SELECT doc_id,

@@ -248,3 +248,37 @@ def test_mixture_sample_proportions_and_binding(spark):
         sampling.mixture_sample(docs, {"a": -0.1})
     with _pytest.raises(ValueError):
         sampling.mixture_sample(docs, {"a": 0.0})
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    """Every member of a duplicate cluster must land in ONE split; docs
+    absent from the cluster table fall back to their own id (and then
+    agree with plain hash_split)."""
+    from open_buildings_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    # clusters: docs 0-99 pair up (i ~ i+100); 200-249 unclustered rows
+    # missing from the table entirely
+    clusters = spark.createDataFrame(
+        [(i, i % 100) for i in range(200)]
+        + [(i, i) for i in range(250, 300)],
+        "doc_id long, canonical_id long",
+    )
+    out = sampling.leakage_safe_split(docs, clusters).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    canon_of = {r["doc_id"]: r["canonical_id"] for r in out}
+    for i in range(100):
+        assert split_of[i] == split_of[i + 100]  # cluster stays together
+        assert canon_of[i] == canon_of[i + 100] == i
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(docs.filter(F.col("doc_id").between(200, 249))).collect()
+    }
+    for i in range(200, 250):  # fallback = own id = plain hash_split
+        assert split_of[i] == plain[i] and canon_of[i] == i
+    # the whole corpus is assigned
+    assert len(out) == 300
