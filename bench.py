@@ -209,11 +209,9 @@ def main() -> None:
 
         if tbl.current_manifest(s2tbl_root) is None:
             g = enrich.add_geo_columns(docs, drop_nongeo=True).select(
-                "doc_id", "quadkey", "lon", "lat"
+                "doc_id", "lon", "lat"
             )
-            s2t.write_s2_table(
-                g.drop("quadkey"), s2tbl_root, max_per_file=50_000
-            )
+            s2t.write_s2_table(g, s2tbl_root, max_per_file=50_000)
 
     def q_s2_window():
         # table-LAYER S2 serve (manifest cell prune + pushed startswith

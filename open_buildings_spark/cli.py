@@ -455,12 +455,29 @@ def cmd_mixture(args) -> None:
 
     weights: dict[str, float] = {}
     for part in args.weights.split(","):
-        k, _, v = part.partition("=")
-        if not _ or not k:
+        k, sep, v = part.strip().partition("=")
+        k = k.strip()
+        try:
+            frac = float(v)
+        except ValueError:
+            frac = None
+        if not sep or not k or frac is None:
             raise SystemExit(f"bad --weights entry {part!r}; use src=frac,...")
-        weights[k] = float(v)
+        weights[k] = frac
     spark = get_spark(app_name="ob-mixture")
     df = spark.read.parquet(args.src)
+    # a weighted source with no rows binds the whole mix to zero — a typo
+    # in --weights must fail loudly, not ship an empty training mix
+    present = {
+        r[args.strata_col]
+        for r in df.select(args.strata_col).distinct().collect()
+    }
+    missing = sorted(set(weights) - present)
+    if missing:
+        raise SystemExit(
+            f"--weights names source(s) with no rows: {missing}; "
+            f"available: {sorted(present)[:20]}"
+        )
     out = mixture_sample(df, weights, strata_col=args.strata_col, id_col=args.id_col)
     out.write.mode("overwrite").parquet(args.dst)
     n = spark.read.parquet(args.dst).count()

@@ -72,17 +72,30 @@ def write_s2_table(
     ``store_anchor_offset`` is forced off: that metric decodes the routing
     column as a MERCATOR tile, which an S2 key is not."""
     g = add_s2_key(df, level=level, lon_col=lon_col, lat_col=lat_col)
+    opts = provider_write_opts(level)
     extra = dict(kwargs.pop("extra_metrics", None) or {})
-    extra.update({"cell_provider": "s2", "s2_key_level": level})
+    extra.update(opts.pop("extra_metrics"))
     return iceberg_lite.write_partitioned(
         g,
         root,
         max_per_file,
         keys=keys,
-        store_anchor_offset=False,
         extra_metrics=extra,
+        **opts,
         **kwargs,
     )
+
+
+def provider_write_opts(level: int) -> dict:
+    """THE single definition of "what stamps a table as an S2 layout":
+    the provider metrics table_key_level()/window_read key off, plus
+    store_anchor_offset=False (that metric decodes the routing column as
+    a MERCATOR tile, which an S2 key is not). Shared by write_s2_table
+    and the streaming ingest so the two build paths cannot drift."""
+    return {
+        "store_anchor_offset": False,
+        "extra_metrics": {"cell_provider": "s2", "s2_key_level": int(level)},
+    }
 
 
 def table_key_level(root: str) -> int:
@@ -188,8 +201,5 @@ def ingest_stream_to_s2_table(
         max_per_file=max_per_file,
         max_files_per_trigger=max_files_per_trigger,
         transform=lambda df: add_s2_key(df, level=level),
-        write_opts={
-            "store_anchor_offset": False,
-            "extra_metrics": {"cell_provider": "s2", "s2_key_level": level},
-        },
+        write_opts=provider_write_opts(level),
     )

@@ -71,7 +71,9 @@ def main() -> None:
     # outgrow the 1g default heap — set both BEFORE the JVM launches
     # (driver.extraJavaOptions -Xss did not take on this pyspark launch
     # path; SPARK_SUBMIT_OPTS does)
-    os.environ.setdefault("SPARK_SUBMIT_OPTS", "-Xss64m")
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "-Xss" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (opts + " -Xss64m").strip()
     spark = get_spark(
         app_name="plan-audit",
         extra_conf={"spark.driver.memory": "8g"},

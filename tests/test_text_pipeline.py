@@ -185,11 +185,11 @@ def test_pack_sequences_bucket_invariant(spark):
 
 
 def test_dsir_weights_prefer_target_like_docs(spark):
-    from pyspark.sql import functions as F
-
     """Docs sharing the target set's bigrams must score a HIGHER mean
     log-ratio than docs made of source-only bigrams; absent feature
     smoothing keeps out-of-domain docs finite; short docs are absent."""
+    from pyspark.sql import functions as F
+
     from open_buildings_spark.operators import textstats
 
     target_text = "alpha beta gamma delta alpha beta"
@@ -251,11 +251,11 @@ def test_mixture_sample_proportions_and_binding(spark):
 
 
 def test_leakage_safe_split_keeps_clusters_together(spark):
-    from pyspark.sql import functions as F
-
     """Every member of a duplicate cluster must land in ONE split; docs
     absent from the cluster table fall back to their own id (and then
     agree with plain hash_split)."""
+    from pyspark.sql import functions as F
+
     from open_buildings_spark.operators import sampling
 
     docs = spark.createDataFrame(
