@@ -152,11 +152,251 @@ def _parse_one(wkt: str, g: int, rings: list, ring_geom: list, ring_hole: list) 
     return gtype
 
 
+_PREF_POLY = np.frombuffer(b"POLYGON ((", dtype=np.uint8)
+_PREF_MULTI = np.frombuffer(b"MULTIPOLYGON (((", dtype=np.uint8)
+_PREF_POINT = np.frombuffer(b"POINT (", dtype=np.uint8)
+
+
+def _bulk_parse(s: pd.Series):
+    """Vectorized bulk parse of canonical WKT over the raw utf8 buffer.
+
+    One pyarrow encode gives (offsets, bytes); everything after is numpy
+    over those two arrays — per-segment counts of the sparse structural
+    chars via sorted position arrays + searchsorted (both cumsum and
+    np.add.reduceat over the full buffer measured 5-40x slower),
+    prefix/suffix tests via fixed-width gathers, blob assembly via one
+    bytes-join of buffer views, and ONE csv float parse for the whole
+    batch. Three row shapes are handled entirely vectorized (all others
+    fall back to the per-row recursive-descent parser, with identical
+    results):
+
+      POLYGON ((...))           one ring, no holes (count '('==')'==2)
+      MULTIPOLYGON (((...)))    canonical separators: rings split on
+                                '), (' and parts on ')), ((' — validated
+                                per row by requiring every inner paren to
+                                be accounted for by a separator match, so
+                                non-canonical spacing/nesting reroutes to
+                                the exact per-row parser instead of being
+                                misread
+      POINT (x y)
+
+    Returns (handled, fast_gtype, ring_geom, ring_hole, coords,
+    ring_offsets) with rings already in ascending geometry order, or None
+    when the series could not be viewed as an arrow string column (mixed
+    non-str values) — the caller then routes every row per-row. A failed
+    blob float-parse (malformed coordinates in any canonical-looking row)
+    likewise returns handled=all-False: the per-row parser then degrades
+    exactly the bad rows. Measured ~3x over the former pandas .str +
+    per-row-multipolygon pipeline on building corpora."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    n = len(s)
+    nothing = (
+        np.zeros(n, dtype=bool),
+        np.full(n, GT_MISSING, dtype=np.int8),
+        np.empty(0, dtype=np.int32),
+        np.empty(0, dtype=bool),
+        np.empty((0, 2), dtype=np.float64),
+        np.zeros(1, dtype=np.int64),
+    )
+    try:
+        arr = pa.array(s, type=pa.large_string(), from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return None
+    if arr.offset != 0 or arr.buffers()[2] is None:
+        return None  # pragma: no cover - fresh arrays start at offset 0
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[: n + 1]
+    nd = int(offs[-1])
+    d = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[:nd]
+    if not nd:
+        return nothing
+    st, en = offs[:-1], offs[1:]
+    L = en - st
+    # structural chars are sparse (a handful per row), so per-segment
+    # counts come from sorted position arrays + searchsorted — one 12 MB
+    # compare+nonzero per char class, then O(rows log positions). (Both
+    # cumsum and np.add.reduceat measured 5-40x slower here.)
+    pos_open = np.nonzero(d == 40)[0]
+    pos_close = np.nonzero(d == 41)[0]
+    pos_comma = np.nonzero(d == 44)[0]
+
+    def seg_count(pos: np.ndarray, a: np.ndarray, z: np.ndarray) -> np.ndarray:
+        return np.searchsorted(pos, z) - np.searchsorted(pos, a)
+
+    n_open = seg_count(pos_open, st, en)
+    n_close = seg_count(pos_close, st, en)
+    n_comma = seg_count(pos_comma, st, en)
+
+    def prefix_mask(pref: np.ndarray) -> np.ndarray:
+        k = len(pref)
+        cand = np.nonzero(L >= k + 2)[0]
+        out = np.zeros(n, dtype=bool)
+        if len(cand):
+            block = d[st[cand][:, None] + np.arange(k)]
+            out[cand] = (block == pref).all(axis=1)
+        return out
+
+    last1 = np.where(L >= 1, d[np.maximum(en - 1, 0)], 0)
+    last2 = np.where(L >= 2, d[np.maximum(en - 2, 0)], 0)
+    last3 = np.where(L >= 3, d[np.maximum(en - 3, 0)], 0)
+    simple = (
+        prefix_mask(_PREF_POLY)
+        & (n_open == 2) & (n_close == 2)
+        & (last1 == 41) & (last2 == 41)
+    )
+    multi = (
+        prefix_mask(_PREF_MULTI)
+        & (last1 == 41) & (last2 == 41) & (last3 == 41)
+    )
+    point = (
+        prefix_mask(_PREF_POINT)
+        & (n_open == 1) & (n_close == 1) & (last1 == 41) & (n_comma == 0)
+    )
+
+    # -- canonical multipolygon rings: split on '), (' core matches,
+    #    classified part-separator when flanked by ')' ... '(' --
+    m_geom = np.empty(0, dtype=np.int64)
+    m_start = np.empty(0, dtype=np.int64)
+    m_stop = np.empty(0, dtype=np.int64)
+    m_hole = np.empty(0, dtype=bool)
+    if multi.any():
+        core = (d[:-3] == 41) & (d[1:-2] == 44) & (d[2:-1] == 32) & (d[3:] == 40)
+        mpos = np.nonzero(core)[0]
+        row_of = np.searchsorted(offs, mpos, side="right") - 1
+        keep = (
+            multi[row_of]
+            & (mpos >= st[row_of] + 16)
+            & (mpos + 4 <= en[row_of] - 3)
+        )
+        mpos, row_of = mpos[keep], row_of[keep]
+        if len(mpos):
+            is_part = (
+                (d[mpos - 1] == 41)
+                & (d[np.minimum(mpos + 4, nd - 1)] == 40)
+                & (mpos - 1 >= st[row_of] + 16)
+                & (mpos + 5 <= en[row_of] - 3)
+            )
+        else:
+            is_part = np.zeros(0, dtype=bool)
+        sep_row = np.bincount(row_of, minlength=n)
+        part_row = np.bincount(row_of[is_part], minlength=n)
+        # validation: every inner paren must belong to a separator match,
+        # else the row is non-canonical -> exact per-row parser
+        ia = np.minimum(st + 16, nd)
+        iz = np.maximum(en - 3, ia)
+        in_open = seg_count(pos_open, ia, iz)
+        in_close = seg_count(pos_close, ia, iz)
+        ring_sep_row = sep_row - part_row
+        multi &= (in_open == ring_sep_row + 2 * part_row) & (in_close == in_open)
+        keep2 = multi[row_of]
+        mpos, row_of, is_part = mpos[keep2], row_of[keep2], is_part[keep2]
+        midx = np.nonzero(multi)[0]
+        if len(midx):
+            sep_cnt = np.bincount(row_of, minlength=n)[midx]
+            nrings = sep_cnt + 1
+            r_off = np.concatenate([[0], np.cumsum(nrings)])
+            n_mr = int(r_off[-1])
+            m_geom = np.repeat(midx, nrings)
+            m_start = np.empty(n_mr, dtype=np.int64)
+            m_stop = np.empty(n_mr, dtype=np.int64)
+            m_hole = np.zeros(n_mr, dtype=bool)
+            m_start[r_off[:-1]] = st[midx] + 16
+            m_stop[r_off[1:] - 1] = en[midx] - 3
+            if len(mpos):
+                first_sep = np.searchsorted(row_of, midx)
+                idx_in_row = np.arange(len(mpos)) - np.repeat(first_sep, sep_cnt)
+                slot = r_off[np.searchsorted(midx, row_of)] + idx_in_row
+                sep_sta = np.where(is_part, mpos - 1, mpos)
+                sep_end = np.where(is_part, mpos + 5, mpos + 4)
+                m_start[slot + 1] = sep_end
+                m_stop[slot] = sep_sta
+                m_hole[slot + 1] = ~is_part
+            bad = m_stop <= m_start
+            if bad.any():
+                # empty/overlapping tokens: reroute those rows per-row
+                badrow = np.zeros(n, dtype=bool)
+                badrow[m_geom[bad]] = True
+                multi &= ~badrow
+                keep3 = ~badrow[m_geom]
+                m_geom, m_start, m_stop, m_hole = (
+                    m_geom[keep3], m_start[keep3], m_stop[keep3], m_hole[keep3]
+                )
+
+    sidx = np.nonzero(simple)[0]
+    pidx = np.nonzero(point)[0]
+    handled = simple | multi | point
+    if not handled.any():
+        return nothing
+
+    # all rings (simple bodies + multi ring tokens + point bodies) merge
+    # into one geometry-ordered token list feeding ONE blob + csv parse
+    tg = np.concatenate([sidx, m_geom, pidx])
+    ta = np.concatenate([st[sidx] + 10, m_start, st[pidx] + 7])
+    tz = np.concatenate([en[sidx] - 2, m_stop, en[pidx] - 1])
+    th = np.concatenate(
+        [np.zeros(len(sidx), dtype=bool), m_hole, np.zeros(len(pidx), dtype=bool)]
+    )
+    order = np.argsort(tg, kind="stable")
+    tg, ta, tz, th = tg[order], ta[order], tz[order], th[order]
+    if ((tz - ta) <= 0).any():
+        # zero-length simple/point body (e.g. 'POLYGON (())'): no safe slot
+        # in the shared blob -> per-row for everything (rare, degenerate)
+        return nothing
+    vcount = seg_count(pos_comma, ta, tz) + 1
+    # blob: one bytes-join of zero-copy buffer views; every line becomes
+    # ' x y' (the ',' -> newline pass leaves the following ' ' as a uniform
+    # pad column, and the join separator supplies it for ring-first lines)
+    mv = memoryview(d)
+    blob = b"\n " + b"\n ".join(
+        [mv[a:z] for a, z in zip(ta.tolist(), tz.tolist())]
+    )
+    blob = blob.replace(b",", b"\n")
+    expected = int(vcount.sum())
+    try:
+        t = pacsv.read_csv(
+            pa.BufferReader(pa.py_buffer(blob)),
+            read_options=pacsv.ReadOptions(
+                use_threads=False, column_names=["p", "x", "y"]
+            ),
+            parse_options=pacsv.ParseOptions(delimiter=" "),
+            convert_options=pacsv.ConvertOptions(
+                include_columns=["x", "y"],
+                column_types={"x": pa.float64(), "y": pa.float64()},
+            ),
+        )
+        xs = t.column("x").to_numpy(zero_copy_only=False)
+        ys = t.column("y").to_numpy(zero_copy_only=False)
+    except pa.ArrowInvalid:
+        xs = ys = None
+    if (
+        xs is None
+        or len(xs) != expected
+        or np.isnan(xs).any()
+        or np.isnan(ys).any()
+    ):
+        # a malformed canonical-looking row would misalign the shared
+        # blob for every other row; reroute the whole batch through the
+        # per-row path, which degrades exactly the bad rows
+        return nothing
+    coords = np.column_stack([xs, ys])
+    ring_offsets = np.concatenate([[0], np.cumsum(vcount)]).astype(np.int64)
+    fast_gtype = np.full(n, GT_MISSING, dtype=np.int8)
+    fast_gtype[simple] = GT_POLYGON
+    fast_gtype[multi] = GT_MULTIPOLYGON
+    # POINT bodies are exactly one vertex: n_comma == 0 guarantees one
+    # line, and the csv schema guarantees exactly two floats on it (the
+    # scalar parser's len(xy) == 2 rule)
+    fast_gtype[point] = GT_POINT
+    return handled, fast_gtype, tg.astype(np.int32), th, coords, ring_offsets
+
+
 def parse_wkt_batch(series: pd.Series) -> GeomBatch:
     """Parse a Series of WKT strings into a GeomBatch.
 
-    Vectorized fast path for simple single-ring polygons; general fallback
-    otherwise. Null / empty strings become gtype=GT_MISSING with no rings.
+    Vectorized fast path for canonical polygons / multipolygons / points
+    (see :func:`_bulk_parse`); general per-row fallback otherwise. Null /
+    empty strings become gtype=GT_MISSING with no rings.
     """
     n = len(series)
     vals = series.to_numpy(dtype=object)
@@ -164,48 +404,26 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
 
     is_str = np.array([isinstance(v, str) and len(v) > 0 for v in vals], dtype=bool)
     s = series.where(pd.Series(is_str, index=series.index), "")
-    # simple = "POLYGON ((" + paren-free body + "))": first '(' pair at 8-9,
-    # no further '(' anywhere, first ')' is the penultimate char — same set
-    # as the old ^POLYGON \(\([^()]+\)\)$ regex at ~half the scan cost
-    slen = s.str.len().to_numpy()
-    simple_mask = (
-        s.str.startswith("POLYGON ((").to_numpy()
-        & (s.str.find("(", 10).to_numpy() == -1)
-        & (s.str.find(")").to_numpy() == slen - 2)
-    )
 
-    # fast path: one shell ring per geom; the whole batch's coordinates are
-    # parsed in ONE bulk pass and kept as ONE contiguous block (no per-ring
-    # views, no re-concatenation)
-    simple_idx = np.nonzero(simple_mask)[0]
-    parsed = None
-    if len(simple_idx):
-        inner = s.iloc[simple_idx].str.slice(10, -2)
-        counts = (inner.str.count(",") + 1).to_numpy(dtype=np.int64)
-        blob = inner.str.cat(sep=",")
-        parsed = _floats_bulk(blob, int(counts.sum()) * 2)
-    if parsed is not None:
-        fast_coords = parsed.reshape(-1, 2)
-        fast_offs = np.concatenate([[0], np.cumsum(counts)])
-        gtype[simple_idx] = GT_POLYGON
+    bulk = _bulk_parse(s) if n else None
+    if bulk is not None:
+        handled, fast_gtype, fast_geom, fast_hole, fast_coords, fast_offs = bulk
+        gtype[handled] = fast_gtype[handled]
     else:
-        # one malformed 'simple' row (e.g. unmarked-3D coordinates) would
-        # misalign the shared contiguous block for every other simple row;
-        # reroute the whole set through the per-row path, which degrades
-        # exactly the bad rows to GT_MISSING
-        simple_mask[:] = False
-        simple_idx = np.empty(0, dtype=np.int64)
+        handled = np.zeros(n, dtype=bool)
+        fast_geom = np.empty(0, dtype=np.int32)
+        fast_hole = np.empty(0, dtype=bool)
         fast_coords = np.empty((0, 2), dtype=np.float64)
         fast_offs = np.zeros(1, dtype=np.int64)
 
-    # general path (multipolygons, holes, points): per-geom recursive descent.
-    # Parse failures (EMPTY geometries, unsupported types, malformed text)
-    # degrade that ROW to GT_MISSING instead of killing the whole Spark
-    # stage — the reference's shapely/DuckDB path degrades per-row too.
+    # general path (non-canonical text, EMPTY geometries, unsupported
+    # types): per-geom recursive descent. Parse failures degrade that ROW
+    # to GT_MISSING instead of killing the whole Spark stage — the
+    # reference's shapely/DuckDB path degrades per-row too.
     gen_rings: list = []
     gen_geom: list = []
     gen_hole: list = []
-    for gi in np.nonzero(is_str & ~simple_mask)[0]:
+    for gi in np.nonzero(is_str & ~handled)[0]:
         n_before = len(gen_rings)
         try:
             gtype[gi] = _parse_one(vals[gi], int(gi), gen_rings, gen_geom, gen_hole)
@@ -225,10 +443,10 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
         sizes_cat = np.concatenate([np.diff(fast_offs), gen_sizes])
         src_offs = np.concatenate([[0], np.cumsum(sizes_cat)])
         geom_cat = np.concatenate(
-            [simple_idx.astype(np.int32), np.array(gen_geom, dtype=np.int32)]
+            [fast_geom, np.array(gen_geom, dtype=np.int32)]
         )
         hole_cat = np.concatenate(
-            [np.zeros(len(simple_idx), dtype=bool), np.array(gen_hole, dtype=bool)]
+            [fast_hole, np.array(gen_hole, dtype=bool)]
         )
         order = np.argsort(geom_cat, kind="stable")
         sizes = sizes_cat[order]
@@ -243,8 +461,8 @@ def parse_wkt_batch(series: pd.Series) -> GeomBatch:
     else:
         coords = fast_coords
         ring_offsets = fast_offs
-        ring_geom = simple_idx.astype(np.int32)
-        ring_hole = np.zeros(len(simple_idx), dtype=bool)
+        ring_geom = fast_geom
+        ring_hole = fast_hole
     return GeomBatch(
         coords=coords,
         ring_offsets=ring_offsets.astype(np.int64),
