@@ -143,7 +143,10 @@ def aoi_query(
     refine = make_within_aoi_skip(aoi_feature)
     out = cand.filter(
         refine(F.when(skip, F.lit("")).otherwise(F.col("wkt")), skip)
-    ).drop("cell", "cw", "cs", "ce", "cn", "_interior", "minx", "miny", "maxx", "maxy")
+    ).drop(
+        "cell", "cw", "cs", "ce", "cn", "_interior", "arect", "arw",
+        "ars", "are", "arn", "minx", "miny", "maxx", "maxy",
+    )
     if country_iso is not None and "country_iso" in out.columns:
         out = out.filter(F.col("country_iso") == country_iso)
     return out

@@ -150,6 +150,28 @@ def _make_within_by_aoi(aois: list[tuple[int, dict]]):
     return within_by_aoi
 
 
+def feature_rect(geometry: dict):
+    """(w, s, e, n) when the GeoJSON geometry is exactly an axis-aligned
+    rectangle (one closed 5-vertex shell, vertices on distinct bbox
+    corners, one coordinate changing per step), else None — the driver-side
+    twin of udfs.rect_rings_mask for the broadcast AOI paths."""
+    from ..udfs import aoi_rings
+
+    rings = aoi_rings(geometry)
+    if len(rings) != 1 or rings[0][1]:
+        return None
+    c = np.asarray(rings[0][0], dtype=np.float64)
+    if len(c) != 5 or not np.array_equal(c[0], c[-1]):
+        return None
+    x, y = c[:4, 0], c[:4, 1]
+    w, e, s, n = x.min(), x.max(), y.min(), y.max()
+    corners = bool(np.all(((x == w) | (x == e)) & ((y == s) | (y == n))))
+    onemove = bool(np.all((c[1:, 0] != c[:4, 0]) ^ (c[1:, 1] != c[:4, 1])))
+    if corners and onemove and w < e and s < n:
+        return float(w), float(s), float(e), float(n)
+    return None
+
+
 def classified_cover_cells(
     aois: list[tuple[int, dict]], cover_level: int
 ) -> list[tuple[int, str, float, float, float, float, bool]]:
@@ -174,10 +196,13 @@ def classified_cover_cells(
             dtype=np.float64,
         ).reshape(len(cells), 4)
         interior = kernels.rects_in_interior(aoi_rings(feat["geometry"]), rects)
+        rect = feature_rect(feat["geometry"])
+        arect = rect is not None
+        arw, ars, are, arn = rect if arect else (0.0, 0.0, 0.0, 0.0)
         out.extend(
             (
                 int(aid), c, float(r[0]), float(r[1]), float(r[2]),
-                float(r[3]), bool(it),
+                float(r[3]), bool(it), arect, arw, ars, are, arn,
             )
             for c, r, it in zip(cells, rects, interior)
         )
@@ -186,23 +211,46 @@ def classified_cover_cells(
 
 _COVER_CELLS_SCHEMA = (
     "aoi_id int, cell string, cw double, cs double, ce double, cn double, "
-    "_interior boolean"
+    "_interior boolean, arect boolean, arw double, ars double, "
+    "are double, arn double"
 )
 
 
 def _interior_skip_col(has_bbox: bool):
-    """Containment witness: doc bbox inside its (interior) cover cell's
-    rect. Any float error in the rect bounds is harmless — the SAME rect
-    values sit on both sides of the implication."""
+    """Containment witnesses: (a) doc bbox inside its (interior) cover
+    cell's rect — any float error in the rect bounds is harmless, the SAME
+    rect values sit on both sides of the implication; (b) rectangle AOI
+    with the doc bbox strictly inside beyond the raycast kernel's
+    on-boundary tolerance (_EPS*max(1, edge-length)/edge-length per axis),
+    so the exact kernel would provably return True — all vertices strictly
+    inside a convex boundary admit no crossing and defeat no tolerance."""
     if not has_bbox:
         # no stored bbox columns: no witness, every candidate refines
         return F.lit(False)
+    # margins multiplied through by the (positive for arect) edge
+    # lengths — division-free, so ANSI mode never sees a zero divisor on
+    # non-rect rows
+    # 4x the kernel _EPS — see aoi_join_big's skip for the soundness note
+    eps = 4e-12
+    ah = F.col("arn") - F.col("ars")
+    aw = F.col("are") - F.col("arw")
+    mx = eps * F.greatest(F.lit(1.0), ah)
+    my = eps * F.greatest(F.lit(1.0), aw)
     return F.coalesce(
-        F.col("_interior")
-        & (F.col("minx") >= F.col("cw"))
-        & (F.col("maxx") <= F.col("ce"))
-        & (F.col("miny") >= F.col("cs"))
-        & (F.col("maxy") <= F.col("cn")),
+        (
+            F.col("_interior")
+            & (F.col("minx") >= F.col("cw"))
+            & (F.col("maxx") <= F.col("ce"))
+            & (F.col("miny") >= F.col("cs"))
+            & (F.col("maxy") <= F.col("cn"))
+        )
+        | (
+            F.col("arect")
+            & ((F.col("minx") - F.col("arw")) * ah > mx)
+            & ((F.col("are") - F.col("maxx")) * ah > mx)
+            & ((F.col("miny") - F.col("ars")) * aw > my)
+            & ((F.col("arn") - F.col("maxy")) * aw > my)
+        ),
         F.lit(False),
     )
 
@@ -243,7 +291,10 @@ def aoi_join(
             F.col("aoi_id"),
             skip,
         )
-    ).drop("cell", "cw", "cs", "ce", "cn", "_interior")
+    ).drop(
+        "cell", "cw", "cs", "ce", "cn", "_interior", "arect", "arw",
+        "ars", "are", "arn",
+    )
     if has_bbox and not had_bbox:
         out = out.drop("minx", "miny", "maxx", "maxy")
     return out
@@ -387,7 +438,7 @@ def aoi_join_big(
         )
         .select(
             "aoi_id", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy",
-            "cell", "_interior", "cw", "cs", "ce", "cn",
+            "arect", "cell", "_interior", "cw", "cs", "ce", "cn",
         )
     )
 
@@ -411,12 +462,40 @@ def aoi_join_big(
         & (F.col("_fy") <= F.col("amaxy"))
     )
     if has_bbox:
+        # containment witnesses, established natively: (a) doc bbox inside
+        # an interior cover cell, (b) rectangle AOI (the dominant real AOI
+        # shape — tiles/bboxes/map windows) with the doc bbox strictly
+        # inside beyond the raycast kernel's on-boundary tolerance
+        # (_EPS*max(1, opposite-edge-length)/edge-length per axis), so the
+        # kernel would provably return True: all vertices strictly inside
+        # a convex boundary admit no crossing and defeat no tolerance
+        # margins appear multiplied through by the (positive for arect)
+        # edge lengths — division-free, so ANSI mode never sees a zero
+        # divisor on non-rect rows
+        # 4x the kernel _EPS: float rounding in either inequality form
+        # is relative (~1e-16) and can never bridge a 4x tolerance gap,
+        # so the witness stays strictly sound; rows inside the extra
+        # slack simply take the exact refine
+        eps = 4e-12
+        ah = F.col("amaxy") - F.col("aminy")
+        aw = F.col("amaxx") - F.col("aminx")
+        mx = eps * F.greatest(F.lit(1.0), ah)
+        my = eps * F.greatest(F.lit(1.0), aw)
         skip = F.coalesce(
-            F.col("_interior")
-            & (F.col("minx") >= F.col("cw"))
-            & (F.col("maxx") <= F.col("ce"))
-            & (F.col("miny") >= F.col("cs"))
-            & (F.col("maxy") <= F.col("cn")),
+            (
+                F.col("_interior")
+                & (F.col("minx") >= F.col("cw"))
+                & (F.col("maxx") <= F.col("ce"))
+                & (F.col("miny") >= F.col("cs"))
+                & (F.col("maxy") <= F.col("cn"))
+            )
+            | (
+                F.col("arect")
+                & ((F.col("minx") - F.col("aminx")) * ah > mx)
+                & ((F.col("amaxx") - F.col("maxx")) * ah > mx)
+                & ((F.col("miny") - F.col("aminy")) * aw > my)
+                & ((F.col("amaxy") - F.col("maxy")) * aw > my)
+            ),
             F.lit(False),
         )
     else:
@@ -433,7 +512,7 @@ def aoi_join_big(
     )
     out = out.drop(
         "cell", "_fx", "_fy", "_aoi_wkt", "aminx", "aminy", "amaxx", "amaxy",
-        "_interior", "cw", "cs", "ce", "cn",
+        "arect", "_interior", "cw", "cs", "ce", "cn",
     )
     if has_bbox and not had_bbox:
         # bbox columns were added here for the fast path, not by the

@@ -211,20 +211,74 @@ AOI_COVER_TYPE = StructType(
         StructField("y0", IntegerType()),
         StructField("x1", IntegerType()),
         StructField("y1", IntegerType()),
+        StructField("arect", BooleanType()),
     ]
 )
 
 
+def rect_rings_mask(batch) -> np.ndarray:
+    """(N,) bool: geometry i is EXACTLY an axis-aligned rectangle — one
+    closed 5-vertex shell, no holes, every vertex on a distinct bbox
+    corner, each traversal step changing exactly one coordinate, with
+    positive width and height. For such a polygon ST_Within degenerates
+    to bbox arithmetic (a convex boundary admits no proper edge
+    crossing once every vertex is inside), which the spatial joins
+    exploit as a NATIVE containment fast path: candidates whose bbox
+    sits strictly inside the rect (beyond the raycast kernel's
+    on-boundary tolerance) are within with no parse and no raycast.
+    Rectangles are the dominant real-world AOI shape (tiles, bboxes,
+    map-window queries)."""
+    ng = batch.n_geoms
+    out = np.zeros(ng, dtype=bool)
+    if ng == 0 or batch.n_rings == 0:
+        return out
+    bounds = np.searchsorted(batch.ring_geom, np.arange(ng + 1))
+    nrings = bounds[1:] - bounds[:-1]
+    first = np.minimum(bounds[:-1], batch.n_rings - 1)
+    sizes = np.diff(batch.ring_offsets)
+    from .geo.wkt import GT_POLYGON
+
+    cand = (
+        (batch.gtype == GT_POLYGON)
+        & (nrings == 1)
+        & (sizes[first] == 5)
+        & ~batch.ring_is_hole[first]
+    )
+    idx = np.nonzero(cand)[0]
+    if not len(idx):
+        return out
+    starts = batch.ring_offsets[first[idx]]
+    blk = batch.coords[starts[:, None] + np.arange(5)]
+    x, y = blk[:, :, 0], blk[:, :, 1]
+    closed = (x[:, 0] == x[:, 4]) & (y[:, 0] == y[:, 4])
+    w = x[:, :4].min(axis=1)
+    e = x[:, :4].max(axis=1)
+    s = y[:, :4].min(axis=1)
+    n = y[:, :4].max(axis=1)
+    corner = (
+        ((x[:, :4] == w[:, None]) | (x[:, :4] == e[:, None]))
+        & ((y[:, :4] == s[:, None]) | (y[:, :4] == n[:, None]))
+    ).all(axis=1)
+    onemove = (
+        (x[:, 1:] != x[:, :4]) ^ (y[:, 1:] != y[:, :4])
+    ).all(axis=1)
+    out[idx] = closed & corner & onemove & (w < e) & (s < n)
+    return out
+
+
 def make_aoi_cover(level: int):
-    """Factory: pandas UDF computing each AOI polygon's bbox and covering
-    tile range at ``level`` — the distributed half of the big-big spatial
-    join's cell cover (one Arrow pass over the AOI side, no driver loop).
-    Invalid/missing geometries get x0 = -1 (filter them natively)."""
+    """Factory: pandas UDF computing each AOI polygon's bbox, covering
+    tile range at ``level``, and the axis-aligned-rectangle flag
+    (:func:`rect_rings_mask`) — the distributed half of the big-big
+    spatial join's cell cover (one Arrow pass over the AOI side, no
+    driver loop). Invalid/missing geometries get x0 = -1 (filter them
+    natively)."""
 
     @F.pandas_udf(AOI_COVER_TYPE)
     def aoi_cover(wkt: pd.Series) -> pd.DataFrame:
         batch = parse_wkt_batch(wkt)
         bb = kernels.bboxes(batch)
+        arect = rect_rings_mask(batch)
         w = np.maximum(bb[:, 0], -180.0)
         s = np.maximum(bb[:, 1], -mercator.MERCATOR_LAT_LIMIT)
         e = np.minimum(bb[:, 2], 180.0)
@@ -244,6 +298,7 @@ def make_aoi_cover(level: int):
                 "y0": y0.astype(np.int32),
                 "x1": x1.astype(np.int32),
                 "y1": y1.astype(np.int32),
+                "arect": arect,
             }
         )
 

@@ -936,13 +936,16 @@ def test_big_aoi_join_interior_cells_bypass_refine(spark):
         ("skip-me", mercator.quadkey_from_tile(2049, 2049, 12),
          f"POLYGON (({icx} {icy}, oops))",
          icx - iw / 8, icy - iw / 8, icx + iw / 8, icy + iw / 8),
-        # same garbage in a boundary cell -> exact path parses and drops it
+        # same garbage in a boundary cell, bbox poking past the AOI edge
+        # (defeats BOTH witnesses, incl. the rect-AOI one) -> exact path
+        # parses and drops it
         ("parse-me", mercator.quadkey_from_tile(2048, 2049, 12),
          f"POLYGON (({bcx} {bcy}, oops))",
-         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
-        # valid square in the same boundary cell -> exact path keeps it
+         W - 1e-9, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+        # valid square with the same non-witnessing bbox -> exact path
+        # keeps it
         ("good", mercator.quadkey_from_tile(2048, 2049, 12), sq,
-         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+         W - 1e-9, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
     ]
     docs = spark.createDataFrame(
         rows,
@@ -1067,11 +1070,14 @@ def test_small_aoi_join_interior_cells_bypass_refine(spark):
         ("skip-me", mercator.quadkey_from_tile(2049, 2049, 12),
          f"POLYGON (({icx} {icy}, oops))",
          icx - iw / 8, icy - iw / 8, icx + iw / 8, icy + iw / 8),
+        # boundary-cell rows get a bbox poking past the AOI edge so
+        # neither the interior-cell nor the rect-AOI witness fires and
+        # the exact refine runs
         ("parse-me", mercator.quadkey_from_tile(2048, 2049, 12),
          f"POLYGON (({bcx} {bcy}, oops))",
-         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+         W - 1e-9, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
         ("good", mercator.quadkey_from_tile(2048, 2049, 12), sq,
-         bcx - bw / 8, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
+         W - 1e-9, bcy - bw / 8, bcx + bw / 8, bcy + bw / 8),
     ]
     docs = spark.createDataFrame(
         rows,
@@ -1084,3 +1090,71 @@ def test_small_aoi_join_interior_cells_bypass_refine(spark):
     # classification itself: 1 interior cell of the 3x3 cover
     cover = spatial_join.classified_cover_cells([(1, aoi)], 12)
     assert sum(c[6] for c in cover) == 1 and len(cover) == 9
+
+
+def test_rect_aoi_native_witness_bypasses_refine(spark):
+    """Rectangle AOIs (axis-aligned 5-vertex shells) admit a NATIVE
+    containment witness in BOUNDARY cover cells: a doc whose bbox sits
+    strictly inside the rect joins without its geometry ever being parsed
+    (garbage WKT survives — proof), while a bbox touching the rect edge
+    stays on the exact path (same garbage is parsed and dropped). Both
+    the big shuffle join and the broadcast join honor it identically; a
+    NON-rectangular AOI (pentagon) must never use the witness."""
+    from open_buildings_spark.geo import mercator
+    from open_buildings_spark.operators import spatial_join
+
+    w0, s0, _, _ = mercator.tile_bounds(2048, 2050, 12)
+    _, _, e1, n1 = mercator.tile_bounds(2050, 2048, 12)
+    W, S, E, N = w0 + 1e-6, s0 + 1e-6, e1 - 1e-6, n1 - 1e-6
+    rect_wkt = f"POLYGON (({W} {S}, {E} {S}, {E} {N}, {W} {N}, {W} {S}))"
+    # same bbox, but a pentagon boundary (extra vertex on the south edge)
+    mid = (W + E) / 2.0
+    penta_wkt = (
+        f"POLYGON (({W} {S}, {mid} {S}, {E} {S}, {E} {N}, {W} {N}, {W} {S}))"
+    )
+    rect_feat = {
+        "type": "Feature", "properties": {},
+        "geometry": {"type": "Polygon", "coordinates": [
+            [[W, S], [E, S], [E, N], [W, N], [W, S]]]},
+    }
+    cw, cs, ce, cn = mercator.tile_bounds(2048, 2049, 12)  # boundary cell
+    cx, cy, w8 = (cw + ce) / 2.0, (cs + cn) / 2.0, (ce - cw) / 8.0
+    rows = [
+        # garbage WKT, bbox strictly inside the rect -> rect witness
+        ("rect-skip", mercator.quadkey_from_tile(2048, 2049, 12),
+         f"POLYGON (({cx} {cy}, oops))", cx - w8, cy - w8, cx + w8, cy + w8),
+        # garbage WKT, bbox minx exactly ON the rect edge -> no witness,
+        # parsed, dropped
+        ("edge-touch", mercator.quadkey_from_tile(2048, 2049, 12),
+         f"POLYGON (({cx} {cy}, oops))", W, cy - w8, cx + w8, cy + w8),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, quadkey string, wkt string, "
+        "minx double, miny double, maxx double, maxy double",
+    )
+    aois = spark.createDataFrame([(1, rect_wkt)], "aoi_id int, wkt string")
+    got_big = {
+        r["doc_id"]
+        for r in spatial_join.aoi_join_big(docs, aois, cover_level=12)
+        .select("doc_id").collect()
+    }
+    assert got_big == {"rect-skip"}
+    got_small = {
+        r["doc_id"]
+        for r in spatial_join.aoi_join(docs, [(1, rect_feat)], cover_level=12)
+        .select("doc_id").collect()
+    }
+    assert got_small == {"rect-skip"}
+    # pentagon: not a rectangle -> the garbage rows are parsed and dropped
+    p_aois = spark.createDataFrame([(1, penta_wkt)], "aoi_id int, wkt string")
+    got_penta = {
+        r["doc_id"]
+        for r in spatial_join.aoi_join_big(docs, p_aois, cover_level=12)
+        .select("doc_id").collect()
+    }
+    assert got_penta == set()
+    assert spatial_join.feature_rect(rect_feat["geometry"]) == (W, S, E, N)
+    penta_geo = {"type": "Polygon", "coordinates": [
+        [[W, S], [mid, S], [E, S], [E, N], [W, N], [W, S]]]}
+    assert spatial_join.feature_rect(penta_geo) is None
