@@ -145,8 +145,7 @@ def knn(
     — exact-by-default for arbitrary footprints. Pass an explicit float
     (e.g. 0.0 for point corpora) to skip the aggregate.
     """
-    if buildings is not None and buildings.storageLevel.useMemory is False:
-        buildings = buildings.cache()  # ring growth re-reads the candidates
+    anchor_future = None
     if anchor_offset_m == "auto":
         if table_root is not None:
             from ..table.iceberg_lite import current_manifest, read_table
@@ -160,8 +159,17 @@ def knn(
                 # tables should store the metric at write time instead)
                 anchor_offset_m = corpus_anchor_offset_m(read_table(spark, table_root))
         else:
-            anchor_offset_m = corpus_anchor_offset_m(buildings)
+            # the bound is only consumed by the growth check AFTER the
+            # first top-k — run the corpus aggregate as a CONCURRENT job
+            # so its scan back-fills executors behind the candidate
+            # join's stages instead of serializing in front of them
+            from concurrent.futures import ThreadPoolExecutor
+
+            _pool = ThreadPoolExecutor(1)
+            anchor_future = _pool.submit(corpus_anchor_offset_m, buildings)
+            _pool.shutdown(wait=False)
     ring = initial_ring
+    grew = False
     while True:
         cells = []
         for qid, qlon, qlat in queries:
@@ -215,6 +223,9 @@ def knn(
             .agg(F.count("*").alias("cnt"), F.max("dist_m").alias("kth"))
             .collect()
         }
+        if anchor_future is not None:
+            anchor_offset_m = anchor_future.result()
+            anchor_future = None
         ok = True
         for qid, qlon, qlat in queries:
             cnt, kd = kth.get(qid, (0, None))
@@ -225,6 +236,12 @@ def knn(
         if ok or ring >= max_ring:
             return topk.drop("dist_m")
         ring *= 4
+        if not grew and buildings is not None and not buildings.storageLevel.useMemory:
+            # cache lazily, only once growth proves the corpus will be
+            # re-scanned — the common single-iteration call never pays the
+            # cache materialization
+            buildings = buildings.cache()
+            grew = True
 
 
 # ---------------------------------------------------------------------------
@@ -299,12 +316,14 @@ def knn_join(
         if c in docs.columns
     ]
     docs = docs.select(*keep)
-    if docs.storageLevel.useMemory is False:
-        # the auto-offset aggregate and the join would otherwise each re-run
-        # the upstream plan (for parse-enriched corpora that is the whole
-        # Arrow parse pass); cache the pruned projection once
-        docs = docs.cache()
     if anchor_offset_m == "auto":
+        if docs.storageLevel.useMemory is False:
+            # the auto-offset aggregate and the join would otherwise each
+            # re-run the upstream plan (for parse-enriched corpora that is
+            # the whole Arrow parse pass); cache the pruned projection
+            # once. With an explicit offset the join is the only scan, so
+            # no cache is needed (and none materializes).
+            docs = docs.cache()
         anchor_offset_m = corpus_anchor_offset_m(docs)
     margin_m = float(radius_m) + float(anchor_offset_m) + 1.0
     dlat = margin_m / _M_PER_DEG_SAFE  # python float: same margin for all rows
