@@ -75,8 +75,17 @@ def hier_histogram(
     from pyspark.sql import Window
 
     keys = keys or []
+    # histogram WITHOUT cell_histogram's quadkey-null filter: on a freshly
+    # enriched input that filter references the parse UDF's output, and
+    # Catalyst pushes it below the projection — splitting the enrichment
+    # into TWO ArrowEvalPython nodes so every WKT parses twice. NULL-cell
+    # rows instead ride the (tiny) collected histogram as one extra group
+    # and are dropped driver-side below — same rows out, one parse pass.
     a = (
-        cell_histogram(df, keys)
+        df.groupBy(
+            *keys, F.substring("quadkey", 1, MAX_LEVEL).alias("qk12")
+        )
+        .agg(F.count("*").alias("n"))
         .withColumn("qk", F.substring("qk12", 1, coarse_level))
         .withColumn(
             "nc",
@@ -92,6 +101,11 @@ def hier_histogram(
         *keys, F.col("qk12").alias("qk"), "n"
     )
     hist = under.unionByName(over).toPandas()
+    # the NULL-quadkey group (parse-degraded rows that survived an
+    # upstream filter) cannot be routed to any cell — drop it here,
+    # exactly like cell_histogram's Spark-side filter
+    if len(hist):
+        hist = hist[hist["qk"].notna()].reset_index(drop=True)
     return hist, len(hist)
 
 
