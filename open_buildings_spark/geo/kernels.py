@@ -377,9 +377,67 @@ def rects_in_interior(
     return clear & strict
 
 
+def rings_rect(rings: list[tuple[np.ndarray, bool]]):
+    """(w, s, e, n) when the ring list is exactly one closed 5-vertex
+    axis-aligned rectangle shell (vertices on distinct bbox corners, one
+    coordinate changing per step, positive extent), else None. Rectangles
+    are the dominant real-world query polygon (tiles, bboxes, country/city
+    rect fixtures); several kernels special-case them."""
+    if len(rings) != 1 or rings[0][1]:
+        return None
+    c = np.asarray(rings[0][0], dtype=np.float64)
+    if c.shape != (5, 2) or not np.array_equal(c[0], c[-1]):
+        return None
+    x, y = c[:4, 0], c[:4, 1]
+    w, e, s, n = x.min(), x.max(), y.min(), y.max()
+    corner = bool(np.all(((x == w) | (x == e)) & ((y == s) | (y == n))))
+    onemove = bool(np.all((c[1:, 0] != c[:4, 0]) ^ (c[1:, 1] != c[:4, 1])))
+    if corner and onemove and w < e and s < n:
+        return float(w), float(s), float(e), float(n)
+    return None
+
+
 def intersects_mask(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:
     """(N,) bool: geometry intersects the polygon (ST_Intersects semantics,
-    reference overture/add_columns.py:62): shared point counts."""
+    reference overture/add_columns.py:62): shared point counts.
+
+    Rectangle fast path: when the polygon is an axis-aligned rectangle,
+    any geometry with a vertex STRICTLY inside it (beyond 4x the raycast
+    tolerance, so the exact kernel would provably say yes) is accepted
+    with four compares per vertex; only the remainder — geometries
+    hugging or crossing the boundary with no interior vertex — pays the
+    exact kernel. Identical results by construction."""
+    n = batch.n_geoms
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    rect = rings_rect(other_rings)
+    if rect is not None:
+        w, s, e, nn = rect
+        tx = 4.0 * _EPS * max(1.0, nn - s) / (nn - s)
+        ty = 4.0 * _EPS * max(1.0, e - w) / (e - w)
+        x = batch.coords[:, 0]
+        y = batch.coords[:, 1]
+        vin = (x > w + tx) & (x < e - tx) & (y > s + ty) & (y < nn - ty)
+        offs = geom_coord_offsets(batch)
+        counts = np.diff(offs)
+        out = np.zeros(n, dtype=bool)
+        idx = np.nonzero(counts > 0)[0]
+        if len(idx):
+            out[idx] = np.logical_or.reduceat(vin, offs[:-1][idx])[: len(idx)]
+        rest = np.nonzero(~out & (batch.gtype != -1))[0]
+        if len(rest):
+            from ..udfs import _subset_batch
+
+            out[rest] = _intersects_exact(
+                _subset_batch(batch, rest), other_rings
+            )
+        return out
+    return _intersects_exact(batch, other_rings)
+
+
+def _intersects_exact(batch: GeomBatch, other_rings: list[tuple[np.ndarray, bool]]) -> np.ndarray:
+    """The full ST_Intersects kernel (raycast + touch + containment +
+    edge crossings) — see :func:`intersects_mask`."""
     n = batch.n_geoms
     if n == 0:
         return np.zeros(0, dtype=bool)

@@ -22,19 +22,21 @@ from ..udfs import make_country_assign
 def extract_geometry(docs: DataFrame) -> DataFrame:
     """Add a ``wkt`` column = text of the first kind='geometry' span.
 
-    Pure native expressions (higher-order ``filter`` + ``element_at``) — the
-    spans array is never exploded or reassembled.
+    Pure native expressions — the spans array is never exploded or
+    reassembled, and the higher-order ``filter`` runs ONCE per row:
+    ``F.get`` returns NULL past the end, so no size() guard (which would
+    re-evaluate the filtered array) is needed.
     """
     geom_spans = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("geometry"))
-    wkt = F.when(F.size(geom_spans) > 0, F.element_at(geom_spans, 1)["text"])
-    return docs.withColumn("wkt", wkt)
+    return docs.withColumn("wkt", F.get(geom_spans, 0)["text"])
 
 
 def extract_media_tiles(docs: DataFrame) -> DataFrame:
     """Add ``media_qk`` = quadkey parsed out of the first media span's
-    ``media_ref`` ('tile/z12/<quadkey>'); NULL when the doc has no media."""
+    ``media_ref`` ('tile/z12/<quadkey>'); NULL when the doc has no media.
+    Single filter evaluation per row (see :func:`extract_geometry`)."""
     media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
-    ref = F.when(F.size(media) > 0, F.element_at(media, 1)["media_ref"])
+    ref = F.get(media, 0)["media_ref"]
     return docs.withColumn("media_qk", F.element_at(F.split(ref, "/"), -1))
 
 

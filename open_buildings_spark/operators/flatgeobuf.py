@@ -328,6 +328,165 @@ def encode_feature(gtype: int, rings, columns, prop_row) -> bytes:
     return _encode_feature_slow(gtype, rings, props)
 
 
+_VEC_FIXED_CT = {
+    CT_DOUBLE: ("<f8", np.float64),
+    CT_FLOAT: ("<f4", np.float32),
+    CT_LONG: ("<i8", np.int64),
+    CT_INT: ("<i4", np.int32),
+    CT_BOOL: ("u1", np.uint8),
+}
+
+
+def _prop_is_null(v) -> bool:
+    return (
+        v is None
+        or v is getattr(pd, "NA", None)
+        or (isinstance(v, float) and np.isnan(v))
+    )
+
+
+def encode_features_batch(batch, columns, prop_lists) -> np.ndarray:
+    """Per-geometry size-prefixed Feature flatbuffers for a whole parsed
+    batch (object array, None for GT_MISSING rows) — byte-identical to
+    calling :func:`encode_feature` per row.
+
+    Single-ring polygons/points with fully non-null properties encode in
+    BULK: rows group by (gtype, ring length, per-string-column byte
+    lengths); within a group every feature shares one template (the
+    :func:`_fast_feature` cache), so the whole group is one np.tile plus
+    two strided views (coordinates as ``<f8``, properties as one
+    structured-array block). Rows with nulls, holes, or multipolygon
+    geometry take the scalar path. ~6x fewer Python ops on the sink's
+    hot loop than the per-row encoder it replaces."""
+    ng = batch.n_geoms
+    out = np.full(ng, None, dtype=object)
+    if ng == 0:
+        return out
+    bounds = np.searchsorted(batch.ring_geom, np.arange(ng + 1))
+    nrings = bounds[1:] - bounds[:-1]
+    sizes = np.diff(batch.ring_offsets)
+    first = np.minimum(bounds[:-1], max(batch.n_rings - 1, 0))
+    elig = ((batch.gtype == GT_POLYGON) | (batch.gtype == GT_POINT)) & (
+        nrings == 1
+    )
+    if batch.n_rings:
+        elig &= ~batch.ring_is_hole[first]
+    else:
+        elig[:] = False
+
+    # property columns -> per-row encoded forms + null mask (null rows
+    # drop fields from the props layout, so they go scalar)
+    has_null = np.zeros(ng, dtype=bool)
+    col_data = []  # (ctype, bytes-list | numpy array)
+    str_lens = []  # per string column: int64 byte length per row
+    for (cname, ct), vals in zip(columns, prop_lists):
+        if ct == CT_STRING:
+            bs: list = [None] * ng
+            ln = np.zeros(ng, dtype=np.int64)
+            for j, v in enumerate(vals):
+                if _prop_is_null(v):
+                    has_null[j] = True
+                else:
+                    b = (v if isinstance(v, str) else str(v)).encode("utf-8")
+                    bs[j] = b
+                    ln[j] = len(b)
+            col_data.append((ct, bs))
+            str_lens.append(ln)
+        elif ct in _VEC_FIXED_CT:
+            arr = np.zeros(ng, dtype=_VEC_FIXED_CT[ct][1])
+            for j, v in enumerate(vals):
+                if _prop_is_null(v):
+                    has_null[j] = True
+                elif ct == CT_BOOL:
+                    arr[j] = 1 if v else 0
+                elif ct in (CT_LONG, CT_INT):
+                    arr[j] = int(v)
+                else:
+                    arr[j] = float(v)
+            col_data.append((ct, arr))
+        else:  # pragma: no cover - fgb_columns only emits the six above
+            raise ValueError(f"unsupported column type {ct}")
+    elig &= ~has_null
+
+    # group rows by (gtype, ring length, string-length signature)
+    if elig.any():
+        gidx = np.nonzero(elig)[0]
+        keyparts = [batch.gtype[gidx].astype(np.int64), sizes[first[gidx]]]
+        keyparts += [ln[gidx] for ln in str_lens]
+        key = np.stack(keyparts, axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        fixed_len = sum(
+            2 + np.dtype(_VEC_FIXED_CT[ct][0]).itemsize
+            for ct, _ in col_data
+            if ct != CT_STRING
+        )
+        for u in range(len(uniq)):
+            rows = gidx[inv == u]
+            m = len(rows)
+            gt = int(uniq[u][0])
+            L = int(uniq[u][1])
+            slens = [int(v) for v in uniq[u][2:]]
+            plen = fixed_len + sum(6 + s for s in slens)
+            xylen = L * 16
+            if plen < 8 or any(s == 0 for s in slens):
+                # template splice needs a locatable props block, and a
+                # zero-size S0 field has no numpy representation
+                continue
+            # template via the shared cache (identical to _fast_feature)
+            tpl_probe = _fast_feature(gt, b"\xab" * xylen, b"\xcd" * plen)
+            base, xy_at, p_at = _TPL_CACHE[(gt, xylen, plen)]
+            big = np.tile(np.frombuffer(base, dtype=np.uint8), (m, 1))
+            starts = batch.ring_offsets[first[rows]]
+            block = batch.coords[starts[:, None] + np.arange(L)]
+            big[:, xy_at : xy_at + xylen] = (
+                np.ascontiguousarray(block, dtype="<f8")
+                .view(np.uint8)
+                .reshape(m, xylen)
+            )
+            fields = []
+            si = 0
+            for k, (ct, _) in enumerate(col_data):
+                fields.append((f"i{k}", "<u2"))
+                if ct == CT_STRING:
+                    fields.append((f"l{k}", "<u4"))
+                    fields.append((f"s{k}", f"S{slens[si]}"))
+                    si += 1
+                else:
+                    fields.append((f"v{k}", _VEC_FIXED_CT[ct][0]))
+            pdtype = np.dtype(fields)
+            assert pdtype.itemsize == plen
+            pblock = np.zeros(m, dtype=pdtype)
+            si = 0
+            for k, (ct, data) in enumerate(col_data):
+                pblock[f"i{k}"] = k
+                if ct == CT_STRING:
+                    pblock[f"l{k}"] = slens[si]
+                    pblock[f"s{k}"] = [data[r] for r in rows]
+                    si += 1
+                else:
+                    pblock[f"v{k}"] = data[rows]
+            big[:, p_at : p_at + plen] = (
+                pblock.view(np.uint8).reshape(m, plen)
+            )
+            buf = big.tobytes()
+            w = big.shape[1]
+            for j, g in enumerate(rows):
+                out[g] = buf[j * w : j * w + w]
+
+    rest = np.nonzero((batch.gtype != GT_MISSING) & (out == None))[0]  # noqa: E711
+    ro = batch.ring_offsets
+    holes = batch.ring_is_hole
+    coords = batch.coords
+    for g in rest:
+        rings = [
+            (coords[ro[r] : ro[r + 1]], bool(holes[r]))
+            for r in range(bounds[g], bounds[g + 1])
+        ]
+        row = [pl[g] for pl in prop_lists]
+        out[g] = encode_feature(int(batch.gtype[g]), rings, columns, row)
+    return out
+
+
 def encode_header(
     name: str,
     envelope,
@@ -548,38 +707,17 @@ def write_fgb_pandas(
     the envelope feeds the shard manifest so window reads prune on TRUE
     data extents (a geometry can spill past its quadkey's tile bounds:
     the quadkey anchors at the bbox midpoint)."""
-    feats: list[bytes] = []
-    bboxes: list[tuple[float, float, float, float]] = []
-    gtypes: set[int] = set()
+    from ..geo import kernels
+
     col_names = [c for c, _ in columns]
     prop_lists = [pdf[c].tolist() for c in col_names]
     batch = parse_wkt_batch(pdf[wkt_col])
-    bounds = np.searchsorted(batch.ring_geom, np.arange(batch.n_geoms + 1))
-    ro = batch.ring_offsets
-    coords = batch.coords
-    holes = batch.ring_is_hole
-    for g in range(batch.n_geoms):
-        gt = int(batch.gtype[g])
-        if gt == GT_MISSING:
-            continue
-        rings = [
-            (coords[ro[r] : ro[r + 1]], bool(holes[r]))
-            for r in range(bounds[g], bounds[g + 1])
-        ]
-        row = [pl[g] for pl in prop_lists]
-        feats.append(encode_feature(gt, rings, columns, row))
-        gtypes.add(gt)
-        c = coords[ro[bounds[g]] : ro[bounds[g + 1]]]
-        bboxes.append(
-            (
-                float(c[:, 0].min()),
-                float(c[:, 1].min()),
-                float(c[:, 0].max()),
-                float(c[:, 1].max()),
-            )
-        )
+    all_feats = encode_features_batch(batch, columns, prop_lists)
+    keep = batch.gtype != GT_MISSING
+    feats = list(all_feats[keep])
+    gtypes = {int(t) for t in np.unique(batch.gtype[keep])} if keep.any() else set()
     n = len(feats)
-    bb = np.asarray(bboxes, dtype=np.float64).reshape(n, 4)
+    bb = kernels.bboxes(batch)[keep].reshape(n, 4)
     if n:
         order = np.argsort(
             hilbert_from_lonlat((bb[:, 0] + bb[:, 2]) / 2, (bb[:, 1] + bb[:, 3]) / 2),
@@ -612,8 +750,7 @@ def write_fgb_pandas(
             sizes = np.asarray([len(f) for f in feats], dtype=np.int64)
             offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]])
             out.write(build_index(bb, offsets))
-        for f in feats:
-            out.write(f)
+        out.write(b"".join(feats))
     os.replace(tmp, path)
     return n, envelope
 
@@ -707,31 +844,16 @@ def write_fgb(
             for rb in batches:
                 prop_lists = [rb.column(i).to_pylist() for i in cidx]
                 batch = parse_wkt_batch(rb.column(widx).to_pandas())
-                # ring_geom is ascending by construction, so each geometry's
-                # rings are one contiguous slice — no per-row dict building
-                gids = np.arange(batch.n_geoms + 1)
-                bounds = np.searchsorted(batch.ring_geom, gids)
-                ro = batch.ring_offsets
-                coords = batch.coords
-                holes = batch.ring_is_hole
-                gtype_arr = batch.gtype
-                for g in range(batch.n_geoms):
-                    gt = int(gtype_arr[g])
-                    if gt == GT_MISSING:
-                        continue
-                    rings = [
-                        (coords[ro[r] : ro[r + 1]], bool(holes[r]))
-                        for r in range(bounds[g], bounds[g + 1])
-                    ]
-                    row = [pl[g] for pl in prop_lists]
-                    feat = encode_feature(gt, rings, columns, row)
-                    fh.write(feat)
-                    fsize.append(len(feat))
-                    n += 1
-                    gtypes.add(gt)
+                feats = encode_features_batch(batch, columns, prop_lists)
+                keep = batch.gtype != GT_MISSING
+                kept = feats[keep]
+                if len(kept):
+                    fh.write(b"".join(kept))
+                    fsize.extend(len(f) for f in kept)
+                    n += len(kept)
+                    gtypes.update(int(t) for t in np.unique(batch.gtype[keep]))
                 # per-feature leaf bboxes from the vectorized kernel (per-
                 # row numpy mins in the loop measured ~3x the whole encode)
-                keep = gtype_arr != GT_MISSING
                 bbs.append(kernels.bboxes(batch)[keep])
                 if batch.coords.size:
                     minx = min(minx, float(batch.coords[:, 0].min()))
@@ -814,9 +936,20 @@ def write_fgb(
                 axis=1,
             )
             out.write(build_index(bb, offsets, index_node_size))
+        out.flush()
         for fname in kept:
+            # kernel-space copy of each part blob (no user-space buffer
+            # round-trip; ~2x over copyfileobj on hundreds of MB)
             with open(os.path.join(work, fname), "rb") as src:
-                shutil.copyfileobj(src, out)
+                sz = os.fstat(src.fileno()).st_size
+                off = 0
+                while off < sz:
+                    sent = os.sendfile(
+                        out.fileno(), src.fileno(), off, sz - off
+                    )
+                    if sent == 0:  # pragma: no cover - EOF safety
+                        break
+                    off += sent
     os.replace(path + ".inprogress", path)
     shutil.rmtree(work)
     return total

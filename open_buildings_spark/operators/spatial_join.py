@@ -152,24 +152,11 @@ def _make_within_by_aoi(aois: list[tuple[int, dict]]):
 
 def feature_rect(geometry: dict):
     """(w, s, e, n) when the GeoJSON geometry is exactly an axis-aligned
-    rectangle (one closed 5-vertex shell, vertices on distinct bbox
-    corners, one coordinate changing per step), else None — the driver-side
-    twin of udfs.rect_rings_mask for the broadcast AOI paths."""
+    rectangle — the driver-side twin of udfs.rect_rings_mask for the
+    broadcast AOI paths (same test: kernels.rings_rect)."""
     from ..udfs import aoi_rings
 
-    rings = aoi_rings(geometry)
-    if len(rings) != 1 or rings[0][1]:
-        return None
-    c = np.asarray(rings[0][0], dtype=np.float64)
-    if len(c) != 5 or not np.array_equal(c[0], c[-1]):
-        return None
-    x, y = c[:4, 0], c[:4, 1]
-    w, e, s, n = x.min(), x.max(), y.min(), y.max()
-    corners = bool(np.all(((x == w) | (x == e)) & ((y == s) | (y == n))))
-    onemove = bool(np.all((c[1:, 0] != c[:4, 0]) ^ (c[1:, 1] != c[:4, 1])))
-    if corners and onemove and w < e and s < n:
-        return float(w), float(s), float(e), float(n)
-    return None
+    return kernels.rings_rect(aoi_rings(geometry))
 
 
 def classified_cover_cells(
