@@ -28,11 +28,29 @@ GOOGLE_CSV_COLUMNS = [
 ]
 
 
+# the published Google Open Buildings CSV layout (reference
+# google/process.py:68-70) — when the header matches exactly, the scan
+# uses this schema directly instead of paying inference's full extra
+# pass over the data (inference on this layout yields the same types)
+GOOGLE_CSV_SCHEMA = (
+    "latitude double, longitude double, area_in_meters double, "
+    "confidence double, geometry string, full_plus_code string"
+)
+
+
 def read_google_csv(spark: SparkSession, path: str) -> DataFrame:
-    """CSV scan with schema inference (reference S3 operator,
-    google/process.py:68-70), dropping redundant lat/lon like the
-    reference's `EXCLUDE (latitude, longitude)`."""
-    df = spark.read.csv(path, header=True, inferSchema=True)
+    """CSV scan (reference S3 operator, google/process.py:68-70), dropping
+    redundant lat/lon like the reference's `EXCLUDE (latitude,
+    longitude)`. The known Google column layout skips schema inference
+    (header-only probe, then a typed single-pass scan); any other header
+    falls back to full inference unchanged."""
+    probe = spark.read.csv(path, header=True)
+    if probe.columns == GOOGLE_CSV_COLUMNS:
+        df = spark.read.schema(GOOGLE_CSV_SCHEMA).option("header", True).csv(
+            path
+        )
+    else:
+        df = spark.read.csv(path, header=True, inferSchema=True)
     return df.drop("latitude", "longitude")
 
 
