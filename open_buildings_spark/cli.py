@@ -450,6 +450,8 @@ def cmd_mixture(args) -> None:
     """Deterministic dataset-mixture draw: --weights src=frac,... picks
     the largest subset matching the target proportions without
     upsampling (operators/sampling.py mixture_sample)."""
+    from pyspark.sql import functions as F
+
     from .operators.sampling import mixture_sample
     from .session import get_spark
 
@@ -468,9 +470,16 @@ def cmd_mixture(args) -> None:
     df = spark.read.parquet(args.src)
     # a weighted source with no rows binds the whole mix to zero — a typo
     # in --weights must fail loudly, not ship an empty training mix
+    # compare as strings: CLI weight keys are always strings, so a
+    # non-string strata column must be normalized or every weight looks
+    # missing and valid invocations die with a misleading error
     present = {
-        r[args.strata_col]
-        for r in df.select(args.strata_col).distinct().collect()
+        r["_s"]
+        for r in df.select(
+            F.col(args.strata_col).cast("string").alias("_s")
+        )
+        .distinct()
+        .collect()
     }
     missing = sorted(set(weights) - present)
     if missing:

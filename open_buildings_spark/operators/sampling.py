@@ -161,7 +161,10 @@ def mixture_sample(
     )
     takes = [(s, int(math.floor(w * n_total))) for s, w in pos.items()]
     spark = df.sparkSession
-    quota = spark.createDataFrame(takes, f"{strata_col} string, _quota long")
+    # quota frame keyed with the strata column's ACTUAL type — a string
+    # literal schema broke non-string strata (e.g. int source ids)
+    sdt = df.schema[strata_col].dataType.simpleString()
+    quota = spark.createDataFrame(takes, f"`{strata_col}` {sdt}, _quota long")
     joined = df.join(F.broadcast(quota), strata_col)
     return _ranked_draw(
         joined, strata_col, F.col("_quota"), id_col, salts, "mix_rank"

@@ -97,7 +97,17 @@ def _doc_cell_col(df: DataFrame, cover_level: int) -> "F.Column":
     zmax = (1 << cover_level) - 1
     x01 = ax / 360.0 + 0.5
     sinlat = F.sin(F.radians(ay))
-    y01 = 0.5 - 0.25 * F.log((1.0 + sinlat) / (1.0 - sinlat)) / _math.pi
+    # pin exact-pole anchors BEFORE the log: at sin(lat) == +-1 the
+    # divisor (1 - sinlat) is 0 and the Mercator y is undefined — without
+    # the pin the doc's cell goes NULL and the row silently drops from
+    # candidates, while tiles_np clamps the same input to tile 0 / zmax
+    y01 = (
+        F.when(sinlat >= 1.0, F.lit(0.0))
+        .when(sinlat <= -1.0, F.lit(1.0))
+        .otherwise(
+            0.5 - 0.25 * F.log((1.0 + sinlat) / (1.0 - sinlat)) / _math.pi
+        )
+    )
     eps = mercator.EPSILON
 
     def _tile(t01):

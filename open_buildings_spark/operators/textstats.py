@@ -457,6 +457,10 @@ def _pack_bucket_plan(
     the frame is ~10^9 rows — hinting broadcast there would OOM every
     executor, which is exactly the round-5 verdict's watch item)."""
     if bucket == "auto":
+        if max_offset_rows < 1:
+            raise ValueError(
+                "max_offset_rows must be >= 1 when bucket='auto'"
+            )
         b = max(1, -(-id_span // max_offset_rows))  # ceil div
         return b, True
     b = int(bucket)
