@@ -3,7 +3,7 @@ node histogram (exchanges, joins, python evals, window/agg shapes) and
 the parquet-scan PushedFilters/ReadSchema lines — the evidence that
 filters and column pruning reach the scan, broadcasts/shuffles are the
 intended ones, and Python stays off the hot path. Writes
-BENCH/PLANS_r6.md.
+BENCH/PLANS_r7.md.
 
 Usage: python scripts/plan_audit.py [sf_dir]
 """
@@ -116,9 +116,9 @@ def main() -> None:
             lines.append(f"- `{p}`")
         lines.append("")
         print(name, dict(hist))
-    with open(os.path.join(REPO, "BENCH", "PLANS_r6.md"), "w") as fh:
+    with open(os.path.join(REPO, "BENCH", "PLANS_r7.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("wrote BENCH/PLANS_r6.md")
+    print("wrote BENCH/PLANS_r7.md")
 
 
 if __name__ == "__main__":
