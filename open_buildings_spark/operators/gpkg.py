@@ -664,11 +664,12 @@ def write_gpkg(
             f'INTO "{layer}" (geom{"," if col_names else ""}{quoted_cols})'
         )
         ds = pads.dataset(scratch, format="parquet")
-        for rb in ds.to_batches():
-            names = rb.schema.names
+
+        def _prep(rb):
             # arrow to_pylist hands SQLite exact python scalars directly
             # (ints stay exact beyond 2^53, nulls become None) — no pandas
             # round-trip per batch
+            names = rb.schema.names
             geoms_l = rb.column(names.index(_g)).to_pylist()
             gtypes_np = rb.column(names.index(_t)).to_numpy(
                 zero_copy_only=False
@@ -677,6 +678,7 @@ def write_gpkg(
             by0 = rb.column(names.index(_y0)).to_numpy(zero_copy_only=False)
             bx1 = rb.column(names.index(_x1)).to_numpy(zero_copy_only=False)
             by1 = rb.column(names.index(_y1)).to_numpy(zero_copy_only=False)
+            hk = rb.column(names.index(_h)).to_numpy(zero_copy_only=False)
             val_cols = [
                 rb.column(names.index(c)).to_pylist() for c in col_names
             ]
@@ -685,6 +687,35 @@ def write_gpkg(
             rows = list(zip(geoms_l, *val_cols)) if val_cols else [
                 (g0,) for g0 in geoms_l
             ]
+            return rows, gtypes_np, bx0, by0, bx1, by1, hk
+
+        # a one-thread prefetcher decodes/prepares the NEXT batch while
+        # SQLite executes the current multi-row INSERTs: executemany and
+        # the arrow decode both release the GIL, so the single-writer
+        # funnel overlaps its python prep with its C execution
+        from queue import Queue
+        from threading import Thread
+
+        _q: Queue = Queue(maxsize=2)
+
+        def _reader():
+            try:
+                for rb in ds.to_batches():
+                    _q.put(("b", _prep(rb)))
+            except BaseException as ex:  # surfaced in the consumer loop
+                _q.put(("e", ex))
+            else:
+                _q.put(("end", None))
+
+        _t_rd = Thread(target=_reader, daemon=True)
+        _t_rd.start()
+        while True:
+            kind, payload = _q.get()
+            if kind == "end":
+                break
+            if kind == "e":
+                raise payload
+            rows, gtypes_np, bx0, by0, bx1, by1, hk = payload
             seen_types.update(int(t) for t in np.unique(gtypes_np))
             if rows:
                 _bulk_insert(db, insert_frag, rows)
@@ -692,16 +723,13 @@ def write_gpkg(
                     rtree_bbs.append(
                         np.stack([bx0, by0, bx1, by1], axis=1)
                     )
-                    rtree_hks.append(
-                        rb.column(names.index(_h)).to_numpy(
-                            zero_copy_only=False
-                        )
-                    )
+                    rtree_hks.append(hk)
                 n += len(rows)
                 gminx = min(gminx, float(bx0.min()))
                 gminy = min(gminy, float(by0.min()))
                 gmaxx = max(gmaxx, float(bx1.max()))
                 gmaxy = max(gmaxy, float(by1.max()))
+        _t_rd.join()
         if rt is not None and rtree_bbs:
             _rtree_bulk_load(
                 db, rt, np.arange(1, n + 1, dtype=np.int64),
